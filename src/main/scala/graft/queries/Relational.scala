@@ -1,0 +1,247 @@
+package graft.queries
+
+import graft.Tables
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational query pack: exercises the reference's filter DSL (SURVEY
+  * §2.4 F1/F2), top-K ranking (§2.7 T1/T2), conditional-count batch stats
+  * (§2.6 A1-A3), and standard joins on the TPC-H-ish fixtures. Each query
+  * has a DuckDB oracle in `oracles` with identical column names.
+  *
+  * Scale posture: group-bys keyed on low-cardinality columns (partial
+  * aggregation collapses them map-side); dimension joins broadcast; the
+  * band join is an equi-join on a bucketed key, not a cross product.
+  */
+object Relational {
+
+  /** TPC-H Q1-style pricing summary (reference A1/A2 batch-stats analog). */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        exactSum(col("l_quantity"), 2).as("sum_qty"),
+        exactSum(col("l_extendedprice"), 2).as("sum_base_price"),
+        exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("sum_disc_price"),
+        exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")), 6).as("sum_charge"),
+        exactAvg(col("l_quantity"), 2).as("avg_qty"),
+        exactAvg(col("l_extendedprice"), 2).as("avg_price"),
+        exactAvg(col("l_discount"), 2).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** Reference Filters range chain (F1): min/max numeric range predicates
+    * compiled to a conjunctive filter, aggregated per group.
+    */
+  def filterRanges(spark: SparkSession, dir: String): DataFrame = {
+    lineitem(spark, dir)
+      .filter(
+        col("l_quantity") >= lit(10.0) && col("l_quantity") <= lit(40.0) &&
+        col("l_discount") >= lit(0.02) && col("l_discount") <= lit(0.08) &&
+        col("l_extendedprice") < lit(50000.0))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        exactSum(col("l_quantity"), 2).as("sum_qty"),
+        exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Membership filter (F2, chain/DEX IN-lists) + broadcast dim join. */
+  def membership(spark: SparkSession, dir: String): DataFrame = {
+    customer(spark, dir)
+      .filter(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE", "MACHINERY"))
+      .join(broadcast(nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"), exactSum(col("c_acctbal"), 2).as("sum_acctbal"))
+      .orderBy(col("n_name"), col("c_mktsegment"))
+  }
+
+  /** Global top-K (T1/T2): rank-by key desc with deterministic tie-break;
+    * Spark plans this as TakeOrderedAndProject (no full sort at scale).
+    */
+  def topK(spark: SparkSession, dir: String): DataFrame = {
+    orders(spark, dir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .limit(10)
+  }
+
+  /** 3-way star join rollup: fact → broadcast dims, single shuffle on the
+    * final low-cardinality group key.
+    */
+  def starJoin(spark: SparkSession, dir: String): DataFrame = {
+    customer(spark, dir)
+      .join(broadcast(nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_customers"), exactSum(col("c_acctbal"), 2).as("sum_acctbal"))
+      .orderBy(col("r_name"))
+  }
+
+  /** Batch statistics (A1): total / conditional counts / distinct users —
+    * the reference's `ExtractedTokenBatch.__post_init__` stats shape.
+    */
+  def batchStats(spark: SparkSession, dir: String): DataFrame = {
+    events(spark, dir).agg(
+      count(lit(1)).as("total_events"),
+      count_if(col("value") >= lit(100.0)).as("high_value_count"),
+      count_if(col("event_type") === lit("purchase")).as("purchase_count"),
+      countDistinct(col("user_id")).as("n_users"))
+  }
+
+  /** Frequency count + order (A3/T5: symbol frequency ranking). */
+  def frequency(spark: SparkSession, dir: String): DataFrame = {
+    events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("freq"), exactSum(col("value"), 2).as("sum_value"))
+      .orderBy(col("freq").desc, col("event_type"))
+  }
+
+  /** Per-group top-K (T1 applied per chain): the reference's top-tokens
+    * ranking scoped by group, via window row_number.
+    */
+  def topKPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value").desc, col("event_id").asc)
+    events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("event_type"), col("rn"), col("event_id"), col("value"))
+      .orderBy(col("event_type"), col("rn"))
+  }
+
+  /** Proximity band join (J1): |left.pos - right.pos| <= width, realized
+    * as an equi-join on a bucketed position key (each probe row expands to
+    * 3 candidate buckets) instead of a cross product — the 100 TB-safe
+    * shape of the reference's ±1000-byte metadata join.
+    */
+  def proximityBand(spark: SparkSession, dir: String): DataFrame = {
+    val width = 50L
+    val ev = events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"))
+      .withColumn("bucket", explode(array(
+        floor(col("click_id") / width) - 1,
+        floor(col("click_id") / width),
+        floor(col("click_id") / width) + 1)))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"),
+        floor(col("view_id") / width).as("bucket"))
+    clicks.join(views, "bucket")
+      .filter(abs(col("click_id") - col("view_id")) <= width)
+      .groupBy(col("click_id"))
+      .agg(count(lit(1)).as("n_views"),
+        min(abs(col("click_id") - col("view_id"))).as("min_dist"))
+      .orderBy(col("click_id"))
+  }
+
+  /** Tick stream → hourly OHLC bars (W4): the true time-bucketed form of
+    * the reference's OHLC export, with open/close selected by a total
+    * order (arg-min/arg-max on the unique event id) so results are
+    * deterministic under parallel aggregation.
+    */
+  def ohlcHourly(spark: SparkSession, dir: String): DataFrame = {
+    events(spark, dir)
+      .withColumn("bucket", date_trunc("hour", col("ts")))
+      .groupBy(col("bucket"), col("event_type"))
+      .agg(
+        min_by(col("value"), col("event_id")).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), col("event_id")).as("close"),
+        exactSum(col("value"), 2).as("volume"),
+        count(lit(1)).as("trades"))
+      .select(date_format(col("bucket"), "yyyy-MM-dd HH:mm:ss").as("bar_ts"),
+        col("event_type"), col("open"), col("high"), col("low"), col("close"),
+        col("volume"), col("trades"))
+      .orderBy(col("bar_ts"), col("event_type"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> pricingSummary _,
+    "q02_filter_ranges" -> filterRanges _,
+    "q03_membership" -> membership _,
+    "q04_topk" -> topK _,
+    "q05_star_join" -> starJoin _,
+    "q06_batch_stats" -> batchStats _,
+    "q07_frequency" -> frequency _,
+    "q08_topk_per_group" -> topKPerGroup _,
+    "q09_proximity_band" -> proximityBand _,
+    "q10_ohlc_hourly" -> ohlcHourly _)
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${sqlExactSum("l_quantity", 2)} AS sum_qty,
+         |  ${sqlExactSum("l_extendedprice", 2)} AS sum_base_price,
+         |  ${sqlExactSum("l_extendedprice * (1.0 - l_discount)", 4)} AS sum_disc_price,
+         |  ${sqlExactSum("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)", 6)} AS sum_charge,
+         |  ${sqlExactAvg("l_quantity", 2)} AS avg_qty,
+         |  ${sqlExactAvg("l_extendedprice", 2)} AS avg_price,
+         |  ${sqlExactAvg("l_discount", 2)} AS avg_disc,
+         |  count(*) AS count_order
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_filter_ranges" ->
+      s"""SELECT l_returnflag, count(*) AS n_rows,
+         |  ${sqlExactSum("l_quantity", 2)} AS sum_qty,
+         |  ${sqlExactSum("l_extendedprice * (1.0 - l_discount)", 4)} AS revenue
+         |FROM lineitem
+         |WHERE l_quantity >= 10.0 AND l_quantity <= 40.0
+         |  AND l_discount >= 0.02 AND l_discount <= 0.08
+         |  AND l_extendedprice < 50000.0
+         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q03_membership" ->
+      s"""SELECT n_name, c_mktsegment, count(*) AS n_customers,
+         |  ${sqlExactSum("c_acctbal", 2)} AS sum_acctbal
+         |FROM customer JOIN nation ON c_nationkey = n_nationkey
+         |WHERE c_mktsegment IN ('BUILDING','AUTOMOBILE','MACHINERY')
+         |GROUP BY n_name, c_mktsegment ORDER BY n_name, c_mktsegment""".stripMargin,
+    "q04_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "q05_star_join" ->
+      s"""SELECT r_name, count(*) AS n_customers,
+         |  ${sqlExactSum("c_acctbal", 2)} AS sum_acctbal
+         |FROM customer
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "q06_batch_stats" ->
+      """SELECT count(*) AS total_events,
+        |  count(*) FILTER (WHERE value >= 100.0) AS high_value_count,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase_count,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events""".stripMargin,
+    "q07_frequency" ->
+      s"""SELECT event_type, count(*) AS freq,
+         |  ${sqlExactSum("value", 2)} AS sum_value
+         |FROM events GROUP BY event_type ORDER BY freq DESC, event_type""".stripMargin,
+    "q08_topk_per_group" ->
+      """SELECT event_type, rn, event_id, value FROM (
+        |  SELECT event_type, event_id, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id ASC) AS rn
+        |  FROM events) WHERE rn <= 3 ORDER BY event_type, rn""".stripMargin,
+    "q09_proximity_band" ->
+      """SELECT c.event_id AS click_id, count(*) AS n_views,
+        |  min(abs(c.event_id - v.event_id)) AS min_dist
+        |FROM events c JOIN events v
+        |  ON abs(c.event_id - v.event_id) <= 50
+        |WHERE c.event_type = 'click' AND v.event_type = 'view'
+        |GROUP BY c.event_id ORDER BY click_id""".stripMargin,
+    "q10_ohlc_hourly" ->
+      s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bar_ts,
+         |  event_type,
+         |  arg_min(value, event_id) AS open,
+         |  max(value) AS high,
+         |  min(value) AS low,
+         |  arg_max(value, event_id) AS close,
+         |  ${sqlExactSum("value", 2)} AS volume,
+         |  count(*) AS trades
+         |FROM events GROUP BY 1, 2 ORDER BY bar_ts, event_type""".stripMargin)
+}

@@ -1,0 +1,60 @@
+#!/usr/bin/env python3
+"""Self-check harness approximating the driver's DuckDB-oracle compare:
+for each query dir under OUT, load our parquet and the oracle SQL result,
+sort columns by name, sort rows, compare exactly (bitwise on doubles).
+
+Usage: python3 tools/selfcheck.py /tmp/verify_out /root/testdata/sf0.01
+"""
+import sys, json, glob, math
+import duckdb
+
+TABLES = ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]
+
+def norm(df):
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return df
+
+def main(out_dir, sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name in sorted(oracle):
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no output parquet"); n_fail += 1; continue
+        got = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
+        try:
+            exp = con.sql(oracle[name]).df()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error {e}"); n_fail += 1; continue
+        got, exp = norm(got), norm(exp)
+        if list(got.columns) != list(exp.columns):
+            print(f"FAIL {name}: cols {list(got.columns)} vs {list(exp.columns)}"); n_fail += 1; continue
+        if len(got) != len(exp):
+            print(f"FAIL {name}: rows {len(got)} vs {len(exp)}"); n_fail += 1; continue
+        bad = None
+        for c in got.columns:
+            g, e = got[c], exp[c]
+            for i in range(len(g)):
+                gv, ev = g.iloc[i], e.iloc[i]
+                eq = (gv == ev) or (isinstance(gv, float) and isinstance(ev, float)
+                      and math.isnan(gv) and math.isnan(ev))
+                if not eq:
+                    bad = (c, i, gv, ev); break
+            if bad: break
+        if bad:
+            c, i, gv, ev = bad
+            print(f"FAIL {name}: col {c} row {i}: got {gv!r} want {ev!r}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(got)} rows)")
+            n_pass += 1
+    print(f"== {n_pass} pass / {n_fail} fail")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
