@@ -12,7 +12,8 @@ object SparkEntry {
 
   private val packs: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
-      (_root_.graft.queries.Relational.queries, _root_.graft.queries.Relational.oracles))
+      (_root_.graft.queries.Relational.queries, _root_.graft.queries.Relational.oracles),
+      (_root_.graft.queries.DecodePack.queries, _root_.graft.queries.DecodePack.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,113 @@
+package graft.decode
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** Wire-format helpers shared by the decoders and the test-fixture encoder
+  * (reference frame structure: dexscraper/protocol.py:362-390,
+  * scraper.py:257-273 and FIXTURES.md §A4).
+  *
+  * Frame = preamble `\x00\n1.3.0\n` + `pairs` marker + 4 header bytes +
+  * records. A record = 6 length-prefixed UTF-8 strings + zero padding to
+  * an 8-byte boundary + 8 little-endian float64 metrics.
+  */
+object Wire {
+  val Preamble: Array[Byte] = Array[Byte](0x00, '\n') ++ "1.3.0\n".getBytes("UTF-8")
+  val PairsMarker: Array[Byte] = "pairs".getBytes("UTF-8")
+  /** Legacy parser skips marker + 4 header bytes (protocol.py:381-390). */
+  val LegacyHeaderSkip = 9
+  /** Enhanced parser skips 17 (enhanced_protocol.py:31). */
+  val EnhancedHeaderSkip = 17
+  /** Token extractor skips 20 (scraper.py:271). */
+  val DeepHeaderSkip = 20
+
+  /** One record in the reference's binary pair layout. */
+  final case class WireRecord(strings: Seq[String], metrics: Array[Double]) {
+    require(strings.length == 6, "6 length-prefixed strings")
+    require(metrics.length == 8, "8 float64 metrics")
+  }
+
+  /** Serialize one record (strings + alignment padding + 8 doubles). */
+  def encodeRecord(r: WireRecord): Array[Byte] = {
+    val strBytes = r.strings.map(_.getBytes("UTF-8"))
+    val strLen = strBytes.map(_.length + 1).sum
+    val aligned = (strLen + 7) & ~7
+    val buf = ByteBuffer.allocate(aligned + 64).order(ByteOrder.LITTLE_ENDIAN)
+    strBytes.foreach { b =>
+      require(b.length <= 200, "field max 200 bytes")
+      buf.put(b.length.toByte)
+      buf.put(b)
+    }
+    buf.position(aligned)
+    r.metrics.foreach(buf.putDouble)
+    buf.array()
+  }
+
+  /** Build a frame with each record padded into a fixed `chunkSize` slot
+    * starting right after the header (the layout the adaptive chunk scan
+    * D3 discovers), plus a zero tail so the final slot is scanned.
+    */
+  def encodeFrame(records: Seq[WireRecord], chunkSize: Int = 512): Array[Byte] = {
+    val body = records.map { r =>
+      val enc = encodeRecord(r)
+      require(enc.length <= chunkSize, s"record ${enc.length}B > chunk $chunkSize")
+      java.util.Arrays.copyOf(enc, chunkSize)
+    }
+    val headerPad = Array[Byte](0x01, 0x02, 0x03, 0x04)
+    Preamble ++ PairsMarker ++ headerPad ++ body.flatten ++ new Array[Byte](chunkSize)
+  }
+
+  /** The reference's printable projection (scraper.py:316 etc.):
+    * bytes in [32,126] keep their char, everything else becomes a space.
+    */
+  def printable(data: Array[Byte]): String = {
+    val sb = new java.lang.StringBuilder(data.length)
+    var i = 0
+    while (i < data.length) {
+      val b = data(i) & 0xff
+      sb.append(if (b >= 32 && b <= 126) b.toChar else ' ')
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** JVM mirror of the `clean_string` column function (protocol.py:23-39). */
+  def cleanString(s: String): String = {
+    if (s == null || s.isEmpty) return ""
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if ((c >= 32 && c < 127) || c == 9) sb.append(c)
+      i += 1
+    }
+    val cleaned = sb.toString
+    if (cleaned.contains("@") || cleaned.contains("\\"))
+      cleaned.split("@", -1)(0).split("\\\\", -1)(0)
+    else cleaned.strip()
+  }
+
+  /** `handle_double` (protocol.py:13-20): NaN/Inf → 0.0. */
+  def handleDouble(v: Double): Double =
+    if (v.isNaN || v.isInfinite) 0.0 else v
+
+  def readDoubleLE(data: Array[Byte], pos: Int): Double =
+    ByteBuffer.wrap(data, pos, 8).order(ByteOrder.LITTLE_ENDIAN).getDouble
+
+  def readFloatLE(data: Array[Byte], pos: Int): Float =
+    ByteBuffer.wrap(data, pos, 4).order(ByteOrder.LITTLE_ENDIAN).getFloat
+
+  def readUInt32LE(data: Array[Byte], pos: Int): Long =
+    ByteBuffer.wrap(data, pos, 4).order(ByteOrder.LITTLE_ENDIAN).getInt.toLong & 0xffffffffL
+
+  def indexOf(haystack: Array[Byte], needle: Array[Byte]): Int = {
+    if (needle.isEmpty) return 0
+    var i = 0
+    while (i <= haystack.length - needle.length) {
+      var j = 0
+      while (j < needle.length && haystack(i + j) == needle(j)) j += 1
+      if (j == needle.length) return i
+      i += 1
+    }
+    -1
+  }
+}

@@ -1,0 +1,144 @@
+package graft
+
+import graft.decode._
+import graft.model._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Decoder goldens mirroring the reference's decode tests
+  * (tests/test_decode_pair.py, tests/test_edge_cases.py:25-48) plus
+  * end-to-end frame fixtures per FIXTURES.md §A4/§A5.
+  */
+class DecodeSpec extends AnyFunSuite {
+
+  private def record(ok: Long = 7, qty: Double = 17.0): Wire.WireRecord =
+    Wire.WireRecord(
+      Seq(s"cNO", s"dex${ok % 10}", s"pairaddr$ok", s"name42", "SYMX", s"addr${ok}x1"),
+      Array(qty, 12345.67, 0.05, 0.02, 42.0, 3.0, 1700000000.0, 0.0))
+
+  test("decodePair roundtrips strings and doubles bit-exact") {
+    val enc = java.util.Arrays.copyOf(Wire.encodeRecord(record()), 512)
+    val p = LegacyDecoder.decodePair(enc).get
+    assert(p.chain == "cNO" && p.protocol == "dex7" && p.pair_address == "pairaddr7")
+    assert(p.base_token_name == "name42" && p.base_token_symbol == "SYMX")
+    assert(p.base_token_address == "addr7x1")
+    assert(p.price_data.get.current.contains(17.0))
+    assert(p.price_data.get.usd.contains(12345.67))
+    assert(p.price_data.get.change_24h.contains(0.05))
+    assert(p.liquidity_data.get.usd.contains(0.02))
+    assert(p.volume_data.get.h24.contains(42.0))
+    assert(p.fdv.contains(3.0))
+    assert(p.created_at.contains(1700000000L))
+  }
+
+  test("decodePair drops zero metrics (handle_double)") {
+    val r = record().copy(metrics = Array(17.0, 12345.67, 0.0, 0.0, 42.0, 3.0, 1700000000.0, 0.0))
+    val p = LegacyDecoder.decodePair(java.util.Arrays.copyOf(Wire.encodeRecord(r), 512)).get
+    assert(p.price_data.get.change_24h.isEmpty)
+    assert(p.liquidity_data.isEmpty)
+  }
+
+  test("decodePair is total on malformed input (test_decode_pair.py:26-33)") {
+    assert(LegacyDecoder.decodePair(Array[Byte](-1, 0, 1)).isEmpty) // 0xff length
+    assert(LegacyDecoder.decodePair("\nhello".getBytes).isEmpty) // short declared len
+    assert(LegacyDecoder.decodePair(Array.empty[Byte]).isEmpty)
+    assert(LegacyDecoder.decodePair("ping".getBytes).isEmpty)
+    val noise = Array.fill[Byte](1024 * 1024)(0x41)
+    LegacyDecoder.decodePair(noise) // must not throw
+  }
+
+  test("parseMessage requires preamble and pairs marker (protocol.py:381-390)") {
+    assert(LegacyDecoder.parseMessage("garbage".getBytes).isEmpty)
+    val noPairs = Wire.Preamble ++ Array.fill[Byte](100)(0x01)
+    assert(LegacyDecoder.parseMessage(noPairs).isEmpty)
+  }
+
+  test("parseMessage decodes a 3-record frame via the 512 chunk scan") {
+    val frame = Wire.encodeFrame(Seq(record(1), record(2), record(3)))
+    val pairs = LegacyDecoder.parseMessage(frame)
+    assert(pairs.length == 3)
+    assert(pairs.map(_.pair_address) == Seq("pairaddr1", "pairaddr2", "pairaddr3"))
+  }
+
+  test("decodePairFromText classifies words (protocol.py:203-281)") {
+    val text = "solana raydium COIN SomeTokenName 4Nd1mYvNmSdLk8T5dGtXhuKZFDRDk5WtyGL26Rqk6K8N extra"
+    val p = LegacyDecoder.decodePairFromText(text.getBytes).get
+    assert(p.protocol == "raydium")
+    assert(p.base_token_symbol == "COIN")
+    assert(p.base_token_address == "4Nd1mYvNmSdLk8T5dGtXhuKZFDRDk5WtyGL26Rqk6K8N")
+    assert(p.base_token_name == "SomeTokenName")
+  }
+
+  test("frame with text markers routes chunks to the text parser") {
+    // a 512 chunk containing "solana" must go text-mode inside decodePair
+    val chunk = new Array[Byte](512)
+    val text = "solana raydium MOON LongTokenName".getBytes
+    System.arraycopy(text, 0, chunk, 0, text.length)
+    val p = LegacyDecoder.decodePair(chunk)
+    assert(p.nonEmpty && p.get.protocol == "raydium")
+  }
+
+  test("token extraction end-to-end: record fields + proximity enrichment") {
+    // Layout: [pairs+20 header][numeric block][text with $SYMB, metadata]
+    val nums = java.nio.ByteBuffer.allocate(24).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    nums.putDouble(0.004) // price range
+    nums.putDouble(250000.0) // volume range (>=1e5)
+    nums.putDouble(500.0) // makers range (10..999)
+    val text = ("  $MOONY token data pumpfun 24h " +
+      "So11111111111111111111111111111111111111112 " +
+      "DjDzLNonA1XcWpzTBZhNZUqHCvq6SeLfT3otPYdVSMH " +
+      "https://twitter.com/moony https://moony.io/home ").getBytes
+    val frame = Wire.Preamble ++ Wire.PairsMarker ++ new Array[Byte](15) ++
+      nums.array() ++ text
+    val tokens = TokenExtractor.extractTokens(frame, 1700000000L)
+    assert(tokens.nonEmpty)
+    val t = tokens.find(_.symbol.contains("MOONY")).get
+    assert(t.price.contains(0.004)) // offset-0 double, first-match-wins
+    assert(t.volume_24h.nonEmpty && t.makers.nonEmpty) // set by the block
+    assert(t.field_count >= 3)
+    assert(t.confidence_score == math.min(0.7 + t.field_count * 0.05, 0.95))
+    assert(t.quote_address.contains("So11111111111111111111111111111111111111112"))
+    assert(t.token_address.contains("DjDzLNonA1XcWpzTBZhNZUqHCvq6SeLfT3otPYdVSMH"))
+    assert(t.protocol.contains("pumpfun")) // within 220 bytes
+    assert(t.age.contains("24h")) // within 180 bytes
+    assert(t.twitter.contains("https://twitter.com/moony"))
+    assert(t.website.contains("https://moony.io/home"))
+    assert(t.timestamp.contains(1700000000L))
+  }
+
+  test("extractRealTokenNames: frequency ranking, blacklist, top-20") {
+    val printable = "AAA BBB AAA AAA HTTP JSON $CCC ccc Word The And"
+    val names = TokenExtractor.extractRealTokenNames(printable, 0)
+    val symbols = names.values.toSet
+    assert(symbols.contains("AAA")) // most frequent
+    assert(!symbols.contains("HTTP") && !symbols.contains("JSON")) // blacklisted
+    assert(!symbols.contains("THE") && !symbols.contains("AND")) // english stop-list
+    // $CCC (ignorecase family) counts 'CCC' and lowercase 'ccc' together
+    assert(symbols.contains("CCC"))
+    assert(names.nonEmpty && names.size <= 20)
+  }
+
+  test("enhanced cluster scan finds price+volume+count windows (enhanced_protocol.py:78-156)") {
+    val buf = java.nio.ByteBuffer.allocate(4096).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.position(256)
+    buf.putDouble(0.0005) // price 0.0001..0.001
+    buf.putDouble(50000.0) // volume 1000..1e7
+    buf.putDouble(20.0) // count 10..50000
+    val data = buf.array()
+    val clusters = EnhancedDecoder.findNumericClusters(data)
+    assert(clusters.nonEmpty)
+    val cd = clusters.head._2
+    assert(cd.prices.nonEmpty && cd.volumes.nonEmpty && cd.counts.nonEmpty)
+  }
+
+  test("decoders are total on arbitrary bytes") {
+    val rnd = new scala.util.Random(42)
+    (1 to 50).foreach { _ =>
+      val bytes = new Array[Byte](rnd.nextInt(4096))
+      rnd.nextBytes(bytes)
+      LegacyDecoder.parseMessage(bytes)
+      LegacyDecoder.decodePair(bytes)
+      EnhancedDecoder.parseMessage(bytes)
+      TokenExtractor.extractTokens(bytes, 0L)
+    }
+  }
+}
