@@ -13,7 +13,9 @@ object SparkEntry {
   private val packs: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (_root_.graft.queries.Relational.queries, _root_.graft.queries.Relational.oracles),
-      (_root_.graft.queries.DecodePack.queries, _root_.graft.queries.DecodePack.oracles))
+      (_root_.graft.queries.DecodePack.queries, _root_.graft.queries.DecodePack.oracles),
+      (_root_.graft.queries.TextPack.queries, _root_.graft.queries.TextPack.oracles),
+      (_root_.graft.queries.VectorPack.queries, _root_.graft.queries.VectorPack.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,152 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, quality scoring, fingerprinting, shingling, MinHash,
+  * SimHash, and n-gram Jaccard — all as codegen-friendly column
+  * expressions (no UDFs), so they scale as narrow map stages; the only
+  * shuffles are the final aggregations/joins of each query.
+  *
+  * Determinism: every hash is derived from md5 hex prefixes so the DuckDB
+  * oracle can reproduce values exactly; MinHash/SimHash arithmetic stays
+  * in exact int64 ranges (no float accumulation).
+  */
+object TextOps {
+
+  /** Whitespace tokenization (single-space corpus). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Token count without materializing the array: len - len(no-spaces) + 1. */
+  def tokenCount(text: Column): Column =
+    (length(text) - length(regexp_replace(text, " ", "")) + 1).cast("long")
+
+  /** English-ish stopword count over the token array. */
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "on")
+  def stopwordCount(text: Column): Column = {
+    val stopArr = array(Stopwords.map(lit): _*)
+    size(filter(tokens(text), t => array_contains(stopArr, t))).cast("long")
+  }
+
+  /** Quality-score heuristics (reference-style length/punct/stopword
+    * ratios): exact int counts composed with single IEEE divisions so the
+    * oracle reproduces the double bit-for-bit.
+    */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text)
+    val stopRatio = stopwordCount(text).cast("double") / nTok.cast("double")
+    val avgWordLen = (length(text) - nTok + 1).cast("double") / nTok.cast("double")
+    // Prefer mid-length words and a moderate stopword share.
+    least(lit(1.0),
+      stopRatio * 2.0 + when(avgWordLen >= 3.0 && avgWordLen <= 8.0, 0.5).otherwise(0.0))
+  }
+
+  /** P6-style document fingerprint: md5 hex prefix. */
+  def fingerprint(text: Column, n: Int = 8): Column = substring(md5(text), 1, n)
+
+  /** Distinct word n-gram shingles: sequence + slice + concat_ws, no UDF. */
+  def wordShingles(text: Column, n: Int = 3): Column = {
+    val toks = tokens(text)
+    val count = size(toks) - (n - 1)
+    // sequence(1, k) descends when k < 1 — guard short docs explicitly
+    when(count >= 1,
+      array_distinct(transform(sequence(lit(1), count),
+        i => concat_ws(" ", slice(toks, i, lit(n))))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** 32-bit deterministic string hash from the md5 hex prefix —
+    * `conv(hex,16,10)` here ≡ `('0x'||substr(md5(s),1,8))::bigint` in
+    * DuckDB.
+    */
+  def hash32(s: Column): Column = conv(substring(md5(s), 1, 8), 16, 10).cast("long")
+
+  /** 60-bit variant for SimHash bit sampling. */
+  def hash60(s: Column): Column = conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+
+  /** MinHash parameters: k universal-hash functions (a*h+b) mod p with
+    * odd multipliers below 2^31 (products stay inside int64).
+    */
+  val MinhashP: Long = 2147483647L
+  def minhashParams(k: Int): Seq[(Long, Long)] =
+    (0 until k).map { j =>
+      val a = ((j + 1) * 2654435761L % MinhashP) | 1L
+      val b = (j * 40503L + 2531011L) % MinhashP
+      (a, b)
+    }
+
+  /** MinHash signature over a shingle array: array of k min-hash values.
+    * Pure expression, no shuffle. Shingles are hashed ONCE (md5 is the
+    * expensive part), then each of the k universal hashes is linear
+    * arithmetic over the hashed array.
+    */
+  def minhashSignature(shingles: Column, k: Int = 16): Column =
+    minhashFromHashes(transform(shingles, s => hash32(s)), k)
+
+  def minhashFromHashes(hashes: Column, k: Int): Column =
+    array(minhashParams(k).map { case (a, b) =>
+      array_min(transform(hashes, h => (h * lit(a) + lit(b)) % lit(MinhashP)))
+    }: _*)
+
+  /** LSH band keys from a MinHash signature: bands of `r` rows, each band
+    * keyed by its joined values — join candidates share ≥1 band key.
+    */
+  def lshBandKeys(sig: Column, bands: Int, r: Int): Column =
+    array((0 until bands).map { b =>
+      concat_ws(",", (0 until r).map(i => element_at(sig, b * r + i + 1).cast("string")): _*)
+    }: _*)
+
+  /** SimHash-64 (60 usable bits) over exploded tokens: returns a
+    * (doc-grouped) aggregation plan. Input: df with `idCol` and a token
+    * column; output: idCol, simhash bigint.
+    */
+  def simhash(df: DataFrame, idCol: String, tokenCol: String, bits: Int = 60): DataFrame = {
+    val h = hash60(col(tokenCol))
+    // Per-token ±1 contribution per bit (unrolled — shift amounts are
+    // literals), summed per doc; bit set iff the sum is positive.
+    val contribArr = array((0 until bits).map(j =>
+      shiftright(h, j).bitwiseAND(lit(1L)) * 2 - 1): _*)
+    df.select(col(idCol), posexplode(contribArr).as(Seq("bit", "contrib")))
+      .groupBy(col(idCol), col("bit"))
+      .agg(sum(col("contrib")).as("s"))
+      .groupBy(col(idCol))
+      .agg(sum(when(col("s") > 0, expr("shiftleft(cast(1 as bigint), bit)"))
+        .otherwise(lit(0L))).as("simhash"))
+  }
+
+  /** Hamming distance between two simhash values (for near-dup grading). */
+  def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** n-gram Jaccard between two shingle-set columns: exact int sizes, one
+    * division.
+    */
+  def jaccard(s1: Column, s2: Column): Column =
+    size(array_intersect(s1, s2)).cast("double") /
+      size(array_union(s1, s2)).cast("double")
+
+  /** Character-trigram language-ID heuristic: scores text against small
+    * per-language trigram profiles, argmax with deterministic tie-break
+    * (profile order). A real deployment would broadcast learned profiles;
+    * the operator shape (pure expression scoring, no shuffle) is what
+    * matters at scale.
+    */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", " th", "ing", "ion", " a ", "ed ", " of"),
+    "de" -> Seq("der", "ein", "sch", "ich", "und", "en ", "ie ", " de"),
+    "fr" -> Seq("les", "ent", "de ", " le", "que", "ion", "eur", " la"),
+    "es" -> Seq("de ", " de", "la ", "os ", " la", "ión", "ent", "es "),
+    "zh" -> Seq("de ", "shi", "zhe", "ng ", "ian", "ong", "eng", "ang"))
+
+  def languageId(text: Column): Column = {
+    val scores = LangProfiles.map { case (lang, grams) =>
+      val s = grams.map(g =>
+        (length(text) - length(replace(text, lit(g), lit("")))) / g.length).reduce(_ + _)
+      (lang, s)
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((lang, s), acc) =>
+      when(s === best && s > 0, lit(lang)).otherwise(acc)
+    }
+  }
+}

@@ -1,0 +1,118 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity-search operators.
+  *
+  * Exactness strategy: float vectors are quantized to int64 (×scale,
+  * round) once; dot products and squared norms are then exact integer
+  * sums (order-independent — 64 dims × |q|≤1000 keeps every partial sum
+  * far below 2^53), and cosine is a single deterministic IEEE expression
+  * `dot / (sqrt(n1)*sqrt(n2))`, so Spark and the DuckDB oracle agree
+  * bit-for-bit.
+  *
+  * Scale strategy: brute-force top-k broadcasts the (small) query set and
+  * streams the corpus — one narrow pass + a per-query top-k
+  * (TakeOrdered-style via window over query partitions). The LSH variant
+  * bucketizes by sign-random-projection so candidate generation is an
+  * equi-join, not a cross product.
+  */
+object VectorOps {
+
+  /** Quantize a float/double array column to bigint at `scale`. */
+  def quantize(vec: Column, scale: Double = 1000.0): Column =
+    transform(vec, x => round(x * scale).cast("long"))
+
+  /** Exact integer dot product of two bigint array columns. */
+  def dotInt(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** Cosine from quantized vectors: one deterministic IEEE expression. */
+  def cosineInt(a: Column, b: Column): Column =
+    dotInt(a, b).cast("double") /
+      (sqrt(dotInt(a, a).cast("double")) * sqrt(dotInt(b, b).cast("double")))
+
+  /** Euclidean norm of a quantized vector, precomputed once per row so
+    * pairwise scoring does one dot product per pair instead of three.
+    * `dot/(n1*n2)` is bit-identical to `cosineInt` (same IEEE ops).
+    */
+  def normInt(vec: Column): Column = sqrt(dotInt(vec, vec).cast("double"))
+
+  private def cosinePre(v1: Column, n1: Column, v2: Column, n2: Column): Column =
+    dotInt(v1, v2).cast("double") / (n1 * n2)
+
+  /** Brute-force cosine top-k: broadcast the query side, join-free scan of
+    * the corpus, per-query top-k by (cosine desc, id asc). Norms are
+    * computed once per side before the join.
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      qId: String = "q_id", qVec: String = "q_vec",
+      cId: String = "c_id", cVec: String = "c_vec"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.withColumn("q_nrm", normInt(col(qVec)))
+    val c = corpus.withColumn("c_nrm", normInt(col(cVec)))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col(qId) =!= col(cId))
+      .withColumn("cosine", cosinePre(col(qVec), col("q_nrm"), col(cVec), col("c_nrm")))
+    val w = Window.partitionBy(col(qId)).orderBy(col("cosine").desc, col(cId).asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qId), col("rank"), col(cId), col("cosine"))
+  }
+
+  /** All pairs above a cosine threshold (near-duplicate detection).
+    * Quadratic candidate set — intended for bounded corpora / within-
+    * bucket refinement; use `lshTopK` first at scale.
+    */
+  def thresholdPairs(vectors: DataFrame, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "qvec"): DataFrame = {
+    val withNorm = vectors.withColumn("nrm", normInt(col(vecCol)))
+    val a = withNorm.select(col(idCol).as("id1"), col(vecCol).as("v1"), col("nrm").as("n1"))
+    val b = withNorm.select(col(idCol).as("id2"), col(vecCol).as("v2"), col("nrm").as("n2"))
+    a.join(b, col("id1") < col("id2"))
+      .withColumn("cosine", cosinePre(col("v1"), col("n1"), col("v2"), col("n2")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id1"), col("id2"), col("cosine"))
+  }
+
+  /** Sign-random-projection LSH bucket key: `planes` deterministic
+    * hyperplanes with ±1 integer coefficients derived from md5 of
+    * (plane, dim) — exact integer dot signs, reproducible anywhere.
+    * Vectors sharing a bucket key are ANN candidates; candidate
+    * generation becomes a shuffle on the key instead of a cross join.
+    */
+  def srpBucket(vec: Column, dims: Int, planes: Int = 12): Column = {
+    val bits = (0 until planes).map { p =>
+      val coeffs = (0 until dims).map { d =>
+        // ±1 from one md5-derived bit per (plane, dim)
+        val bit = conv(substring(md5(lit(s"srp-$p-$d")), 1, 8), 16, 10)
+          .cast("long").bitwiseAND(lit(1L))
+        (bit * 2 - 1) * element_at(vec, d + 1)
+      }
+      val dot = coeffs.reduce(_ + _)
+      when(dot > 0, lit(1)).otherwise(lit(0))
+    }
+    concat_ws("", bits.map(_.cast("string")): _*)
+  }
+
+  /** LSH-bucketed ANN: bucket both sides on the SRP key, equi-join within
+    * buckets, then exact re-rank per query. Recall depends on `planes`;
+    * the scan is linear and the join shuffles only bucket-sized groups.
+    */
+  def lshTopK(vectors: DataFrame, k: Int, dims: Int, planes: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "qvec"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bucketed = vectors
+      .withColumn("bucket", srpBucket(col(vecCol), dims, planes))
+      .withColumn("nrm", normInt(col(vecCol)))
+    val a = bucketed.select(col(idCol).as("id1"), col(vecCol).as("v1"), col("nrm").as("n1"), col("bucket"))
+    val b = bucketed.select(col(idCol).as("id2"), col(vecCol).as("v2"), col("nrm").as("n2"), col("bucket"))
+    val candidates = a.join(b, Seq("bucket")).filter(col("id1") =!= col("id2"))
+      .withColumn("cosine", cosinePre(col("v1"), col("n1"), col("v2"), col("n2")))
+    val w = Window.partitionBy(col("id1")).orderBy(col("cosine").desc, col("id2").asc)
+    candidates.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("id1"), col("rank"), col("id2"), col("cosine"))
+  }
+}

@@ -1,0 +1,208 @@
+package graft.queries
+
+import graft.Tables
+import graft.ext.TextOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis / deduplication query pack over the `documents` table:
+  * token stats + quality, fingerprint dedup, corpus token frequency,
+  * n-gram Jaccard, MinHash signatures + LSH candidate pairs, SimHash.
+  * Every query has a DuckDB oracle; all numerics are exact-integer
+  * derived so hashes match bit-for-bit.
+  */
+object TextPack {
+
+  private val K = 16 // minhash functions
+  private val Bands = 4
+  private val R = 4
+
+  def textStats(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    d.select(
+      col("doc_id"),
+      col("lang"),
+      TextOps.tokenCount(col("text")).as("n_tokens"),
+      TextOps.stopwordCount(col("text")).as("n_stopwords"),
+      ((length(col("text")) - TextOps.tokenCount(col("text")) + 1).cast("double") /
+        TextOps.tokenCount(col("text")).cast("double")).as("avg_word_len"),
+      TextOps.qualityScore(col("text")).as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  def fingerprintDedup(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    d.select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_dups"))
+      .orderBy(col("keep_doc_id"))
+  }
+
+  def tokenFrequency(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    d.select(explode(TextOps.tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token"))
+      .limit(20)
+  }
+
+  /** Adjacent-id document pairs scored by word-3-gram Jaccard. */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextOps.wordShingles(col("text"), 3).as("sh"))
+    val a = d.select(col("doc_id").as("doc1"), col("sh").as("sh1"))
+    val b = d.select((col("doc_id") - 1).as("doc1"), col("doc_id").as("doc2"), col("sh").as("sh2"))
+    a.join(b, "doc1")
+      .select(col("doc1"), col("doc2"),
+        size(array_intersect(col("sh1"), col("sh2"))).cast("long").as("n_common"),
+        size(array_union(col("sh1"), col("sh2"))).cast("long").as("n_union"),
+        TextOps.jaccard(col("sh1"), col("sh2")).as("jaccard"))
+      .orderBy(col("doc1"))
+  }
+
+  /** Shingle-hash once per doc (md5 dominates); signatures are linear
+    * arithmetic over the hashed array. The intermediate projection stays
+    * un-collapsed (alias referenced k times, producer non-cheap), so md5
+    * runs once per shingle, not once per hash function.
+    */
+  private def signatures(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        transform(TextOps.wordShingles(col("text"), 3), s => TextOps.hash32(s)).as("hs"))
+      .select(col("doc_id"), TextOps.minhashFromHashes(col("hs"), K).as("sig"))
+
+  /** MinHash signatures, exploded to scalar rows for exact comparison. */
+  def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
+    signatures(spark, dir)
+      .select(col("doc_id"), posexplode(col("sig")).as(Seq("j", "minhash")))
+      .withColumn("j", col("j").cast("long"))
+      .orderBy(col("doc_id"), col("j"))
+
+  /** LSH banding over the MinHash signature: candidate near-dup pairs =
+    * docs sharing ≥1 (band-index, band-key). Output is the per-pair
+    * shared-band count — candidate generation is an equi-join on the band
+    * key (shuffle), never a cross product.
+    */
+  def lshCandidatePairs(spark: SparkSession, dir: String): DataFrame = {
+    val d = signatures(spark, dir)
+      .select(col("doc_id"), posexplode(TextOps.lshBandKeys(col("sig"), Bands, R))
+        .as(Seq("band", "key")))
+      .select(col("doc_id"), concat(col("band").cast("string"), lit(":"), col("key")).as("band_key"))
+    val a = d.select(col("doc_id").as("doc1"), col("band_key"))
+    val b = d.select(col("doc_id").as("doc2"), col("band_key"))
+    a.join(b, "band_key")
+      .filter(col("doc1") < col("doc2"))
+      .groupBy(col("doc1"), col("doc2"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+      .orderBy(col("doc1"), col("doc2"))
+  }
+
+  def simhashes(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+    TextOps.simhash(toks, "doc_id", "tok", bits = 60)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Char-trigram language-ID heuristic — rows-only (the operator is a
+    * heuristic, exercised for plan shape; exactness isn't oracle-relevant).
+    */
+  def languageId(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), TextOps.languageId(col("text")).as("predicted"))
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("predicted"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q13_text_stats" -> textStats _,
+    "q14_fingerprint_dedup" -> fingerprintDedup _,
+    "q15_token_frequency" -> tokenFrequency _,
+    "q16_ngram_jaccard" -> ngramJaccard _,
+    "q17_minhash_signatures" -> minhashSignatures _,
+    "q18_lsh_candidate_pairs" -> lshCandidatePairs _,
+    "q19_simhash" -> simhashes _,
+    "q20_language_id" -> languageId _)
+
+  private val stopList = TextOps.Stopwords.map(s => s"'$s'").mkString(", ")
+  private val (aList, bList) = {
+    val params = TextOps.minhashParams(K)
+    (params.map(_._1).mkString("[", ", ", "]"), params.map(_._2).mkString("[", ", ", "]"))
+  }
+  private val P = TextOps.MinhashP
+
+  // Shared oracle fragments
+  private val shinglesSql =
+    """list_distinct([array_to_string(toks[i:i+2], ' ')
+      |               for i in range(1, len(toks) - 1)])""".stripMargin
+  private val sigSql =
+    s"""[list_min(list_transform(sh, s ->
+       |    ((('0x' || substr(md5(s), 1, 8))::bigint * ($aList)[j+1] + ($bList)[j+1]) % $P)))
+       |  for j in range($K)]""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q13_text_stats" ->
+      s"""SELECT doc_id, lang,
+         |  len(text) - len(replace(text, ' ', '')) + 1 AS n_tokens,
+         |  len(list_filter(string_split(text, ' '), t -> t IN ($stopList))) AS n_stopwords,
+         |  cast(len(text) - (len(text) - len(replace(text, ' ', '')) + 1) + 1 AS double)
+         |    / cast(len(text) - len(replace(text, ' ', '')) + 1 AS double) AS avg_word_len,
+         |  least(1.0,
+         |    cast(len(list_filter(string_split(text, ' '), t -> t IN ($stopList))) AS double)
+         |      / cast(len(text) - len(replace(text, ' ', '')) + 1 AS double) * 2.0
+         |    + CASE WHEN (cast(len(text) - (len(text) - len(replace(text, ' ', '')) + 1) + 1 AS double)
+         |                  / cast(len(text) - len(replace(text, ' ', '')) + 1 AS double)) BETWEEN 3.0 AND 8.0
+         |           THEN 0.5 ELSE 0.0 END) AS quality
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q14_fingerprint_dedup" ->
+      """SELECT substr(md5(text), 1, 8) AS fp, min(doc_id) AS keep_doc_id,
+        |  count(*) AS n_dups
+        |FROM documents GROUP BY 1 ORDER BY keep_doc_id""".stripMargin,
+    "q15_token_frequency" ->
+      """SELECT token, count(*) AS freq FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |GROUP BY token ORDER BY freq DESC, token LIMIT 20""".stripMargin,
+    "q16_ngram_jaccard" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, $shinglesSql AS s
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
+         |SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+         |  len(list_intersect(a.s, b.s)) AS n_common,
+         |  len(list_distinct(list_concat(a.s, b.s))) AS n_union,
+         |  cast(len(list_intersect(a.s, b.s)) AS double)
+         |    / cast(len(list_distinct(list_concat(a.s, b.s))) AS double) AS jaccard
+         |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+         |ORDER BY doc1""".stripMargin,
+    "q17_minhash_signatures" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, $shinglesSql AS sh
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+         |sig AS (SELECT doc_id, $sigSql AS sig FROM sh)
+         |SELECT doc_id, j, sig[j+1] AS minhash
+         |FROM sig CROSS JOIN (SELECT unnest(range($K)) AS j)
+         |ORDER BY doc_id, j""".stripMargin,
+    "q18_lsh_candidate_pairs" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, $shinglesSql AS sh
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+         |sig AS (SELECT doc_id, $sigSql AS sig FROM sh),
+         |bands AS (
+         |  SELECT doc_id, b,
+         |    b || ':' || array_to_string(sig[b*$R+1:b*$R+$R], ',') AS band_key
+         |  FROM sig CROSS JOIN (SELECT unnest(range($Bands)) AS b))
+         |SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_shared_bands
+         |FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 ORDER BY doc1, doc2""".stripMargin,
+    "q19_simhash" ->
+      """WITH h AS (
+        |  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::bigint AS h
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)),
+        |bits AS (
+        |  SELECT doc_id, j, sum(((h >> j) & 1) * 2 - 1) AS s
+        |  FROM h CROSS JOIN (SELECT unnest(range(60)) AS j)
+        |  GROUP BY doc_id, j)
+        |SELECT doc_id,
+        |  sum(CASE WHEN s > 0 THEN (1::bigint << j) ELSE 0 END)::bigint AS simhash
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+}

@@ -1,0 +1,130 @@
+package graft.queries
+
+import graft.Tables
+import graft.ext.VectorOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity-search query pack over the `embeddings` table.
+  * Vectors are quantized to int64 (×1000) so dot products and norms are
+  * exact integers and cosine is a single deterministic IEEE expression —
+  * the DuckDB oracle reproduces every value bit-for-bit.
+  */
+object VectorPack {
+
+  private val Scale = 1000.0
+  private val TopK = 5
+  private val Threshold = 0.35
+  private val Dims = 64
+  private val Planes = 8
+
+  private def quantized(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), VectorOps.quantize(col("embedding"), Scale).as("qvec"))
+
+  /** Brute-force cosine top-k for the first 10 vectors as queries. */
+  def annTopK(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = quantized(spark, dir)
+    val queries = vecs.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("qvec").as("q_vec"))
+    val corpus = vecs.select(col("vec_id").as("c_id"), col("qvec").as("c_vec"))
+    VectorOps.bruteForceTopK(queries, corpus, TopK)
+      .withColumn("rank", col("rank").cast("long"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** Near-duplicate pairs above a cosine threshold (quadratic candidate
+    * set, bounded corpus; the LSH query is the scale path).
+    */
+  def cosinePairs(spark: SparkSession, dir: String): DataFrame =
+    VectorOps.thresholdPairs(quantized(spark, dir), Threshold)
+      .orderBy(col("id1"), col("id2"))
+
+  /** LSH-bucketed ANN: sign-random-projection bucket key (md5-derived ±1
+    * hyperplanes — reproducible in SQL), candidates only within buckets.
+    */
+  def lshAnn(spark: SparkSession, dir: String): DataFrame =
+    VectorOps.lshTopK(quantized(spark, dir), TopK, Dims, Planes)
+      .withColumn("rank", col("rank").cast("long"))
+      .orderBy(col("id1"), col("rank"))
+
+  /** Label centroid + per-vector distance-to-centroid stats, exact-int
+    * formulation: centroid components stay as (sum, count) integer pairs.
+    */
+  def labelCentroidStats(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = quantized(spark, dir)
+      .select(col("vec_id"), col("label"), posexplode(col("qvec")).as(Seq("dim", "v")))
+    vecs.groupBy(col("label"), col("dim"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      .groupBy(col("label"))
+      .agg(sum(col("s") * col("s")).as("sum_sq_sums"),
+        max(col("n")).as("n_vectors"))
+      .orderBy(col("label"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q21_ann_topk" -> annTopK _,
+    "q22_cosine_pairs" -> cosinePairs _,
+    "q23_lsh_ann" -> lshAnn _,
+    "q24_label_centroids" -> labelCentroidStats _)
+
+  private val qv = s"list_transform(embedding, x -> cast(round(x * $Scale) AS bigint))"
+  private def dot(a: String, b: String) = s"list_dot_product($a, $b)"
+  private val srpBucketSql =
+    s"""array_to_string([CASE WHEN list_sum(
+       |    list_transform(range($Dims), d ->
+       |      (((('0x' || substr(md5('srp-' || p || '-' || d), 1, 8))::bigint & 1) * 2 - 1) * qvec[d+1]))
+       |  ) > 0 THEN 1 ELSE 0 END for p in range($Planes)], '')""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q21_ann_topk" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, $qv AS qvec FROM embeddings WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS c_id, $qv AS cvec FROM embeddings),
+         |scored AS (
+         |  SELECT q_id, c_id,
+         |    cast(${dot("qvec", "cvec")} AS double) /
+         |      (sqrt(cast(${dot("qvec", "qvec")} AS double)) *
+         |       sqrt(cast(${dot("cvec", "cvec")} AS double))) AS cosine
+         |  FROM q CROSS JOIN c WHERE q_id <> c_id),
+         |ranked AS (
+         |  SELECT q_id, c_id, cosine,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS rank
+         |  FROM scored)
+         |SELECT q_id, rank, c_id, cosine FROM ranked WHERE rank <= $TopK
+         |ORDER BY q_id, rank""".stripMargin,
+    "q22_cosine_pairs" ->
+      s"""WITH v AS (SELECT vec_id, $qv AS qvec FROM embeddings)
+         |SELECT a.vec_id AS id1, b.vec_id AS id2,
+         |  cast(${dot("a.qvec", "b.qvec")} AS double) /
+         |    (sqrt(cast(${dot("a.qvec", "a.qvec")} AS double)) *
+         |     sqrt(cast(${dot("b.qvec", "b.qvec")} AS double))) AS cosine
+         |FROM v a JOIN v b ON a.vec_id < b.vec_id
+         |WHERE cast(${dot("a.qvec", "b.qvec")} AS double) /
+         |    (sqrt(cast(${dot("a.qvec", "a.qvec")} AS double)) *
+         |     sqrt(cast(${dot("b.qvec", "b.qvec")} AS double))) >= $Threshold
+         |ORDER BY id1, id2""".stripMargin,
+    "q23_lsh_ann" ->
+      s"""WITH v AS (SELECT vec_id, $qv AS qvec FROM embeddings),
+         |b AS (SELECT vec_id, qvec, $srpBucketSql AS bucket FROM v),
+         |cand AS (
+         |  SELECT a.vec_id AS id1, b2.vec_id AS id2,
+         |    cast(${dot("a.qvec", "b2.qvec")} AS double) /
+         |      (sqrt(cast(${dot("a.qvec", "a.qvec")} AS double)) *
+         |       sqrt(cast(${dot("b2.qvec", "b2.qvec")} AS double))) AS cosine
+         |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id <> b2.vec_id),
+         |ranked AS (
+         |  SELECT id1, id2, cosine,
+         |    row_number() OVER (PARTITION BY id1 ORDER BY cosine DESC, id2 ASC) AS rank
+         |  FROM cand)
+         |SELECT id1, rank, id2, cosine FROM ranked WHERE rank <= $TopK
+         |ORDER BY id1, rank""".stripMargin,
+    "q24_label_centroids" ->
+      s"""WITH e AS (
+         |  SELECT label, dim, sum(v) AS s, count(*) AS n FROM (
+         |    SELECT vec_id, label, unnest($qv) AS v,
+         |      generate_subscripts($qv, 1) - 1 AS dim
+         |    FROM embeddings)
+         |  GROUP BY label, dim)
+         |SELECT label, sum(s * s)::bigint AS sum_sq_sums, max(n) AS n_vectors
+         |FROM e GROUP BY label ORDER BY label""".stripMargin)
+}
