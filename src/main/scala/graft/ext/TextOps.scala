@@ -89,6 +89,45 @@ object TextOps {
       array_min(transform(hashes, h => (h * lit(a) + lit(b)) % lit(MinhashP)))
     }: _*)
 
+  /** MinHash as a groupBy aggregation — the 100 TB shape: one hashed
+    * shingle row in, k plain `min` aggregates out (codegen'd, map-side
+    * partial aggregation; the shuffle carries k longs per doc). Duplicate
+    * shingles are harmless — min over a multiset equals min over its set —
+    * so no dedup pass is needed. Values are identical to
+    * `minhashSignature`.
+    */
+  def minhashAggFromHashes(df: DataFrame, idCol: String, hashCol: String,
+      k: Int): DataFrame = {
+    val aggs = minhashParams(k).zipWithIndex.map { case ((a, b), j) =>
+      min((col(hashCol) * lit(a) + lit(b)) % lit(MinhashP)).as(s"_m$j")
+    }
+    df.groupBy(col(idCol))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col(idCol), array((0 until k).map(j => col(s"_m$j")): _*).as("sig"))
+  }
+
+  def minhashSignatureAgg(df: DataFrame, idCol: String, shingleCol: String,
+      k: Int = 16): DataFrame =
+    minhashAggFromHashes(
+      df.select(col(idCol), explode(col(shingleCol)).as("_s"))
+        .select(col(idCol), hash32(col("_s")).as("_h")),
+      idCol, "_h", k)
+
+  /** Word n-gram shingles via posexplode + window lead — codegen'd (the
+    * array-HOF route is interpreted) and streaming-friendly per doc.
+    * Emits one row per shingle occurrence (not distinct).
+    */
+  def shingleRows(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("_pos", "_tok")))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("_pos"))
+    val leads = (1 until n).map(i => lead(col("_tok"), i).over(w).as(s"_t$i"))
+    toks.select((col(idCol) +: col("_tok") +: leads): _*)
+      .filter(col(s"_t${n - 1}").isNotNull)
+      .select(col(idCol),
+        concat_ws(" ", (col("_tok") +: (1 until n).map(i => col(s"_t$i"))): _*).as("_s"))
+  }
+
   /** LSH band keys from a MinHash signature: bands of `r` rows, each band
     * keyed by its joined values — join candidates share ≥1 band key.
     */
@@ -102,17 +141,17 @@ object TextOps {
     * column; output: idCol, simhash bigint.
     */
   def simhash(df: DataFrame, idCol: String, tokenCol: String, bits: Int = 60): DataFrame = {
-    val h = hash60(col(tokenCol))
-    // Per-token ±1 contribution per bit (unrolled — shift amounts are
-    // literals), summed per doc; bit set iff the sum is positive.
-    val contribArr = array((0 until bits).map(j =>
-      shiftright(h, j).bitwiseAND(lit(1L)) * 2 - 1): _*)
-    df.select(col(idCol), posexplode(contribArr).as(Seq("bit", "contrib")))
-      .groupBy(col(idCol), col("bit"))
-      .agg(sum(col("contrib")).as("s"))
-      .groupBy(col(idCol))
-      .agg(sum(when(col("s") > 0, expr("shiftleft(cast(1 as bigint), bit)"))
-        .otherwise(lit(0L))).as("simhash"))
+    // One hash per token row, then `bits` plain sum aggregates (codegen'd,
+    // map-side combined) — no per-bit explosion; the shuffle carries
+    // `bits` longs per doc.
+    val hashed = df.select(col(idCol), hash60(col(tokenCol)).as("_h"))
+    val aggs = (0 until bits).map(j =>
+      sum(shiftright(col("_h"), j).bitwiseAND(lit(1L)) * 2 - 1).as(s"_b$j"))
+    val sim = (0 until bits).map(j =>
+      when(col(s"_b$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
+    hashed.groupBy(col(idCol))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col(idCol), sim.as("simhash"))
   }
 
   /** Hamming distance between two simhash values (for near-dup grading). */

@@ -24,9 +24,11 @@ object VectorOps {
   def quantize(vec: Column, scale: Double = 1000.0): Column =
     transform(vec, x => round(x * scale).cast("long"))
 
-  /** Exact integer dot product of two bigint array columns. */
-  def dotInt(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+  /** Exact integer dot product of two bigint array columns — a custom
+    * codegen expression (the HOF formulation is interpreted-only and ~10×
+    * slower on the pairwise queries).
+    */
+  def dotInt(a: Column, b: Column): Column = graft.functions.DotLong(a, b)
 
   /** Cosine from quantized vectors: one deterministic IEEE expression. */
   def cosineInt(a: Column, b: Column): Column =

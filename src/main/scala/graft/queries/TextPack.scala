@@ -18,15 +18,20 @@ object TextPack {
   private val R = 4
 
   def textStats(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
-    d.select(
-      col("doc_id"),
-      col("lang"),
+    // Count once, derive everything from the materialized ints — the
+    // regexp scans don't get re-inlined per derived column.
+    val counted = Tables.documents(spark, dir).select(
+      col("doc_id"), col("lang"),
+      length(col("text")).cast("long").as("n_chars2"),
       TextOps.tokenCount(col("text")).as("n_tokens"),
-      TextOps.stopwordCount(col("text")).as("n_stopwords"),
-      ((length(col("text")) - TextOps.tokenCount(col("text")) + 1).cast("double") /
-        TextOps.tokenCount(col("text")).cast("double")).as("avg_word_len"),
-      TextOps.qualityScore(col("text")).as("quality"))
+      TextOps.stopwordCount(col("text")).as("n_stopwords"))
+    val avgWordLen = (col("n_chars2") - col("n_tokens") + 1).cast("double") /
+      col("n_tokens").cast("double")
+    val quality = least(lit(1.0),
+      col("n_stopwords").cast("double") / col("n_tokens").cast("double") * 2.0 +
+        when(avgWordLen >= 3.0 && avgWordLen <= 8.0, 0.5).otherwise(0.0))
+    counted.select(col("doc_id"), col("lang"), col("n_tokens"), col("n_stopwords"),
+      avgWordLen.as("avg_word_len"), quality.as("quality"))
       .orderBy(col("doc_id"))
   }
 
@@ -66,11 +71,11 @@ object TextPack {
     * un-collapsed (alias referenced k times, producer non-cheap), so md5
     * runs once per shingle, not once per hash function.
     */
-  private def signatures(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        transform(TextOps.wordShingles(col("text"), 3), s => TextOps.hash32(s)).as("hs"))
-      .select(col("doc_id"), TextOps.minhashFromHashes(col("hs"), K).as("sig"))
+  private def signatures(spark: SparkSession, dir: String): DataFrame = {
+    val rows = TextOps.shingleRows(Tables.documents(spark, dir), "doc_id", "text", 3)
+      .select(col("doc_id"), TextOps.hash32(col("_s")).as("_h"))
+    TextOps.minhashAggFromHashes(rows, "doc_id", "_h", K)
+  }
 
   /** MinHash signatures, exploded to scalar rows for exact comparison. */
   def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
