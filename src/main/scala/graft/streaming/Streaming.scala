@@ -1,0 +1,101 @@
+package graft.streaming
+
+import graft.decode.Decode
+import graft.model.TokenProfile
+import graft.operators.{OhlcOps, Tokens}
+import graft.sinks.Sinks
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** The continuous path (SURVEY §2.10 ST1-ST7; reference EP3,
+  * scraper.py:1491-1591): each reference "extraction cycle" is one
+  * micro-batch. The WebSocket client is a connectivity shim outside the
+  * engine; the engine-side frame source is a streaming read over frame
+  * files (one row per frame: frame_id, frame bytes, extraction_ts), which
+  * is also the replay/test harness. Rate limiting (ST3) and retry/backoff
+  * (ST4) are source-connector concerns; state is per-batch only (ST6) —
+  * every cycle is a full snapshot (ST2), so stateless streaming +
+  * foreachBatch reproduces the reference's delivery semantics.
+  */
+object Streaming {
+
+  val frameSchema: StructType = StructType(Seq(
+    StructField("frame_id", LongType, nullable = false),
+    StructField("frame", BinaryType, nullable = false),
+    StructField("extraction_ts", LongType, nullable = false)))
+
+  /** Frame source abstraction (S1): streaming read of frame rows. */
+  def frameSource(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(frameSchema).parquet(dir)
+
+  /** Decode stage as a streaming transformation: frames → TokenProfile
+    * rows (narrow flatMap; no state, no shuffle).
+    */
+  def tokenStream(spark: SparkSession, frames: DataFrame): DataFrame = {
+    implicit val enc: Encoder[Decode.Frame] = Encoders.product[Decode.Frame]
+    Decode.tokens(spark, frames.as[Decode.Frame])
+  }
+
+  /** EP3: stream frames → decode → per-micro-batch top-K + batch stats →
+    * serialized envelope to `onBatch` (the reference's output callback,
+    * scraper.py:1493-1515). Default trigger = the reference's 5 s cycle.
+    */
+  def runTokenPipeline(spark: SparkSession, framesDir: String,
+      onBatch: (Long, String) => Unit,
+      formatType: String = "json",
+      topK: Int = 10,
+      trigger: Trigger = Trigger.ProcessingTime("5 seconds"),
+      checkpointDir: Option[String] = None): StreamingQuery = {
+    val tokens = tokenStream(spark, frameSource(spark, framesDir))
+    val writer = tokens.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        onBatch(batchId, serializeBatch(batch, formatType, topK))
+        ()
+      }
+    checkpointDir.foreach(writer.option("checkpointLocation", _))
+    writer.start()
+  }
+
+  /** One micro-batch → one serialized payload. Stats are a distributed
+    * aggregate; only the bounded top-K rows reach the driver.
+    */
+  def serializeBatch(tokens: DataFrame, formatType: String, topK: Int): String = {
+    val spark = tokens.sparkSession
+    import spark.implicits._
+    val statsRow = Tokens.batchStats(tokens).collect()(0)
+    val (total, highConf) = (statsRow.getLong(0), statsRow.getLong(1))
+    val top = Tokens.topTokens(tokens, topK)
+      .drop("frame_id").as[TokenProfile].collect().toSeq
+    val ts = top.flatMap(_.timestamp).headOption.getOrElse(0L)
+
+    formatType match {
+      case "json" =>
+        Sinks.formatStreamingJson(top, total, highConf, ts, topK)
+      case "ohlc" =>
+        top.flatMap(tokenOhlc).map(Sinks.formatOhlcLine("TOKEN", _)).mkString("\n")
+      case "mt5" =>
+        top.flatMap(tokenOhlc).map(Sinks.formatMt5).mkString("\n")
+      case "prometheus" =>
+        Sinks.formatPrometheus(top, total, highConf, ts)
+      case other =>
+        throw new IllegalArgumentException(s"unknown stream format: $other")
+    }
+  }
+
+  /** W2 per-token degenerate bar (models.py:253-264). */
+  private def tokenOhlc(t: TokenProfile): Option[graft.model.Ohlc] =
+    for (p <- t.price; v <- t.volume_24h)
+      yield graft.model.Ohlc(t.timestamp.getOrElse(0L), p, p * 1.02, p * 0.98, p, v)
+
+  /** True streaming OHLC (W4 + ST5): watermarked tick stream → windowed
+    * bars. `ticks` needs (ts: timestamp, price, volume, key columns).
+    */
+  def ohlcStream(ticks: DataFrame, duration: String, watermark: String,
+      keyCols: Seq[String] = Seq("symbol")): DataFrame =
+    OhlcOps.timeBucketed(ticks.withWatermark("ts", watermark), duration,
+      keyCols = keyCols, seqCol = null)
+}
