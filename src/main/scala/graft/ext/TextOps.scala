@@ -42,8 +42,14 @@ object TextOps {
       stopRatio * 2.0 + when(avgWordLen >= 3.0 && avgWordLen <= 8.0, 0.5).otherwise(0.0))
   }
 
-  /** P6-style document fingerprint: md5 hex prefix. */
-  def fingerprint(text: Column, n: Int = 8): Column = substring(md5(text), 1, n)
+  /** Document fingerprint for exact dedup: the FULL 128-bit md5 digest.
+    * A truncated prefix is not a dedup key — a 32-bit prefix hits
+    * birthday collisions from ~77k docs, silently merging distinct
+    * documents at corpus scale. The 8-hex prefix form exists only for
+    * reference `generate_token_id` parity (P6, utils.py:361-371) — use
+    * `Functions.generateTokenId` for that, never for dedup.
+    */
+  def fingerprint(text: Column): Column = md5(text)
 
   /** Distinct word n-gram shingles: sequence + slice + concat_ws, no UDF. */
   def wordShingles(text: Column, n: Int = 3): Column = {

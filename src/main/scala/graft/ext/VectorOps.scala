@@ -44,32 +44,51 @@ object VectorOps {
   private def cosinePre(v1: Column, n1: Column, v2: Column, n2: Column): Column =
     dotInt(v1, v2).cast("double") / (n1 * n2)
 
+  /** Expand a per-group top-k array (from [[graft.functions.TopKAgg]])
+    * into (group, rank, id, score) rows; tie-break (score desc, id asc)
+    * matches a `row_number` window exactly.
+    */
+  private def explodeTopK(agged: DataFrame, groupCol: String, topCol: String,
+      idName: String, scoreName: String): DataFrame =
+    agged.select(col(groupCol), posexplode(col(topCol)).as(Seq("_r", "_s")))
+      .select(col(groupCol), (col("_r") + 1).cast("int").as("rank"),
+        col("_s.id").as(idName), col("_s.score").as(scoreName))
+
   /** Brute-force cosine top-k: broadcast the query side, join-free scan of
-    * the corpus, per-query top-k by (cosine desc, id asc). Norms are
-    * computed once per side before the join.
+    * the corpus, per-query top-k via a bounded aggregate (map-side partial
+    * top-k, shuffle carries ≤k entries per query per partition) — never a
+    * one-partition-per-query window, which would put the whole scored
+    * corpus into #queries partitions. Norms are computed once per side
+    * before the join.
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       qId: String = "q_id", qVec: String = "q_vec",
       cId: String = "c_id", cVec: String = "c_vec"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val q = queries.withColumn("q_nrm", normInt(col(qVec)))
     val c = corpus.withColumn("c_nrm", normInt(col(cVec)))
     val scored = c.crossJoin(broadcast(q))
       .filter(col(qId) =!= col(cId))
       .withColumn("cosine", cosinePre(col(qVec), col("q_nrm"), col(cVec), col("c_nrm")))
-    val w = Window.partitionBy(col(qId)).orderBy(col("cosine").desc, col(cId).asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col(qId), col("rank"), col(cId), col("cosine"))
+    val topk = udaf(new graft.functions.TopKAgg(k))
+    explodeTopK(
+      scored.groupBy(col(qId)).agg(topk(col(cId), col("cosine")).as("top")),
+      qId, "top", cId, "cosine")
   }
 
   /** All pairs above a cosine threshold (near-duplicate detection).
     * Quadratic candidate set — intended for bounded corpora / within-
-    * bucket refinement; use `lshTopK` first at scale.
+    * bucket refinement; `lshTopK` is the scale path. The bound is
+    * ENFORCED: the (persisted) input is counted up front and the operator
+    * refuses corpora above `maxRows` rather than silently planning a
+    * BroadcastNestedLoopJoin cross product over an unbounded corpus.
     */
   def thresholdPairs(vectors: DataFrame, threshold: Double,
-      idCol: String = "vec_id", vecCol: String = "qvec"): DataFrame = {
-    val withNorm = vectors.withColumn("nrm", normInt(col(vecCol)))
+      idCol: String = "vec_id", vecCol: String = "qvec",
+      maxRows: Long = 100000L): DataFrame = {
+    val withNorm = vectors.withColumn("nrm", normInt(col(vecCol))).persist()
+    val n = withNorm.count()
+    require(n <= maxRows,
+      s"thresholdPairs is O(n^2): corpus has $n rows > bound $maxRows; use lshTopK at scale")
     val a = withNorm.select(col(idCol).as("id1"), col(vecCol).as("v1"), col("nrm").as("n1"))
     val b = withNorm.select(col(idCol).as("id2"), col(vecCol).as("v2"), col("nrm").as("n2"))
     a.join(b, col("id1") < col("id2"))
@@ -98,23 +117,39 @@ object VectorOps {
     concat_ws("", bits.map(_.cast("string")): _*)
   }
 
+  /** Number of SRP hyperplanes sized to the corpus: 2^planes buckets,
+    * targeting ~`targetBucketSize` vectors per bucket so within-bucket
+    * candidate sets stay bounded as the corpus grows (a fixed plane count
+    * would make bucket occupancy — and the quadratic within-bucket join —
+    * grow linearly with corpus size).
+    */
+  def planesForCorpus(corpusSize: Long, targetBucketSize: Long = 1024L,
+      minPlanes: Int = 4, maxPlanes: Int = 24): Int = {
+    val needed = math.ceil(
+      math.log(math.max(1.0, corpusSize.toDouble / targetBucketSize)) / math.log(2.0)).toInt
+    math.min(maxPlanes, math.max(minPlanes, needed))
+  }
+
   /** LSH-bucketed ANN: bucket both sides on the SRP key, equi-join within
-    * buckets, then exact re-rank per query. Recall depends on `planes`;
-    * the scan is linear and the join shuffles only bucket-sized groups.
+    * buckets, then exact re-rank per query via the bounded top-k aggregate
+    * (map-side partial, no per-vector window sort). Recall depends on
+    * `planes` — size it with [[planesForCorpus]] so buckets stay ~constant
+    * as the corpus grows; the scan is linear and the join shuffles only
+    * bucket-sized groups.
     */
   def lshTopK(vectors: DataFrame, k: Int, dims: Int, planes: Int = 8,
       idCol: String = "vec_id", vecCol: String = "qvec"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val bucketed = vectors
       .withColumn("bucket", srpBucket(col(vecCol), dims, planes))
       .withColumn("nrm", normInt(col(vecCol)))
+      .persist()
     val a = bucketed.select(col(idCol).as("id1"), col(vecCol).as("v1"), col("nrm").as("n1"), col("bucket"))
     val b = bucketed.select(col(idCol).as("id2"), col(vecCol).as("v2"), col("nrm").as("n2"), col("bucket"))
     val candidates = a.join(b, Seq("bucket")).filter(col("id1") =!= col("id2"))
       .withColumn("cosine", cosinePre(col("v1"), col("n1"), col("v2"), col("n2")))
-    val w = Window.partitionBy(col("id1")).orderBy(col("cosine").desc, col("id2").asc)
-    candidates.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("id1"), col("rank"), col("id2"), col("cosine"))
+    val topk = udaf(new graft.functions.TopKAgg(k))
+    explodeTopK(
+      candidates.groupBy(col("id1")).agg(topk(col("id2"), col("cosine")).as("top")),
+      "id1", "top", "id2", "cosine")
   }
 }

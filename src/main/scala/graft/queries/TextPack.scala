@@ -52,10 +52,14 @@ object TextPack {
       .limit(20)
   }
 
-  /** Adjacent-id document pairs scored by word-3-gram Jaccard. */
+  /** Adjacent-id document pairs scored by word-3-gram Jaccard. The
+    * shingle projection is persisted so the self-join reads it once
+    * instead of re-running tokenize+shingle per join side.
+    */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
       .select(col("doc_id"), TextOps.wordShingles(col("text"), 3).as("sh"))
+      .persist()
     val a = d.select(col("doc_id").as("doc1"), col("sh").as("sh1"))
     val b = d.select((col("doc_id") - 1).as("doc1"), col("doc_id").as("doc2"), col("sh").as("sh2"))
     a.join(b, "doc1")
@@ -90,7 +94,10 @@ object TextPack {
     * key (shuffle), never a cross product.
     */
   def lshCandidatePairs(spark: SparkSession, dir: String): DataFrame = {
-    val d = signatures(spark, dir)
+    // The md5-shingle + minhash subtree is the expensive part; persist the
+    // (doc_id, sig) result (16 longs/doc) so the band self-join doesn't
+    // evaluate it once per side.
+    val d = signatures(spark, dir).persist()
       .select(col("doc_id"), posexplode(TextOps.lshBandKeys(col("sig"), Bands, R))
         .as(Seq("band", "key")))
       .select(col("doc_id"), concat(col("band").cast("string"), lit(":"), col("key")).as("band_key"))
@@ -110,8 +117,10 @@ object TextPack {
       .orderBy(col("doc_id"))
   }
 
-  /** Char-trigram language-ID heuristic — rows-only (the operator is a
-    * heuristic, exercised for plan shape; exactness isn't oracle-relevant).
+  /** Char-trigram language-ID heuristic: per-language trigram-count
+    * scores (exact ints divided by gram length), argmax with profile-order
+    * tie-break — all plain length/replace arithmetic, so the DuckDB
+    * oracle reproduces every score and the argmax exactly.
     */
   def languageId(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -161,7 +170,7 @@ object TextPack {
          |           THEN 0.5 ELSE 0.0 END) AS quality
          |FROM documents ORDER BY doc_id""".stripMargin,
     "q14_fingerprint_dedup" ->
-      """SELECT substr(md5(text), 1, 8) AS fp, min(doc_id) AS keep_doc_id,
+      """SELECT md5(text) AS fp, min(doc_id) AS keep_doc_id,
         |  count(*) AS n_dups
         |FROM documents GROUP BY 1 ORDER BY keep_doc_id""".stripMargin,
     "q15_token_frequency" ->
@@ -199,6 +208,31 @@ object TextPack {
          |SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_shared_bands
          |FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
          |GROUP BY 1, 2 ORDER BY doc1, doc2""".stripMargin,
+    "q20_language_id" -> {
+      // Mirrors TextOps.languageId: per-language score = sum over grams of
+      // (len - len(replace))/len(gram) (int/int → double in both engines,
+      // left-assoc addition), argmax via greatest + CASE in profile order.
+      val langs = TextOps.LangProfiles.map(_._1)
+      val scoreCols = TextOps.LangProfiles.map { case (lang, grams) =>
+        val expr = grams.map(g =>
+          s"(len(text) - len(replace(text, '$g', ''))) / ${g.length}").mkString(" + ")
+        s"$expr AS s_$lang"
+      }
+      val bestExpr = s"greatest(${langs.map(l => s"s_$l").mkString(", ")})"
+      val caseArms = langs.map(l =>
+        s"WHEN s_$l = $bestExpr AND s_$l > 0 THEN '$l'").mkString("\n    ")
+      s"""WITH s AS (
+         |  SELECT doc_id, lang,
+         |    ${scoreCols.mkString(",\n    ")}
+         |  FROM documents),
+         |p AS (
+         |  SELECT lang, CASE
+         |    $caseArms
+         |    ELSE 'und' END AS predicted
+         |  FROM s)
+         |SELECT lang, predicted, count(*) AS n
+         |FROM p GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin
+    },
     "q19_simhash" ->
       """WITH h AS (
         |  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::bigint AS h
