@@ -139,6 +139,107 @@ class DecodeSpec extends AnyFunSuite {
       LegacyDecoder.decodePair(bytes)
       EnhancedDecoder.parseMessage(bytes)
       TokenExtractor.extractTokens(bytes, 0L)
+      ClusterExtractor.extractTokensViaClusters(bytes, 0L)
     }
+  }
+
+  // ---- D13/D14 symbol-election goldens (scraper.py:960-1316) ----
+
+  import ClusterExtractor.SymbolHit
+
+  test("D13: family confidences, whitelist/blacklist, frequency scaling") {
+    val text = "SOL NOVA NOVA NOVA HTTP $MEME name: pixel Phantom the "
+    val hits = ClusterExtractor.extractTokenSymbols(text, 0)
+    def hit(sym: String) = hits.find(_.symbol == sym).get
+    assert(hit("SOL").symType == "whitelisted" && hit("SOL").confidence == 0.95)
+    // crypto_symbol with count 3: min(0.7 + 0.15, 0.9) = 0.85
+    assert(hit("NOVA").symType == "crypto_symbol" && hit("NOVA").confidence == 0.85
+      && hit("NOVA").frequency == 3)
+    assert(!hits.exists(_.symbol == "HTTP")) // blacklisted
+    assert(hit("MEME").symType == "dollar_prefixed" && hit("MEME").confidence == 0.9)
+    // context family uppercases; mixed-case keeps original casing
+    assert(hit("PIXEL").symType == "context_based" && hit("PIXEL").confidence == 0.8)
+    assert(hit("Phantom").symType == "mixed_case" && hit("Phantom").confidence == 0.5)
+    assert(!hits.exists(_.symbol.equalsIgnoreCase("the"))) // stop-word
+    // sorted by confidence desc
+    assert(hits.map(_.confidence) == hits.map(_.confidence).sortBy(-(_: Double)))
+  }
+
+  test("D14: election prefers whitelisted > dollar > context > crypto (scraper.py:1276-1285)") {
+    def h(sym: String, t: String, conf: Double, freq: Int = 1) =
+      SymbolHit(sym, 0, t, conf, freq)
+    // whitelisted 0.95+0.5 = 1.45 beats dollar 0.9+0.3 = 1.2
+    assert(ClusterExtractor.extractBestTokenSymbol(
+      Vector(h("MEME", "dollar_prefixed", 0.9), h("SOL", "whitelisted", 0.95)), 0) == "SOL")
+    // frequency bonus min(freq*0.02, 0.2): crypto 0.9+0.2+0.1 beats dollar
+    // 0.9+0.3 by one ulp — Python's float arithmetic is identical, so the
+    // reference elects the same symbol
+    assert(ClusterExtractor.extractBestTokenSymbol(
+      Vector(h("DLR", "dollar_prefixed", 0.9), h("FRQ", "crypto_symbol", 0.9, 100)), 0) == "FRQ")
+    // single letters skipped unless whitelisted; 1-char whitelisted fails
+    // the 2-10 length accept and falls through to tokens[0]
+    assert(ClusterExtractor.extractBestTokenSymbol(
+      Vector(h("X", "crypto_symbol", 0.9), h("AB", "crypto_symbol", 0.7)), 0) == "AB")
+    // non-alnum symbols skipped, next candidate elected, uppercased
+    assert(ClusterExtractor.extractBestTokenSymbol(
+      Vector(h("a!b", "crypto_symbol", 0.9), h("fine", "mixed_case", 0.5)), 0) == "FINE")
+    // underscore/dash are stripped before the alnum check
+    assert(ClusterExtractor.extractBestTokenSymbol(
+      Vector(h("a_b-c", "crypto_symbol", 0.9)), 0) == "A_B-C")
+    // empty → UNKNOWN_{i:02d}
+    assert(ClusterExtractor.extractBestTokenSymbol(Vector.empty, 3) == "UNKNOWN_03")
+    assert(ClusterExtractor.extractBestTokenSymbol(Vector.empty, 12) == "UNKNOWN_12")
+  }
+
+  test("cluster classification elif shadows (scraper.py:766-828)") {
+    import ClusterExtractor.NumVal
+    def one(v: Double, dt: String) =
+      ClusterExtractor.classifyNumericValues(Vector(NumVal(0, v, dt)))
+    assert(one(0.05, "double").prices.nonEmpty)
+    // uint32 in txns range always lands in txns, never makers
+    assert(one(300.0, "uint32").txns.nonEmpty && one(300.0, "uint32").makers.isEmpty)
+    // floats in [10, 15000] land in makers (txns is uint32-only)
+    assert(one(300.0, "float").makers.nonEmpty)
+    // volumes (1e5..1e7) shadow the low market-cap range
+    assert(one(200000.0, "double").volumes.nonEmpty && one(200000.0, "double").marketCaps.isEmpty)
+    assert(one(2.0e7, "double").marketCaps.nonEmpty) // only (1e7, 5e7] reaches mcap
+    assert(one(-5.0, "double").percentages.nonEmpty)
+    assert(one(0.005, "double").prices.nonEmpty) // price, not percentage
+    assert(one(1e11, "double").fieldTypes == 0) // valid but unclassifiable
+  }
+
+  test("A5: percentages map to change columns in position order (scraper.py:1427-1436)") {
+    import ClusterExtractor._
+    val pcts = Vector(NumVal(10, -5.0, "float"), NumVal(20, 7.5, "float"),
+      NumVal(30, -2.5, "float"), NumVal(40, 100.0, "float"), NumVal(50, 999.0, "float"))
+    val cl = Cluster(0, 500, pcts, Classified(
+      Vector(NumVal(1, 0.01, "double")), Vector(NumVal(2, 1500, "uint32")),
+      Vector.empty, Vector(NumVal(3, 2e5, "double")), Vector.empty, Vector.empty, pcts))
+    val rec = TokenRecord(cl, Vector.empty, Vector.empty, Vector.empty, 0.6)
+    val p = ClusterExtractor.buildTokenProfile(rec, 0)
+    assert(p.change_5m.contains(-5.0) && p.change_1h.contains(7.5)
+      && p.change_6h.contains(-2.5) && p.change_24h.contains(100.0)) // 5th dropped
+    assert(p.symbol.contains("UNKNOWN_00"))
+    assert(p.record_span.contains(500))
+  }
+
+  test("profile folds: txns/volume take max, price/liquidity first (scraper.py:1409-1425)") {
+    import ClusterExtractor._
+    val cl = Cluster(100, 600, Vector.empty, Classified(
+      prices = Vector(NumVal(1, 0.002, "double"), NumVal(2, 0.09, "double")),
+      txns = Vector(NumVal(3, 1200, "uint32"), NumVal(4, 9000, "uint32"), NumVal(5, 500, "uint32")),
+      makers = Vector(NumVal(6, 700.0, "float")),
+      volumes = Vector(NumVal(7, 2e5, "double"), NumVal(8, 9e5, "double"), NumVal(9, 3e5, "double")),
+      liquidity = Vector(NumVal(10, 5e4, "double"), NumVal(11, 9e4, "double")),
+      marketCaps = Vector.empty, percentages = Vector.empty))
+    val p = ClusterExtractor.buildTokenProfile(
+      TokenRecord(cl, Vector.empty, Vector.empty, Vector.empty, 0.7), 1)
+    assert(p.price.contains(0.002)) // first by position
+    assert(p.txns_24h.contains(9000)) // max
+    assert(p.volume_24h.contains(9e5)) // max
+    assert(p.liquidity.contains(5e4)) // first
+    assert(p.makers.contains(700))
+    assert(p.field_count == 5) // price+volume+txns+makers+liquidity
+    assert(p.confidence_score == 0.7)
   }
 }
