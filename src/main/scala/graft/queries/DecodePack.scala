@@ -54,41 +54,78 @@ object DecodePack {
       .drop("frame_id")
       .orderBy(col("pair_address"), col("base_token_address"))
 
-  /** Deep token-extraction pipeline smoke (D8-D14 + J1-J3): synthetic
-    * text frames mined for symbols/metadata. Not SQL-expressible (regex
-    * mining + positional enrichment) → rows-only check; exact semantics
-    * are covered by unit goldens in DecodeSpec.
+  /** Deep token-extraction pipeline (D8/D10/D13-lite + J1-J3,
+    * scraper.py:307-674), hash-gated: one frame per customer row whose
+    * expected TokenProfile is closed-form in the row key.
+    *
+    * The D8 scanners read at stride 1, so the fixture is built from a
+    * byte-level analysis of every possible read:
+    *   - planted values are float32s with zero low-mantissa bytes and
+    *     significands k∈[128,159] (plus one uint32 < 2560 for txns), at
+    *     12-byte spacing in a 72-byte block — every misaligned
+    *     double/float/uint32 read over the block decodes outside all
+    *     classification ranges;
+    *   - the chosen exponent bytes {0x3D,0x44,0x47,0x48,0x4A} avoid the
+    *     only accidental-double danger exponents (0x3F/0x41/0xBF/0xC1);
+    *   - text chars '?','@','A' are the only ASCII bytes whose misaligned
+    *     8-byte reads land in a classification range, so the text tail
+    *     (symbol, protocol, age, addresses, URLs) excludes them — all six
+    *     numeric categories are therefore first-matched by planted values;
+    *   - every text read AFTER the planted block is harmless because
+    *     first-match-wins has already bound every category.
+    * Enrichment (J1-J3) is exercised with known distances: protocol at
+    * distance 5 (≤220 gate), age at 13 (≤180 gate), SOL mint → quote,
+    * second address → token_address (greedy role order).
     */
   def tokenPipeline(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     implicit val frameEnc: Encoder[Decode.Frame] = Encoders.product[Decode.Frame]
     val frames = graft.Tables.customer(spark, dir)
-      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
-      .as[(Long, String, Double)]
-      .groupByKey(_._1 / 50)
-      .mapGroups { (bucket, rows) =>
-        val sorted = rows.toSeq.sortBy(_._1)
-        // numeric record block up front so the first occurrence of each
-        // symbol sits within the ±500-byte record window: a price, a
-        // volume, and a makers-range value → ≥3 fields.
-        val nums = java.nio.ByteBuffer.allocate(24).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-        nums.putDouble(0.004).putDouble(250000.0).putDouble(500.0)
-        val sb = new StringBuilder
-        sorted.foreach { case (key, _, _) =>
-          val letter = ('A' + (key % 5).toInt).toChar
-          sb.append(s"$$TOK$letter pumpfun 24h ")
-          sb.append("So11111111111111111111111111111111111111112 ")
-        }
-        val text = sb.toString.getBytes("UTF-8")
-        val frame = Wire.Preamble ++ Wire.PairsMarker ++
-          new Array[Byte](Wire.DeepHeaderSkip - Wire.PairsMarker.length) ++
-          nums.array() ++ text
-        Decode.Frame(bucket, frame, 1700000000L)
-      }
+      .select(col("c_custkey")).as[Long]
+      .map(c => Decode.Frame(c, deepFrame(c), 1700000000L))
     Decode.tokens(spark, frames)
-      .groupBy(col("symbol"))
-      .agg(count(lit(1)).as("n"), max(col("confidence_score")).as("max_conf"))
-      .orderBy(col("symbol"))
+      .withColumnRenamed("frame_id", "c_custkey")
+      .select(col("c_custkey"), col("symbol"), col("token_name"), col("chain"),
+        col("protocol"), col("age"), col("price"), col("volume_24h"),
+        col("txns_24h").cast("long").as("txns_24h"),
+        col("makers").cast("long").as("makers"),
+        col("liquidity"), col("market_cap"), col("confidence_score"),
+        col("field_count").cast("long").as("field_count"),
+        col("record_position").cast("long").as("record_position"),
+        col("quote_address"), col("token_address"), col("pair_address"),
+        col("twitter"), col("telegram"), col("website"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** 44-char base58 encoding of 32 bytes — no 'A', no age substrings. */
+  private val Addr2 = "6X1wMdxXKo8ejGDuKGiZ3fFneVdiepvkJvUrURS9zXpR"
+
+  private[queries] def deepFrame(c: Long): Array[Byte] = {
+    val block = java.nio.ByteBuffer.allocate(72)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    block.putInt(0, (1000 + c % 1500).toInt) // txns uint32 ∈ [1000, 2559)
+    def pf(off: Int, v: Double): Unit = block.putFloat(off, v.toFloat)
+    pf(12, ((128 + c % 32) * 4).toDouble) // makers ∈ [512, 636]
+    pf(24, (128 + c % 32) / 2048.0) // price ∈ [0.0625, 0.0776]
+    pf(36, ((128 + c % 32) * 1024).toDouble) // volume ∈ [131072, 162816]
+    pf(48, ((128 + c % 32) * 256).toDouble) // liquidity ∈ [32768, 40704]
+    pf(60, ((128 + c % 32) * 16384).toDouble) // market cap ∈ [2.1M, 2.6M]
+
+    val sym = s"TK${('B' + (c % 25).toInt).toChar}${('B' + ((c / 25) % 25).toInt).toChar}"
+    val text = new StringBuilder()
+      .append(sym).append(' ') // data offset 72, abs position 100
+      .append("pumpfun ") // offset 77, abs 105: distance 5 ≤ 220
+      .append("24h ") // offset 85, abs 113: distance 13 ≤ 180
+      .append(SolMint).append(' ') // abs 117: nearest address → quote
+      .append(Addr2).append(' ') // next address → token_address
+      .append("https://x.com/p https://t.me/p https://ex.io/p")
+    while (text.length < 428) text.append(' ')
+    val t = text.toString
+    require(!t.exists(ch => ch == '?' || ch == '@' || ch == 'A'), "unsafe text char")
+
+    Wire.Preamble ++ Wire.PairsMarker ++
+      new Array[Byte](Wire.DeepHeaderSkip - Wire.PairsMarker.length) ++
+      block.array() ++ t.getBytes("UTF-8")
   }
 
   /** Cluster-path pipeline (D6-deep + D13/D14 + A5; scraper.py:676-1481),
@@ -176,10 +213,132 @@ object DecodePack {
       window.array() ++ text.toString.getBytes("UTF-8")
   }
 
+  /** Text-mode pair extraction (D4, protocol.py:203-281), hash-gated
+    * through the `decodePair` routing (the "solana" marker sends the
+    * chunk to the text parser). Exercises: protocol containment match,
+    * first/second 32-44-char alnum words → token/pair address, first
+    * all-uppercase word → symbol, longest qualifying word → name, and
+    * the "sol" stop-list dropping the "solana" word itself.
+    */
+  def textDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rows = graft.Tables.customer(spark, dir)
+      .select(col("c_custkey")).as[Long]
+      .flatMap { c =>
+        val l1 = ('b' + (c % 25).toInt).toChar
+        val l2 = ('b' + ((c / 25) % 25).toInt).toChar
+        val proto = Seq("pumpswap", "raydium", "meteora", "jupiter", "orca")((c % 5).toInt)
+        val addr1 = "tok" + ("%029d".format(c))
+        val addr2 = "pr" + ("%030d".format(c))
+        val sym = if (c % 7 == 0) "" else s"TK${l1.toUpper}${l2.toUpper}"
+        val words = Seq("solana", proto, addr1) ++
+          (if (c % 3 == 0) Seq.empty else Seq(addr2)) ++
+          (if (sym.isEmpty) Seq.empty else Seq(sym)) ++
+          Seq(s"Nm$l1$l2", s"Nmlong$l1$l2")
+        graft.decode.LegacyDecoder.decodePair(words.mkString(" ").getBytes("UTF-8"))
+          .map(p => (c, p.chain, p.protocol, p.pair_address, p.base_token_name,
+            p.base_token_symbol, p.base_token_address))
+      }
+      .toDF("c_custkey", "chain", "protocol", "pair_address", "base_token_name",
+        "base_token_symbol", "base_token_address")
+    rows.orderBy(col("c_custkey"))
+  }
+
+  /** Enhanced sliding-window cluster decode (D6+D7,
+    * enhanced_protocol.py:22-264), hash-gated. One 480-byte section per
+    * customer row: three planted dyadic doubles (price/volume/count — all
+    * mantissa bytes below the top two are zero, so every misaligned
+    * stride-4/stride-2 read is denormal or lands in the harmless
+    * percentage bucket) form exactly one cluster in window 0; the text
+    * tail at offset 128+ (outside every qualifying window — text bytes
+    * can't form a price+volume+count triple without '?'/'@'/'A', which
+    * are excluded) feeds the cluster's ±(200/300) text mining. Verifies
+    * the window gate, first-value-per-category folds, the
+    * volumes-shadow-liquidity elif quirk (liquidity_usd is always null),
+    * and chain/protocol/symbol/name word classification.
+    */
+  def enhancedClusters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rows = graft.Tables.customer(spark, dir)
+      .select(col("c_custkey")).as[Long]
+      .flatMap { c =>
+        graft.decode.EnhancedDecoder.parseMessage(enhancedFrame(c), 1700000000L)
+          .map(p => (c, p.chain, p.protocol, p.base_token_name, p.base_token_symbol,
+            p.price_data.flatMap(_.current), p.price_data.flatMap(_.usd),
+            p.price_data.flatMap(_.change_24h),
+            p.volume_data.flatMap(_.h24),
+            p.liquidity_data.flatMap(_.usd),
+            p.created_at))
+      }
+      .toDF("c_custkey", "chain", "protocol", "base_token_name", "base_token_symbol",
+        "price", "price_usd", "change_24h", "volume_h24", "liquidity_usd", "created_at")
+    rows.orderBy(col("c_custkey"))
+  }
+
+  private[queries] def enhancedFrame(c: Long): Array[Byte] = {
+    val section = java.nio.ByteBuffer.allocate(480)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    // Significands 128 + 4·(c%8): the ×4 step keeps mantissa byte 5
+    // (((k-128)&7)<<5) out of {0x40 '@', 0x60 '`'}, so the numeric region
+    // can never emit a ≥3-char printable word that would win the
+    // first-match name mining over the real text tail.
+    section.putDouble(0, (128 + (c % 8) * 4) / 262144.0) // price ∈ [0.000488, 0.000595]
+    section.putDouble(16, ((128 + (c % 8) * 4) * 64).toDouble) // volume ∈ [8192, 9984]
+    section.putDouble(32, (10 + c % 30).toDouble) // count ∈ [10, 39]
+    val l1 = ('B' + (c % 25).toInt).toChar
+    val l2 = ('B' + ((c / 25) % 25).toInt).toChar
+    val chain = Seq("solana", "ethereum", "base")((c % 3).toInt)
+    val proto = Seq("orca", "raydium", "meteora", "pumpswap")((c % 4).toInt)
+    val text = new StringBuilder()
+      .append(s"Nm$l1$l2 ").append(chain).append(' ').append(proto)
+      .append(s" TK$l1$l2")
+    while (text.length < 352) text.append(' ')
+    val t = text.toString
+    require(!t.exists(ch => ch == '?' || ch == '@' || ch == 'A'), "unsafe text char")
+    section.position(128)
+    section.put(t.getBytes("UTF-8"))
+    Wire.Preamble ++ Wire.PairsMarker ++
+      new Array[Byte](Wire.EnhancedHeaderSkip - Wire.PairsMarker.length) ++
+      section.array()
+  }
+
+  /** Variable-length split parse (D5, protocol.py:284-359), hash-gated:
+    * two "solana"-separated sections per frame. Exercises the per-section
+    * word classification — protocol containment (no "orca" in this
+    * family), token/pair address fill order, the LAST-wins symbol
+    * assignment (unlike D4's first-wins), and longest-wins name with no
+    * stop-list — plus the ≥10-char section and ≥3-char word gates.
+    */
+  def variableLength(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rows = graft.Tables.customer(spark, dir)
+      .select(col("c_custkey")).as[Long]
+      .flatMap { c =>
+        val l1 = ('b' + (c % 25).toInt).toChar
+        val l2 = ('b' + ((c / 25) % 25).toInt).toChar
+        val proto = Seq("pump", "raydium", "meteora", "jupiter")((c % 4).toInt)
+        val addr1 = "tok" + ("%029d".format(c))
+        val text = s"solana $proto $addr1 Nm$l1$l2 Nmlong$l1$l2 TK${l1.toUpper} ZZ${l2.toUpper} " +
+          s"solana short${l1}" // 2nd section: <10 chars stripped? no — gate on words
+        graft.decode.LegacyDecoder.parseVariableLength(text.getBytes("UTF-8"))
+          .zipWithIndex.map { case (p, i) =>
+            (c, i, p.chain, p.protocol, p.pair_address, p.base_token_name,
+              p.base_token_symbol, p.base_token_address)
+          }
+      }
+      .toDF("c_custkey", "section", "chain", "protocol", "pair_address",
+        "base_token_name", "base_token_symbol", "base_token_address")
+      .withColumn("section", col("section").cast("long"))
+    rows.orderBy(col("c_custkey"), col("section"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q11_decode_roundtrip" -> decodeRoundtrip _,
     "q12_token_pipeline" -> tokenPipeline _,
-    "q25_cluster_pipeline" -> clusterPipeline _)
+    "q25_cluster_pipeline" -> clusterPipeline _,
+    "q26_text_decode" -> textDecode _,
+    "q27_enhanced_clusters" -> enhancedClusters _,
+    "q28_variable_length" -> variableLength _)
 
   val oracles: Map[String, String] = Map(
     "q11_decode_roundtrip" ->
@@ -198,6 +357,29 @@ object DecodePack {
         |  cast(1700000000 AS bigint) AS created_at
         |FROM lineitem
         |ORDER BY pair_address, base_token_address""".stripMargin,
+    "q12_token_pipeline" ->
+      s"""SELECT c_custkey,
+         |  'TK' || chr(cast(66 + c_custkey % 25 AS int)) || chr(cast(66 + (c_custkey // 25) % 25 AS int)) AS symbol,
+         |  'TK' || chr(cast(66 + c_custkey % 25 AS int)) || chr(cast(66 + (c_custkey // 25) % 25 AS int)) AS token_name,
+         |  'solana' AS chain,
+         |  'pumpfun' AS protocol,
+         |  '24h' AS age,
+         |  (128 + c_custkey % 32) / 2048.0 AS price,
+         |  (128 + c_custkey % 32) * 1024.0 AS volume_24h,
+         |  cast(1000 + c_custkey % 1500 AS bigint) AS txns_24h,
+         |  cast((128 + c_custkey % 32) * 4 AS bigint) AS makers,
+         |  (128 + c_custkey % 32) * 256.0 AS liquidity,
+         |  (128 + c_custkey % 32) * 16384.0 AS market_cap,
+         |  0.95 AS confidence_score,
+         |  cast(6 AS bigint) AS field_count,
+         |  cast(100 AS bigint) AS record_position,
+         |  '$SolMint' AS quote_address,
+         |  '$Addr2' AS token_address,
+         |  cast(NULL AS varchar) AS pair_address,
+         |  'https://x.com/p' AS twitter,
+         |  'https://t.me/p' AS telegram,
+         |  'https://ex.io/p' AS website
+         |FROM customer ORDER BY c_custkey""".stripMargin,
     "q25_cluster_pipeline" ->
       s"""SELECT c_custkey,
          |  CASE c_custkey % 4 WHEN 0 THEN 'PEPE' WHEN 1 THEN 'DOGE'
@@ -224,5 +406,48 @@ object DecodePack {
          |  cast(6 + CASE WHEN c_custkey % 3 <> 0 THEN 1 ELSE 0 END
          |         + CASE WHEN c_custkey % 7 <> 0 THEN 1 ELSE 0 END AS bigint) AS field_count,
          |  0.8 AS confidence_score
-         |FROM customer ORDER BY c_custkey""".stripMargin)
+         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q26_text_decode" ->
+      """SELECT c_custkey,
+        |  'solana' AS chain,
+        |  CASE c_custkey % 5 WHEN 0 THEN 'pumpswap' WHEN 1 THEN 'raydium'
+        |    WHEN 2 THEN 'meteora' WHEN 3 THEN 'jupiter' ELSE 'orca' END AS protocol,
+        |  CASE WHEN c_custkey % 3 = 0 THEN ''
+        |    ELSE 'pr' || lpad(cast(c_custkey AS varchar), 30, '0') END AS pair_address,
+        |  'Nmlong' || chr(cast(98 + c_custkey % 25 AS int))
+        |    || chr(cast(98 + (c_custkey // 25) % 25 AS int)) AS base_token_name,
+        |  CASE WHEN c_custkey % 7 = 0 THEN ''
+        |    ELSE 'TK' || chr(cast(66 + c_custkey % 25 AS int))
+        |      || chr(cast(66 + (c_custkey // 25) % 25 AS int)) END AS base_token_symbol,
+        |  'tok' || lpad(cast(c_custkey AS varchar), 29, '0') AS base_token_address
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q27_enhanced_clusters" ->
+      """SELECT c_custkey,
+        |  CASE c_custkey % 3 WHEN 0 THEN 'solana' WHEN 1 THEN 'ethereum'
+        |    ELSE 'base' END AS chain,
+        |  CASE c_custkey % 4 WHEN 0 THEN 'orca' WHEN 1 THEN 'raydium'
+        |    WHEN 2 THEN 'meteora' ELSE 'pumpswap' END AS protocol,
+        |  'Nm' || chr(cast(66 + c_custkey % 25 AS int))
+        |    || chr(cast(66 + (c_custkey // 25) % 25 AS int)) AS base_token_name,
+        |  'TK' || chr(cast(66 + c_custkey % 25 AS int))
+        |    || chr(cast(66 + (c_custkey // 25) % 25 AS int)) AS base_token_symbol,
+        |  (128 + (c_custkey % 8) * 4) / 262144.0 AS price,
+        |  (128 + (c_custkey % 8) * 4) / 262144.0 AS price_usd,
+        |  cast(0.0 AS double) AS change_24h,
+        |  (128 + (c_custkey % 8) * 4) * 64.0 AS volume_h24,
+        |  cast(NULL AS double) AS liquidity_usd,
+        |  cast(1700000000 AS bigint) AS created_at
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q28_variable_length" ->
+      """SELECT c_custkey,
+        |  cast(0 AS bigint) AS section,
+        |  'solana' AS chain,
+        |  CASE c_custkey % 4 WHEN 0 THEN 'pump' WHEN 1 THEN 'raydium'
+        |    WHEN 2 THEN 'meteora' ELSE 'jupiter' END AS protocol,
+        |  '' AS pair_address,
+        |  'Nmlong' || chr(cast(98 + c_custkey % 25 AS int))
+        |    || chr(cast(98 + (c_custkey // 25) % 25 AS int)) AS base_token_name,
+        |  'ZZ' || chr(cast(66 + (c_custkey // 25) % 25 AS int)) AS base_token_symbol,
+        |  'tok' || lpad(cast(c_custkey AS varchar), 29, '0') AS base_token_address
+        |FROM customer ORDER BY c_custkey""".stripMargin)
 }
