@@ -1,0 +1,152 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Encoders}
+import org.apache.spark.sql.functions._
+
+/** Multimodal (image/audio/video) column operators for training-data
+  * pipelines: opaque `binary` payload columns carrying a typed metadata
+  * header, processed with two complementary mechanisms —
+  *
+  *   - **offset plumbing as column expressions** (`substring` on binary is
+  *     codegen'd): header slicing, frame sampling, payload extraction stay
+  *     inside whole-stage codegen and shuffle nothing;
+  *   - **byte-level tensor work as typed `mapPartitions` batches** (the
+  *     JVM analog of Arrow-batch UDFs): one iterator pass per partition,
+  *     bounded per-row state, no driver involvement — the shape that
+  *     scales to 100 TB of media because each executor touches only its
+  *     own partitions' bytes.
+  *
+  * Codec note: this container has no image/audio codecs, so
+  * [[decodePixelsStub]] is a clearly-marked deterministic fake (identity
+  * over payload bytes). The schema, header format, partitioning, batch
+  * iteration, and slicing arithmetic around it are real and tested; a
+  * production deployment swaps ONLY the stub body for e.g. a JNI codec.
+  */
+object MultimodalOps {
+
+  /** 16-byte media header: magic "GRFM", version, kind code, then
+    * width/height/channels as unsigned LE shorts + 4 reserved bytes.
+    */
+  val Magic: Array[Byte] = "GRFM".getBytes("UTF-8")
+  val HeaderLen = 16
+  val Kinds: Seq[String] = Seq("image", "audio", "video")
+
+  final case class MediaMeta(kind: String, width: Int, height: Int, channels: Int)
+  final case class MediaCell(key: Long, media: Array[Byte])
+  final case class MediaStats(key: Long, kind: String, width: Int, height: Int,
+      channels: Int, n_bytes: Int, byte_sum: Long, count_a: Long)
+
+  def encodeHeader(meta: MediaMeta): Array[Byte] = {
+    val buf = java.nio.ByteBuffer.allocate(HeaderLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put(Magic).put(1.toByte).put(Kinds.indexOf(meta.kind).toByte)
+      .putShort(meta.width.toShort).putShort(meta.height.toShort)
+      .putShort(meta.channels.toShort)
+    buf.array()
+  }
+
+  /** Total-function header parse (None on short/garbled input). */
+  def parseHeader(media: Array[Byte]): Option[MediaMeta] = {
+    if (media == null || media.length < HeaderLen) return None
+    if (!media.take(4).sameElements(Magic)) return None
+    val buf = java.nio.ByteBuffer.wrap(media, 4, 12)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.get() // version
+    val kindCode = buf.get().toInt
+    if (kindCode < 0 || kindCode >= Kinds.length) return None
+    Some(MediaMeta(Kinds(kindCode),
+      buf.getShort() & 0xffff, buf.getShort() & 0xffff, buf.getShort() & 0xffff))
+  }
+
+  /** Payload (codec bytes) after the header — codegen'd binary slice. */
+  def payload(media: Column): Column =
+    substring(media, HeaderLen + 1, Int.MaxValue)
+
+  /** Sample every `step`-th frame of `frameSize` bytes from the payload —
+    * pure column arithmetic (sequence + transform + substring), no UDF:
+    * the sampling plan is a narrow projection at any scale.
+    */
+  def frameSamples(media: Column, nBytes: Int, frameSize: Int, step: Int): Column = {
+    val nFrames = (nBytes - HeaderLen) / frameSize
+    val idx = sequence(lit(0), lit(math.max(0, nFrames - 1)), lit(step))
+    transform(idx, i => substring(media, i * frameSize + (HeaderLen + 1), lit(frameSize)))
+  }
+
+  /** DETERMINISTIC-FAKE codec decode: "pixels" are the raw payload bytes
+    * (unsigned). A real deployment replaces this body with an actual
+    * image/audio decoder; everything upstream (header, batching) and
+    * downstream (histogram, resize arithmetic) is codec-agnostic.
+    */
+  def decodePixelsStub(media: Array[Byte]): Array[Int] = {
+    if (media == null || media.length <= HeaderLen) return Array.empty
+    val out = new Array[Int](media.length - HeaderLen)
+    var i = HeaderLen
+    while (i < media.length) { out(i - HeaderLen) = media(i) & 0xff; i += 1 }
+    out
+  }
+
+  /** Nearest-neighbor resize index mapping over a row-major (h, w) plane:
+    * real arithmetic over the stub pixels — swap the pixel source, keep
+    * the math.
+    */
+  def resizeNearest(pixels: Array[Int], w: Int, h: Int, newW: Int, newH: Int): Array[Int] = {
+    if (w <= 0 || h <= 0 || newW <= 0 || newH <= 0) return Array.empty
+    val out = new Array[Int](newW * newH)
+    var y = 0
+    while (y < newH) {
+      val srcY = y * h / newH
+      var x = 0
+      while (x < newW) {
+        val srcX = x * w / newW
+        val idx = srcY * w + srcX
+        out(y * newW + x) = if (idx < pixels.length) pixels(idx) else 0
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Per-cell byte statistics via a typed `mapPartitions` batch pass —
+    * the Arrow-batch shape: one sequential scan per partition, O(1) state
+    * per row, exact integer outputs (bit-reproducible anywhere).
+    */
+  def mediaStats(cells: Dataset[MediaCell]): Dataset[MediaStats] = {
+    implicit val enc: Encoder[MediaStats] = Encoders.product[MediaStats]
+    cells.mapPartitions { it =>
+      it.map { cell =>
+        val meta = parseHeader(cell.media).getOrElse(MediaMeta("unknown", 0, 0, 0))
+        var sum = 0L
+        var countA = 0L
+        var i = HeaderLen
+        while (i < cell.media.length) {
+          val b = cell.media(i) & 0xff
+          sum += b
+          if (b == 'a'.toInt) countA += 1
+          i += 1
+        }
+        MediaStats(cell.key, meta.kind, meta.width, meta.height, meta.channels,
+          cell.media.length, sum, countA)
+      }
+    }
+  }
+
+  /** Full 256-bin byte histogram per cell (exact ints), same batch shape. */
+  def byteHistogram(cells: Dataset[MediaCell]): Dataset[(Long, Array[Long])] = {
+    implicit val enc: Encoder[(Long, Array[Long])] =
+      Encoders.tuple(Encoders.scalaLong, ExprEnc.longArray)
+    cells.mapPartitions { it =>
+      it.map { cell =>
+        val bins = new Array[Long](256)
+        var i = HeaderLen
+        while (i < cell.media.length) { bins(cell.media(i) & 0xff) += 1; i += 1 }
+        (cell.key, bins)
+      }
+    }
+  }
+
+  private object ExprEnc {
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    val longArray: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+  }
+}
