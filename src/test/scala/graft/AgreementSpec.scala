@@ -1,0 +1,69 @@
+package graft
+
+import graft.decode.ClusterExtractor
+import graft.decode.ClusterExtractor.NumVal
+import graft.streaming.DataBuffer
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Cross-implementation agreement + DataBuffer semantics.
+  *
+  * The value classifier exists twice by design — as a Catalyst CASE
+  * column (`Functions.classifyValue`, for relational pipelines) and as
+  * JVM code inside the cluster extractor — both transcribing
+  * scraper.py:766-828. The property test here proves they agree on a
+  * dense sweep of (value, dtype) pairs including every range boundary,
+  * so the two paths can never silently diverge.
+  */
+class AgreementSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("column classifyValue agrees with ClusterExtractor on dense sweep + boundaries") {
+    import spark.implicits._
+    val boundaries = Seq(
+      1e-7, 0.000001, 0.05, 0.1, 0.100001, 9.99, 10.0, 15000.0, 15000.5,
+      20000.0, 50000.0, 50000.5, 99999.0, 100000.0, 999999.0, 1000000.0,
+      9999999.0, 10000000.0, 10000001.0, 50000000.0, 50000001.0,
+      -100.0, -100.5, -0.01, -0.02, 0.009, 0.011, 1000.0, 999.99, 0.0, 1e11, 1e13)
+    val rnd = new scala.util.Random(7)
+    val randoms = Seq.fill(300)(math.pow(10, rnd.nextDouble() * 14 - 7) *
+      (if (rnd.nextBoolean()) 1 else -1))
+    val dtypes = Seq("double", "float", "uint32")
+    val cases = for (v <- boundaries ++ randoms; dt <- dtypes) yield (v, dt)
+
+    val colResults = cases.toDF("v", "dt")
+      .select(graft.functions.Functions.classifyValue(col("v"), col("dt")))
+      .as[Option[String]].collect()
+
+    cases.zip(colResults).foreach { case ((v, dt), colRes) =>
+      val cl = ClusterExtractor.classifyNumericValues(Vector(NumVal(0, v, dt)))
+      val jvmRes =
+        if (cl.prices.nonEmpty) Some("prices")
+        else if (cl.txns.nonEmpty) Some("txns")
+        else if (cl.makers.nonEmpty) Some("makers")
+        else if (cl.volumes.nonEmpty) Some("volumes")
+        else if (cl.liquidity.nonEmpty) Some("liquidity")
+        else if (cl.marketCaps.nonEmpty) Some("market_caps")
+        else if (cl.percentages.nonEmpty) Some("percentages")
+        else None
+      assert(jvmRes == colRes, s"classify($v, $dt): jvm=$jvmRes col=$colRes")
+    }
+  }
+
+  test("DataBuffer ring matches utils.py:472-507 semantics") {
+    val buf = new DataBuffer[Int](maxSize = 5)
+    (1 to 3).foreach(buf.append)
+    assert(buf.getRecent(10) == Seq(1, 2, 3)) // under capacity: whole buffer
+    (4 to 5).foreach(buf.append)
+    assert(buf.size == 5 && buf.getRecent(3) == Seq(3, 4, 5)) // index==0 path
+    buf.append(6) // overwrites slot 0, index -> 1
+    assert(buf.getRecent(1) == Seq(6))
+    // wraparound assembly: recent = buffer[max(0, 1-3):1] = [6],
+    // remaining 2 from the tail = [4, 5] -> [4, 5, 6]
+    assert(buf.getRecent(3) == Seq(4, 5, 6))
+    buf.append(7) // slot 1, index -> 2
+    assert(buf.getRecent(3) == Seq(5, 6, 7))
+    buf.clear()
+    assert(buf.size == 0 && buf.getRecent(3).isEmpty)
+  }
+}
