@@ -57,29 +57,40 @@ object ClusterExtractor {
     */
   def extractNumericsFromWindow(window: Array[Byte], baseOffset: Int): Vector[NumVal] = {
     val values = mutable.ArrayBuffer.empty[NumVal]
-    def covered(p: Int): Boolean = values.exists(x => math.abs(p - x.pos) < 4)
+    // The reference's `any(abs(p - pos) < 4 for pos in values)` is an
+    // O(values) scan per read; a coverage bitmap over window offsets is
+    // semantically identical (|p-x|<4 ⇔ x marks [x-3, x+3]) and O(1) per
+    // read — this scan is the per-frame hot loop at scale.
+    val covered = new Array[Boolean](window.length + 8)
+    def mark(off: Int): Unit = {
+      var j = math.max(0, off - 3)
+      val end = math.min(covered.length - 1, off + 3)
+      while (j <= end) { covered(j) = true; j += 1 }
+    }
+    def record(off: Int, v: Double, dtype: String): Unit = {
+      values += NumVal(baseOffset + off, v, dtype)
+      mark(off)
+    }
 
     var i = 0
     while (i < window.length - 8) {
       val v = Wire.readDoubleLE(window, i)
-      if (isValidNumeric(v)) values += NumVal(baseOffset + i, v, "double")
+      if (isValidNumeric(v)) record(i, v, "double")
       i += 4
     }
     i = 0
     while (i < window.length - 4) {
-      val p = baseOffset + i
-      if (!covered(p)) {
+      if (!covered(i)) {
         val v = Wire.readFloatLE(window, i).toDouble
-        if (isValidNumeric(v)) values += NumVal(p, v, "float")
+        if (isValidNumeric(v)) record(i, v, "float")
       }
       i += 2
     }
     i = 0
     while (i < window.length - 4) {
-      val p = baseOffset + i
-      if (!covered(p)) {
+      if (!covered(i)) {
         val v = Wire.readUInt32LE(window, i)
-        if (v >= 10 && v <= 15000) values += NumVal(p, v.toDouble, "uint32")
+        if (v >= 10 && v <= 15000) record(i, v.toDouble, "uint32")
       }
       i += 4
     }

@@ -117,6 +117,71 @@ object VectorOps {
     concat_ws("", bits.map(_.cast("string")): _*)
   }
 
+  /** IVF-style ANN: a coarse codebook partitions the corpus into cells;
+    * queries probe their `nprobe` nearest centroids and re-rank exactly
+    * only within the probed cells — the inverted-file shape where
+    * candidate generation is an equi-join on cell id (shuffle bounded by
+    * cell sizes), never a cross product, and the codebook is a broadcast.
+    *
+    * The codebook here is the per-label centroid (an exact, deterministic
+    * stand-in for a k-means|| trainer — production swaps the codebook
+    * construction, keeping assign/probe/re-rank identical). All centroid
+    * arithmetic is integer (floor-divided sums at 1e-6 scale), so
+    * assignment and probing are bit-reproducible in SQL.
+    *
+    * @param vectors (idCol, labelCol, vecCol-quantized) corpus
+    * @param queries predicate selecting the query subset by id
+    */
+  def ivfTopK(vectors: DataFrame, isQuery: Column => Column, k: Int, nprobe: Int,
+      idCol: String = "vec_id", labelCol: String = "label",
+      vecCol: String = "qvec"): DataFrame = {
+    val vecs = vectors.select(col(idCol), col(labelCol), col(vecCol),
+      normInt(col(vecCol)).as("nrm")).persist()
+
+    // Codebook: per-cell, per-dim (sum·1000) div count — truncating
+    // INTEGER division (matching DuckDB's `//`), so centroids are exact
+    // and identical in both engines; tiny (cells × dims), broadcast.
+    val byDim = vecs.select(col(labelCol).as("cell"), posexplode(col(vecCol)).as(Seq("d", "x")))
+      .groupBy(col("cell"), col("d"))
+      .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+      .withColumn("c", expr("s * 1000 div n"))
+    val codebook = byDim.groupBy(col("cell"))
+      .agg(array_sort(collect_list(struct(col("d"), col("c")))).as("dc"))
+      .select(col("cell"), transform(col("dc"), e => e.getField("c")).as("cvec"))
+
+    // Assignment: argmin over cells of the exact integer distance
+    // (x·1000 − c)² summed — min(struct(dist2, cell)) gives the
+    // deterministic (dist2 asc, cell asc) argmin without a window.
+    val dist2 = aggregate(
+      zip_with(col(vecCol), col("cvec"), (x, c) => (x * 1000L - c) * (x * 1000L - c)),
+      lit(0L), (acc, t) => acc + t)
+    val scoredCells = vecs.crossJoin(broadcast(codebook))
+      .withColumn("dist2", dist2)
+    val assigned = scoredCells.groupBy(col(idCol))
+      .agg(min(struct(col("dist2"), col("cell"))).as("best"))
+      .select(col(idCol).as("c_id"), col("best.cell").as("cell"))
+      .join(vecs.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"), col("nrm").as("c_nrm")), "c_id")
+
+    // Probes: nprobe nearest cells per query (cells-per-query is the
+    // codebook size — a bounded window, no skew).
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(idCol)).orderBy(col("dist2").asc, col("cell").asc)
+    val probes = scoredCells.filter(isQuery(col(idCol)))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= nprobe)
+      .select(col(idCol).as("q_id"), col("cell"), col(vecCol).as("q_vec"), col("nrm").as("q_nrm"))
+
+    // Candidates = probed cells' members; exact cosine re-rank, bounded
+    // top-k aggregate (map-side partial).
+    val candidates = probes.join(assigned, Seq("cell"))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("cosine", cosinePre(col("q_vec"), col("q_nrm"), col("c_vec"), col("c_nrm")))
+    val topk = udaf(new graft.functions.TopKAgg(k))
+    explodeTopK(
+      candidates.groupBy(col("q_id")).agg(topk(col("c_id"), col("cosine")).as("top")),
+      "q_id", "top", "c_id", "cosine")
+  }
+
   /** Number of SRP hyperplanes sized to the corpus: 2^planes buckets,
     * targeting ~`targetBucketSize` vectors per bucket so within-bucket
     * candidate sets stay bounded as the corpus grows (a fixed plane count

@@ -62,11 +62,23 @@ object VectorPack {
       .orderBy(col("label"))
   }
 
+  private val NProbe = 2
+
+  /** IVF ANN: coarse-quantize the corpus into label-centroid cells, probe
+    * the 2 nearest cells per query, exact cosine re-rank within probed
+    * cells (see VectorOps.ivfTopK for the scale shape).
+    */
+  def ivfAnn(spark: SparkSession, dir: String): DataFrame =
+    VectorOps.ivfTopK(quantized(spark, dir), q => q < 10, TopK, NProbe)
+      .withColumn("rank", col("rank").cast("long"))
+      .orderBy(col("q_id"), col("rank"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_ann_topk" -> annTopK _,
     "q22_cosine_pairs" -> cosinePairs _,
     "q23_lsh_ann" -> lshAnn _,
-    "q24_label_centroids" -> labelCentroidStats _)
+    "q24_label_centroids" -> labelCentroidStats _,
+    "q30_ivf_ann" -> ivfAnn _)
 
   private val qv = s"list_transform(embedding, x -> cast(round(x * $Scale) AS bigint))"
   private def dot(a: String, b: String) = s"list_dot_product($a, $b)"
@@ -118,6 +130,45 @@ object VectorPack {
          |  FROM cand)
          |SELECT id1, rank, id2, cosine FROM ranked WHERE rank <= $TopK
          |ORDER BY id1, rank""".stripMargin,
+    "q30_ivf_ann" ->
+      s"""WITH v AS (SELECT vec_id, label, $qv AS qvec FROM embeddings),
+         |dims AS (
+         |  SELECT vec_id, label, generate_subscripts(qvec, 1) - 1 AS d, unnest(qvec) AS x
+         |  FROM v),
+         |cent AS (
+         |  SELECT label AS cell, d, (sum(x) * 1000) // count(*) AS c
+         |  FROM dims GROUP BY label, d),
+         |ad AS (
+         |  SELECT dims.vec_id, cent.cell,
+         |    sum((dims.x * 1000 - cent.c) * (dims.x * 1000 - cent.c)) AS dist2
+         |  FROM dims JOIN cent ON dims.d = cent.d
+         |  GROUP BY dims.vec_id, cent.cell),
+         |assigned AS (
+         |  SELECT vec_id AS c_id, cell FROM (
+         |    SELECT vec_id, cell,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cell) AS rn
+         |    FROM ad) WHERE rn = 1),
+         |probes AS (
+         |  SELECT vec_id AS q_id, cell FROM (
+         |    SELECT vec_id, cell,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cell) AS rn
+         |    FROM ad WHERE vec_id < 10) WHERE rn <= $NProbe),
+         |cand AS (
+         |  SELECT p.q_id, a.c_id FROM probes p
+         |  JOIN assigned a ON a.cell = p.cell AND a.c_id <> p.q_id),
+         |scored AS (
+         |  SELECT cand.q_id, cand.c_id,
+         |    cast(${dot("q.qvec", "c.qvec")} AS double) /
+         |      (sqrt(cast(${dot("q.qvec", "q.qvec")} AS double)) *
+         |       sqrt(cast(${dot("c.qvec", "c.qvec")} AS double))) AS cosine
+         |  FROM cand JOIN v q ON q.vec_id = cand.q_id
+         |            JOIN v c ON c.vec_id = cand.c_id),
+         |ranked AS (
+         |  SELECT q_id, c_id, cosine,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS rank
+         |  FROM scored)
+         |SELECT q_id, rank, c_id, cosine FROM ranked WHERE rank <= $TopK
+         |ORDER BY q_id, rank""".stripMargin,
     "q24_label_centroids" ->
       s"""WITH e AS (
          |  SELECT label, dim, sum(v) AS s, count(*) AS n FROM (
