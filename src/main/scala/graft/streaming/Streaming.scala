@@ -60,6 +60,11 @@ object Streaming {
     writer.start()
   }
 
+  /** Ring of recent top-K batches (ST6/O14): bounded driver-side state
+    * feeding the TUI's session stats; cleared per pipeline run.
+    */
+  private val recentBatches = new DataBuffer[Seq[TokenProfile]](maxSize = 100)
+
   /** One micro-batch → one serialized payload. Stats are a distributed
     * aggregate; only the bounded top-K rows reach the driver.
     */
@@ -67,7 +72,8 @@ object Streaming {
     val spark = tokens.sparkSession
     import spark.implicits._
     val statsRow = Tokens.batchStats(tokens).collect()(0)
-    val (total, highConf) = (statsRow.getLong(0), statsRow.getLong(1))
+    val (total, highConf, complete) =
+      (statsRow.getLong(0), statsRow.getLong(1), statsRow.getLong(2))
     val top = Tokens.topTokens(tokens, topK)
       .drop("frame_id").as[TokenProfile].collect().toSeq
     val ts = top.flatMap(_.timestamp).headOption.getOrElse(0L)
@@ -81,6 +87,15 @@ object Streaming {
         top.flatMap(tokenOhlc).map(Sinks.formatMt5).mkString("\n")
       case "prometheus" =>
         Sinks.formatPrometheus(top, total, highConf, ts)
+      case "rich" =>
+        // O14: deterministic TUI frame — cycle from the ring, clock from
+        // the batch's injected extraction ts, never wall-clock.
+        recentBatches.append(top)
+        val cycle = recentBatches.size.toLong
+        graft.sinks.Tui.render(top, total, highConf, complete, cycle,
+          sessionSeconds = cycle * 5.0,
+          clock = java.time.Instant.ofEpochSecond(ts)
+            .atZone(java.time.ZoneOffset.UTC).toLocalTime.toString)
       case other =>
         throw new IllegalArgumentException(s"unknown stream format: $other")
     }

@@ -57,6 +57,10 @@ class StreamingSpec extends AnyFunSuite {
     assert(ohlc.startsWith("TOKEN,1700000000,0.004,"))
     val prom = Streaming.serializeBatch(tokens, "prometheus", 10)
     assert(prom.contains("dex_tokens_extracted_total"))
+    val rich = Streaming.serializeBatch(tokens, "rich", 10)
+    assert(rich.contains("DEXSCRAPER PRO") && rich.contains("Haunted Market Data"))
+    assert(rich.contains("TOK")) // table rows carry the decoded symbol
+    assert(rich.contains("Auto-refresh: 5s"))
   }
 
   test("windowed OHLC: stream (complete mode) equals batch") {
