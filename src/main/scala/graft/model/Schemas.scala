@@ -49,6 +49,23 @@ final case class TokenProfile(
   def displayName: String =
     token_name.orElse(symbol)
       .getOrElse(s"Token_${record_position.map(_.toString).getOrElse("Unknown")}")
+
+  /** Legacy-compat conversion (models.py:217-251): nested metric structs
+    * materialize only when their source field exists; string fields
+    * coalesce to the reference's defaults.
+    */
+  def toTradingPair: TradingPair = TradingPair(
+    chain = chain.getOrElse("solana"),
+    protocol = protocol.getOrElse("unknown"),
+    pair_address = pair_address.getOrElse("unknown"),
+    base_token_name = token_name.orElse(symbol).getOrElse("Unknown Token"),
+    base_token_symbol = symbol.getOrElse("UNK"),
+    base_token_address = token_address.getOrElse("unknown"),
+    price_data = price.map(p => PriceData(Some(p), Some(p), change_24h)),
+    liquidity_data = liquidity.map(l => LiquidityData(Some(l), None, None)),
+    volume_data = volume_24h.map(v => VolumeData(Some(v), None, None)),
+    fdv = market_cap,
+    created_at = timestamp)
 }
 
 /** Nested metric structs of the legacy pair record (models.py:11-46). */
