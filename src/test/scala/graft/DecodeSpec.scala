@@ -143,6 +143,30 @@ class DecodeSpec extends AnyFunSuite {
     }
   }
 
+  test("ByteScan utilities (utils.py:15-108, :214-256)") {
+    // validity gate: sentinels and bounds
+    assert(!ByteScan.isValidFloat(0.0) && !ByteScan.isValidFloat(1.0) &&
+      !ByteScan.isValidFloat(-1.0) && !ByteScan.isValidFloat(Double.NaN))
+    assert(!ByteScan.isValidFloat(1e-16) && !ByteScan.isValidFloat(1e16))
+    assert(ByteScan.isValidFloat(0.5) && ByteScan.isValidFloat(-42.0))
+
+    val buf = java.nio.ByteBuffer.allocate(24).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.putDouble(0, 123.25)
+    buf.putDouble(16, 0.0078125)
+    val doubles = ByteScan.extractDoubles(buf.array())
+    assert(doubles.contains(123.25) && doubles.contains(0.0078125))
+    assert(ByteScan.extractDoubles(buf.array(), count = 1).length == 1)
+    val fbuf = java.nio.ByteBuffer.allocate(8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    fbuf.putFloat(0, 2.5f)
+    assert(ByteScan.extractFloats(fbuf.array()).contains(2.5))
+
+    // clustering: chained 5% tolerance, singletons dropped, sorted input
+    val clusters = ByteScan.clusterNumericValues(Seq(100.0, 104.0, 103.0, 500.0, 501.0, 9999.0))
+    assert(clusters == Seq(Seq(100.0, 103.0, 104.0), Seq(500.0, 501.0)))
+    assert(ByteScan.clusterNumericValues(Nil).isEmpty)
+    assert(ByteScan.clusterNumericValues(Seq(1.0, 50.0)).isEmpty) // singletons only
+  }
+
   // ---- D13/D14 symbol-election goldens (scraper.py:960-1316) ----
 
   import ClusterExtractor.SymbolHit
