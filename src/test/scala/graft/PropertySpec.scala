@@ -1,0 +1,93 @@
+package graft
+
+import graft.decode.{ByteScan, ClusterExtractor, LegacyDecoder, TokenExtractor}
+import graft.functions.{ScoredId, TopKAgg}
+import graft.sinks.PyFormat
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-based invariants (SURVEY §5.3), driven by seeded generators
+  * so failures reproduce: decoders total on arbitrary bytes, top-k
+  * aggregate ≡ sort-take under any merge tree, float repr round-trips,
+  * clustering partition laws, classifier bucket exclusivity.
+  */
+class PropertySpec extends AnyFunSuite {
+
+  private val rnd = new scala.util.Random(20260812L)
+
+  test("decoders never throw on arbitrary bytes (total functions)") {
+    (1 to 100).foreach { _ =>
+      val bytes = new Array[Byte](rnd.nextInt(2048))
+      rnd.nextBytes(bytes)
+      LegacyDecoder.parseMessage(bytes)
+      LegacyDecoder.decodePair(bytes)
+      LegacyDecoder.parseVariableLength(bytes)
+      TokenExtractor.extractTokens(bytes, 0L)
+      ClusterExtractor.extractTokensViaClusters(bytes, 0L)
+      ByteScan.extractDoubles(bytes)
+      ByteScan.extractFloats(bytes)
+    }
+  }
+
+  test("TopKAgg ≡ sort-take for any input order and any merge split") {
+    (1 to 200).foreach { _ =>
+      val rows = List.fill(rnd.nextInt(40))(
+        ScoredId(rnd.nextInt(50).toLong, math.rint(rnd.nextDouble() * 20) / 20.0))
+      val k = 1 + rnd.nextInt(8)
+      val agg = new TopKAgg(k)
+      val expected = rows.sortBy(s => (-s.score, s.id)).take(k)
+      val sequential = rows.foldLeft(agg.zero)(agg.reduce)
+      assert(agg.finish(sequential) == expected, s"k=$k rows=$rows")
+      val (l, r) = rows.splitAt(if (rows.isEmpty) 0 else rnd.nextInt(rows.length + 1))
+      val merged = agg.merge(l.foldLeft(agg.zero)(agg.reduce),
+        r.foldLeft(agg.zero)(agg.reduce))
+      assert(agg.finish(merged) == expected, s"merge split k=$k rows=$rows")
+    }
+  }
+
+  test("pyFloatRepr round-trips doubles across magnitudes") {
+    val edge = Seq(0.0, -0.0, 1e-320, 123456.789, 0.1, 2e16, 1e16 - 2.0,
+      9.999999999999999e15, 1e-4, 9.5e-5, Double.MinPositiveValue)
+    val randoms = (1 to 500).map(_ =>
+      java.lang.Double.longBitsToDouble(rnd.nextLong())).filterNot(d => d.isNaN || d.isInfinite)
+    (edge ++ randoms).foreach { v =>
+      val s = PyFormat.pyFloatRepr(v)
+      assert(java.lang.Double.parseDouble(s) == v,
+        s"repr $s of ${java.lang.Double.toHexString(v)}")
+    }
+  }
+
+  test("value clustering: ascending chains within tolerance, disjoint sub-multiset") {
+    (1 to 100).foreach { _ =>
+      val values = List.fill(rnd.nextInt(60))(math.pow(10, rnd.nextDouble() * 9 - 3))
+      val clusters = ByteScan.clusterNumericValues(values)
+      clusters.foreach { c =>
+        assert(c.length >= 2)
+        c.sliding(2).foreach {
+          case Seq(a, b) => assert(b >= a && (b - a) / math.abs(a) <= 0.05 + 1e-12)
+          case _ =>
+        }
+      }
+      val flat = clusters.flatten
+      val counts = values.groupBy(identity).view.mapValues(_.length).toMap
+      flat.groupBy(identity).foreach { case (v, occ) =>
+        assert(occ.length <= counts(v))
+      }
+    }
+  }
+
+  test("classifier assigns at most one bucket per value (elif exclusivity)") {
+    val dtypes = Seq("double", "float", "uint32")
+    (1 to 2000).foreach { _ =>
+      val v = rnd.nextInt(4) match {
+        case 0 => rnd.nextDouble() * 1300 - 200
+        case 1 => rnd.nextDouble() * 6e7
+        case 2 => math.pow(10, rnd.nextDouble() * 14 - 7)
+        case _ => -math.pow(10, rnd.nextDouble() * 6 - 3)
+      }
+      val dt = dtypes(rnd.nextInt(3))
+      val cl = ClusterExtractor.classifyNumericValues(
+        Vector(ClusterExtractor.NumVal(0, v, dt)))
+      assert(cl.buckets.map(_.length).sum <= 1, s"v=$v dt=$dt")
+    }
+  }
+}
