@@ -1,0 +1,53 @@
+package graft
+
+import graft.operators.Skew
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Salting equivalence proofs on a deliberately skewed dataset: one hot
+  * key carrying most rows. Results must equal the naive forms exactly;
+  * the salted first phase must actually spread the hot key.
+  */
+class SkewSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def skewed = {
+    import spark.implicits._
+    // key "hot" gets 5000 rows, 20 cold keys get 10 each
+    val rows = (1 to 5000).map(i => ("hot", i.toLong)) ++
+      (1 to 20).flatMap(k => (1 to 10).map(i => (s"cold$k", (k * 100 + i).toLong)))
+    rows.toDF("k", "v")
+  }
+
+  test("saltedAgg equals direct aggregation for sum/count/min/max") {
+    val direct = skewed.groupBy("k")
+      .agg(sum("v").as("sum_v"), count(lit(1)).as("n"), min("v").as("min_v"), max("v").as("max_v"))
+      .orderBy("k").collect().toSeq
+    val salted = Skew.saltedAgg(skewed, Seq("k"), salts = 16,
+      ("v", "sum"), ("v", "count"), ("v", "min"), ("v", "max"))
+      .withColumnRenamed("sum_v", "sum_v").orderBy("k")
+      .select(col("k"), col("sum_v"), col("count_v").as("n"), col("min_v"), col("max_v"))
+      .collect().toSeq
+    assert(salted == direct)
+  }
+
+  test("saltedAgg first phase spreads the hot key over many salt groups") {
+    val phase1Groups = skewed
+      .withColumn("_salt", Skew.saltOf(skewed.columns.map(col).toSeq, 16))
+      .filter(col("k") === "hot")
+      .select("_salt").distinct().count()
+    assert(phase1Groups > 8, s"hot key only reached $phase1Groups salt groups")
+  }
+
+  test("saltedJoin equals plain join on a skewed probe") {
+    import spark.implicits._
+    val build = (Seq("hot") ++ (1 to 20).map(k => s"cold$k"))
+      .zipWithIndex.map { case (k, i) => (k, i) }.toDF("k", "dim")
+    val probe = skewed
+    val plain = probe.join(build, Seq("k"))
+      .select("k", "v", "dim").orderBy("k", "v").collect().toSeq
+    val salted = Skew.saltedJoin(probe, build, Seq("k"), salts = 8)
+      .select("k", "v", "dim").orderBy("k", "v").collect().toSeq
+    assert(salted == plain)
+  }
+}
