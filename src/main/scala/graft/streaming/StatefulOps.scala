@@ -1,0 +1,48 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import scala.reflect.runtime.universe.TypeTag
+
+/** Stateful streaming operators via `flatMapGroupsWithState` — the
+  * custom-state mechanism for semantics watermark/window aggregation
+  * can't express.
+  *
+  * Scale shape: state lives in the state store, partitioned by group
+  * key; each micro-batch touches only the groups present in the batch,
+  * and per-group state here is O(1) (a first-seen marker + counter), so
+  * state size grows with distinct keys only — never with stream length.
+  */
+object StatefulOps {
+
+  final case class Keyed[V](key: String, ts: Long, value: V)
+  final case class SeenState(firstTs: Long, duplicates: Long)
+  final case class FirstSeen[V](key: String, value: V, firstTs: Long)
+
+  /** Cross-batch first-seen dedup: the first row per key (in stream
+    * arrival order) is emitted; later rows only bump a duplicate counter
+    * in state. The streaming analog of the exact-dedup operator for
+    * continuous ingestion.
+    */
+  def firstSeenDedup[V: TypeTag](ds: Dataset[Keyed[V]]): Dataset[FirstSeen[V]] = {
+    implicit val stateEnc: Encoder[SeenState] = Encoders.product[SeenState]
+    implicit val outEnc: Encoder[FirstSeen[V]] = ExpressionEncoder[FirstSeen[V]]()
+    ds.groupByKey(_.key)(Encoders.STRING)
+      .flatMapGroupsWithState[SeenState, FirstSeen[V]](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[Keyed[V]], state: GroupState[SeenState]) =>
+          val batch = rows.toSeq
+          if (batch.isEmpty) Iterator.empty
+          else if (state.exists) {
+            val s = state.get
+            state.update(s.copy(duplicates = s.duplicates + batch.length))
+            Iterator.empty
+          } else {
+            val first = batch.minBy(_.ts)
+            state.update(SeenState(first.ts, (batch.length - 1).toLong))
+            Iterator.single(FirstSeen(key, first.value, first.ts))
+          }
+      }
+  }
+}

@@ -63,6 +63,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(rich.contains("Auto-refresh: 5s"))
   }
 
+  test("stateful first-seen dedup across micro-batches (flatMapGroupsWithState)") {
+    import graft.streaming.StatefulOps
+    import graft.streaming.StatefulOps.{FirstSeen, Keyed}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Keyed[String]]
+    val deduped = StatefulOps.firstSeenDedup(input.toDS())
+    val q = deduped.writeStream.format("memory").queryName("first_seen")
+      .outputMode("append").start()
+    try {
+      input.addData(Keyed("a", 10L, "a-first"), Keyed("b", 11L, "b-first"),
+        Keyed("a", 12L, "a-dup"))
+      q.processAllAvailable()
+      input.addData(Keyed("a", 20L, "a-late"), Keyed("c", 21L, "c-first"))
+      q.processAllAvailable()
+      val rows = spark.table("first_seen").as[FirstSeen[String]]
+        .collect().sortBy(_.key).toSeq
+      assert(rows == Seq(FirstSeen("a", "a-first", 10L),
+        FirstSeen("b", "b-first", 11L), FirstSeen("c", "c-first", 21L)))
+    } finally q.stop()
+  }
+
   test("windowed OHLC: stream (complete mode) equals batch") {
     val eventsDir = tmpDir("events")
     val ticks = Tables.events(spark, "/root/testdata/sf0.001")
