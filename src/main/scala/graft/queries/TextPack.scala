@@ -129,7 +129,32 @@ object TextPack {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("lang"), col("predicted"))
 
+  /** End-to-end training-corpus cleaning — the composition every 100 TB
+    * text pipeline runs, as ONE declarative plan: exact dedup (full-md5
+    * keep-first), LSH near-dup removal (drop the later doc of any pair
+    * sharing ≥2 bands), then quality gating — all over the same cached
+    * signature subtree, with per-doc stats on the survivors. Shapes:
+    * dedup = groupBy + semi join, near-dup = the banded equi-join, drops
+    * = anti join; nothing quadratic, nothing driver-side.
+    */
+  def corpusClean(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val keepFirst = d.select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+      .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val nearDupDrops = lshCandidatePairs(spark, dir)
+      .filter(col("n_shared_bands") >= 2)
+      .select(col("doc2").as("doc_id")).distinct()
+    val stats = textStats(spark, dir)
+    stats.join(keepFirst, "doc_id")
+      .join(nearDupDrops, Seq("doc_id"), "left_anti")
+      .filter(col("quality") >= 0.5)
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("quality"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q31_corpus_clean" -> corpusClean _,
     "q13_text_stats" -> textStats _,
     "q14_fingerprint_dedup" -> fingerprintDedup _,
     "q15_token_frequency" -> tokenFrequency _,
@@ -147,6 +172,16 @@ object TextPack {
   private val P = TextOps.MinhashP
 
   // Shared oracle fragments
+  private val nTokensSql = "len(text) - len(replace(text, ' ', '')) + 1"
+  private val nStopSql =
+    s"len(list_filter(string_split(text, ' '), t -> t IN ($stopList)))"
+  private val avgWordSql =
+    s"cast(len(text) - ($nTokensSql) + 1 AS double) / cast($nTokensSql AS double)"
+  private val qualitySql =
+    s"""least(1.0,
+       |    cast($nStopSql AS double) / cast($nTokensSql AS double) * 2.0
+       |    + CASE WHEN ($avgWordSql) BETWEEN 3.0 AND 8.0
+       |           THEN 0.5 ELSE 0.0 END)""".stripMargin
   private val shinglesSql =
     """list_distinct([array_to_string(toks[i:i+2], ' ')
       |               for i in range(1, len(toks) - 1)])""".stripMargin
@@ -156,6 +191,28 @@ object TextPack {
        |  for j in range($K)]""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q31_corpus_clean" ->
+      s"""WITH stats AS (
+         |  SELECT doc_id, lang, $nTokensSql AS n_tokens, $qualitySql AS quality
+         |  FROM documents),
+         |keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         |sh AS (
+         |  SELECT doc_id, $shinglesSql AS sh
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+         |sig AS (SELECT doc_id, $sigSql AS sig FROM sh),
+         |bands AS (
+         |  SELECT doc_id, b,
+         |    b || ':' || array_to_string(sig[b*$R+1:b*$R+$R], ',') AS band_key
+         |  FROM sig CROSS JOIN (SELECT unnest(range($Bands)) AS b)),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n
+         |  FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |drops AS (SELECT DISTINCT doc2 AS doc_id FROM pairs WHERE n >= 2)
+         |SELECT s.doc_id, s.lang, s.n_tokens, s.quality
+         |FROM stats s JOIN keep k ON k.doc_id = s.doc_id
+         |WHERE s.doc_id NOT IN (SELECT doc_id FROM drops) AND s.quality >= 0.5
+         |ORDER BY s.doc_id""".stripMargin,
     "q13_text_stats" ->
       s"""SELECT doc_id, lang,
          |  len(text) - len(replace(text, ' ', '')) + 1 AS n_tokens,

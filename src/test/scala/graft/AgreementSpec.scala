@@ -50,6 +50,27 @@ class AgreementSpec extends AnyFunSuite {
     }
   }
 
+  test("thresholdPairs refuses corpora above its quadratic bound") {
+    import spark.implicits._
+    val vecs = (1 to 20).map(i => (i.toLong, Seq(i.toLong, 1L)))
+      .toDF("vec_id", "qvec")
+    val err = intercept[IllegalArgumentException] {
+      graft.ext.VectorOps.thresholdPairs(vecs, 0.5, maxRows = 10)
+    }
+    assert(err.getMessage.contains("lshTopK"))
+    // under the bound it plans fine
+    assert(graft.ext.VectorOps.thresholdPairs(vecs, -1.0, maxRows = 100).count() == 190)
+  }
+
+  test("planesForCorpus keeps expected bucket occupancy roughly constant") {
+    import graft.ext.VectorOps.planesForCorpus
+    assert(planesForCorpus(1000) == 4) // min floor
+    assert(planesForCorpus(1L << 30) == 20) // 2^20 buckets for 2^30 vectors
+    assert(planesForCorpus(Long.MaxValue / 2) == 24) // capped
+    // doubling the corpus adds ~one plane
+    assert(planesForCorpus(2000000) == planesForCorpus(1000000) + 1)
+  }
+
   test("DataBuffer ring matches utils.py:472-507 semantics") {
     val buf = new DataBuffer[Int](maxSize = 5)
     (1 to 3).foreach(buf.append)
