@@ -153,8 +153,41 @@ object TextPack {
       .orderBy(col("doc_id"))
   }
 
+  private val SimBands = 4
+  private val SimBandBits = 15
+  private val MaxHamming = 20
+
+  /** SimHash near-dup pairs: band the 60-bit simhash into 4×15-bit keys,
+    * equi-join on (band, key) — docs within hamming distance d collide on
+    * ≥1 band whenever d < #bands (pigeonhole), so candidate generation is
+    * a shuffle join, never all-pairs — then exact hamming gate.
+    */
+  def simhashNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val sims = {
+      val toks = Tables.documents(spark, dir)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+      TextOps.simhash(toks, "doc_id", "tok", bits = 60)
+    }.persist()
+    val bandKeys = array((0 until SimBands).map(b =>
+      shiftright(col("simhash"), b * SimBandBits).bitwiseAND(lit((1L << SimBandBits) - 1))): _*)
+    val banded = sims.select(col("doc_id"), col("simhash"),
+      posexplode(bandKeys).as(Seq("band", "key")))
+    val a = banded.select(col("doc_id").as("doc1"), col("simhash").as("s1"),
+      col("band"), col("key"))
+    val b = banded.select(col("doc_id").as("doc2"), col("simhash").as("s2"),
+      col("band"), col("key"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("doc1") < col("doc2"))
+      .select(col("doc1"), col("doc2"),
+        bit_count(col("s1").bitwiseXOR(col("s2"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= MaxHamming)
+      .orderBy(col("doc1"), col("doc2"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_corpus_clean" -> corpusClean _,
+    "q32_simhash_neardup" -> simhashNearDup _,
     "q13_text_stats" -> textStats _,
     "q14_fingerprint_dedup" -> fingerprintDedup _,
     "q15_token_frequency" -> tokenFrequency _,
@@ -190,7 +223,33 @@ object TextPack {
        |    ((('0x' || substr(md5(s), 1, 8))::bigint * ($aList)[j+1] + ($bList)[j+1]) % $P)))
        |  for j in range($K)]""".stripMargin
 
+  private val simhashCte =
+    """h AS (
+      |  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::bigint AS h
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)),
+      |bits AS (
+      |  SELECT doc_id, j, sum(((h >> j) & 1) * 2 - 1) AS s
+      |  FROM h CROSS JOIN (SELECT unnest(range(60)) AS j)
+      |  GROUP BY doc_id, j),
+      |sims AS (
+      |  SELECT doc_id,
+      |    sum(CASE WHEN s > 0 THEN (1::bigint << j) ELSE 0 END)::bigint AS simhash
+      |  FROM bits GROUP BY doc_id)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q32_simhash_neardup" ->
+      s"""WITH $simhashCte,
+         |banded AS (
+         |  SELECT doc_id, simhash, b,
+         |    (simhash >> (b * $SimBandBits)) & ${(1L << SimBandBits) - 1} AS key
+         |  FROM sims CROSS JOIN (SELECT unnest(range($SimBands)) AS b)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc1, b2.doc_id AS doc2,
+         |    cast(bit_count(xor(a.simhash, b2.simhash)) AS bigint) AS hamming
+         |  FROM banded a JOIN banded b2
+         |    ON a.b = b2.b AND a.key = b2.key AND a.doc_id < b2.doc_id)
+         |SELECT doc1, doc2, hamming FROM cand WHERE hamming <= $MaxHamming
+         |ORDER BY doc1, doc2""".stripMargin,
     "q31_corpus_clean" ->
       s"""WITH stats AS (
          |  SELECT doc_id, lang, $nTokensSql AS n_tokens, $qualitySql AS quality
