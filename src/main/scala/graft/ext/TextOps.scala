@@ -170,6 +170,45 @@ object TextOps {
     size(array_intersect(s1, s2)).cast("double") /
       size(array_union(s1, s2)).cast("double")
 
+  /** BPE-ish subword tokenization count: a GPT-2-style pre-tokenizer
+    * regex (contraction suffixes, space-prefixed letter/digit runs,
+    * punctuation runs, whitespace runs) — RE2-safe (no lookaheads), so
+    * Java regex and the oracle engine count identically on ASCII corpora.
+    */
+  val BpePattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+|\\s+"
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpePattern), lit(0))).cast("long")
+
+  /** Rabin-Karp rolling-hash document fingerprint: the minimum of the
+    * polynomial hashes of every `k`-char window (winnowing-style). The
+    * engine computes it in O(n) per document with a true rolling update;
+    * the oracle recomputes each window by Horner's rule — identical
+    * values, since all arithmetic is exact int64 mod a Mersenne prime.
+    * Returns null for documents shorter than `k`.
+    */
+  val RollB = 257L
+  val RollP: Long = (1L << 31) - 1
+  def rollingFingerprintJvm(text: String, k: Int = 16): Option[Long] = {
+    if (text == null || text.length < k) return None
+    var h = 0L
+    var i = 0
+    while (i < k) { h = (h * RollB + text.charAt(i)) % RollP; i += 1 }
+    var minH = h
+    // B^(k-1) mod P for the outgoing char
+    var bk = 1L
+    i = 0
+    while (i < k - 1) { bk = bk * RollB % RollP; i += 1 }
+    i = k
+    while (i < text.length) {
+      h = (h - text.charAt(i - k) * bk % RollP + RollP) % RollP
+      h = (h * RollB + text.charAt(i)) % RollP
+      if (h < minH) minH = h
+      i += 1
+    }
+    Some(minH)
+  }
+
   /** Character-trigram language-ID heuristic: scores text against small
     * per-language trigram profiles, argmax with deterministic tie-break
     * (profile order). A real deployment would broadcast learned profiles;

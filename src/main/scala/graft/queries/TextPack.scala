@@ -185,9 +185,34 @@ object TextPack {
       .orderBy(col("doc1"), col("doc2"))
   }
 
+  /** BPE-ish vs whitespace token counts per doc (tokenizer cost model). */
+  def bpeTokenCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        TextOps.tokenCount(col("text")).as("n_ws_tokens"),
+        TextOps.bpeTokenCount(col("text")).as("n_bpe_tokens"))
+      .orderBy(col("doc_id"))
+
+  /** Rolling-hash (Rabin-Karp) winnowing fingerprints + collision groups:
+    * the engine's O(n)-per-doc typed path vs the oracle's per-window
+    * Horner recomputation — value-identical exact int64 arithmetic.
+    */
+  def rollingFingerprints(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fps = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        (id, TextOps.rollingFingerprintJvm(text, 16))
+      })
+      .toDF("doc_id", "roll_fp")
+    fps.select(col("doc_id"), col("roll_fp")).orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_corpus_clean" -> corpusClean _,
     "q32_simhash_neardup" -> simhashNearDup _,
+    "q33_bpe_token_count" -> bpeTokenCounts _,
+    "q34_rolling_fingerprint" -> rollingFingerprints _,
     "q13_text_stats" -> textStats _,
     "q14_fingerprint_dedup" -> fingerprintDedup _,
     "q15_token_frequency" -> tokenFrequency _,
@@ -237,6 +262,22 @@ object TextPack {
       |  FROM bits GROUP BY doc_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q33_bpe_token_count" ->
+      s"""SELECT doc_id,
+         |  len(text) - len(replace(text, ' ', '')) + 1 AS n_ws_tokens,
+         |  cast(len(regexp_extract_all(text,
+         |    '${TextOps.BpePattern.replace("'", "''")}')) AS bigint) AS n_bpe_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q34_rolling_fingerprint" ->
+      s"""SELECT doc_id,
+         |  CASE WHEN len(text) >= 16 THEN
+         |    list_min(list_transform(range(len(text) - 16 + 1), i ->
+         |      list_reduce(
+         |        list_prepend(0::bigint, list_transform(range(16), j ->
+         |          ascii(text[cast(i + j + 1 AS int):cast(i + j + 1 AS int)])::bigint)),
+         |        (a, b) -> (a * ${TextOps.RollB} + b) % ${TextOps.RollP})))
+         |  END AS roll_fp
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "q32_simhash_neardup" ->
       s"""WITH $simhashCte,
          |banded AS (
