@@ -90,14 +90,22 @@ object Wire {
   def handleDouble(v: Double): Double =
     if (v.isNaN || v.isInfinite) 0.0 else v
 
+  // Manual little-endian assembly: the decode hot loops read at stride 1
+  // (millions of reads per frame batch), so a ByteBuffer wrapper per read
+  // would dominate allocation. Bit-identical to the ByteBuffer forms.
+  private def readIntLE(data: Array[Byte], pos: Int): Int =
+    (data(pos) & 0xff) | ((data(pos + 1) & 0xff) << 8) |
+      ((data(pos + 2) & 0xff) << 16) | ((data(pos + 3) & 0xff) << 24)
+
   def readDoubleLE(data: Array[Byte], pos: Int): Double =
-    ByteBuffer.wrap(data, pos, 8).order(ByteOrder.LITTLE_ENDIAN).getDouble
+    java.lang.Double.longBitsToDouble(
+      (readIntLE(data, pos) & 0xffffffffL) | (readIntLE(data, pos + 4).toLong << 32))
 
   def readFloatLE(data: Array[Byte], pos: Int): Float =
-    ByteBuffer.wrap(data, pos, 4).order(ByteOrder.LITTLE_ENDIAN).getFloat
+    java.lang.Float.intBitsToFloat(readIntLE(data, pos))
 
   def readUInt32LE(data: Array[Byte], pos: Int): Long =
-    ByteBuffer.wrap(data, pos, 4).order(ByteOrder.LITTLE_ENDIAN).getInt.toLong & 0xffffffffL
+    readIntLE(data, pos).toLong & 0xffffffffL
 
   def indexOf(haystack: Array[Byte], needle: Array[Byte]): Int = {
     if (needle.isEmpty) return 0
