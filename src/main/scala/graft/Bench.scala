@@ -25,8 +25,9 @@ object Bench {
     // a count on top lets Catalyst prune every unreferenced projection,
     // so map-heavy expression pipelines would be measured mostly deleted.
     // toRdd materializes every output column of the query as written.
-    def run(name: String, dir: String): Unit =
+    def run(name: String, dir: String): Unit = Caches.scoped {
       SparkEntry.queries(name)(spark, dir).queryExecution.toRdd.count()
+    }
 
     val names = SparkEntry.queries.keys.toSeq.sorted
     names.foreach { name =>

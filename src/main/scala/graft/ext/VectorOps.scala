@@ -60,11 +60,22 @@ object VectorOps {
     * one-partition-per-query window, which would put the whole scored
     * corpus into #queries partitions. Norms are computed once per side
     * before the join.
+    *
+    * The broadcast side is BOUNDED: the query set is counted up front and
+    * the operator refuses query sets above `maxQueryRows` rather than
+    * silently broadcasting an unbounded DataFrame into every executor —
+    * flip the sides or use `lshTopK` when both sides are large.
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       qId: String = "q_id", qVec: String = "q_vec",
-      cId: String = "c_id", cVec: String = "c_vec"): DataFrame = {
-    val q = queries.withColumn("q_nrm", normInt(col(qVec)))
+      cId: String = "c_id", cVec: String = "c_vec",
+      maxQueryRows: Long = 100000L): DataFrame = {
+    val qSide = graft.Caches.persisted(queries)
+    val nQueries = qSide.count()
+    require(nQueries <= maxQueryRows,
+      s"bruteForceTopK broadcasts the query side: $nQueries rows > bound $maxQueryRows; " +
+        "swap sides or use lshTopK when both sides are large")
+    val q = qSide.withColumn("q_nrm", normInt(col(qVec)))
     val c = corpus.withColumn("c_nrm", normInt(col(cVec)))
     val scored = c.crossJoin(broadcast(q))
       .filter(col(qId) =!= col(cId))
@@ -85,7 +96,7 @@ object VectorOps {
   def thresholdPairs(vectors: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "qvec",
       maxRows: Long = 100000L): DataFrame = {
-    val withNorm = vectors.withColumn("nrm", normInt(col(vecCol))).persist()
+    val withNorm = graft.Caches.persisted(vectors.withColumn("nrm", normInt(col(vecCol))))
     val n = withNorm.count()
     require(n <= maxRows,
       s"thresholdPairs is O(n^2): corpus has $n rows > bound $maxRows; use lshTopK at scale")
@@ -135,8 +146,8 @@ object VectorOps {
   def ivfTopK(vectors: DataFrame, isQuery: Column => Column, k: Int, nprobe: Int,
       idCol: String = "vec_id", labelCol: String = "label",
       vecCol: String = "qvec"): DataFrame = {
-    val vecs = vectors.select(col(idCol), col(labelCol), col(vecCol),
-      normInt(col(vecCol)).as("nrm")).persist()
+    val vecs = graft.Caches.persisted(vectors.select(col(idCol), col(labelCol), col(vecCol),
+      normInt(col(vecCol)).as("nrm")))
 
     // Codebook: per-cell, per-dim (sum·1000) div count — truncating
     // INTEGER division (matching DuckDB's `//`), so centroids are exact
@@ -189,11 +200,12 @@ object VectorOps {
     * grow linearly with corpus size).
     */
   def planesForCorpus(corpusSize: Long, targetBucketSize: Long = 1024L,
-      minPlanes: Int = 4, maxPlanes: Int = 24): Int = {
-    val needed = math.ceil(
-      math.log(math.max(1.0, corpusSize.toDouble / targetBucketSize)) / math.log(2.0)).toInt
-    math.min(maxPlanes, math.max(minPlanes, needed))
-  }
+      minPlanes: Int = 4, maxPlanes: Int = 24): Int =
+    // Integer-exact formulation (smallest p with 2^p·target ≥ n), so a SQL
+    // oracle deriving the same count never disagrees on a log2 tie.
+    (minPlanes to maxPlanes)
+      .find(p => (1L << p) * targetBucketSize >= corpusSize)
+      .getOrElse(maxPlanes)
 
   /** LSH-bucketed ANN: bucket both sides on the SRP key, equi-join within
     * buckets, then exact re-rank per query via the bounded top-k aggregate
@@ -204,10 +216,9 @@ object VectorOps {
     */
   def lshTopK(vectors: DataFrame, k: Int, dims: Int, planes: Int = 8,
       idCol: String = "vec_id", vecCol: String = "qvec"): DataFrame = {
-    val bucketed = vectors
+    val bucketed = graft.Caches.persisted(vectors
       .withColumn("bucket", srpBucket(col(vecCol), dims, planes))
-      .withColumn("nrm", normInt(col(vecCol)))
-      .persist()
+      .withColumn("nrm", normInt(col(vecCol))))
     val a = bucketed.select(col(idCol).as("id1"), col(vecCol).as("v1"), col("nrm").as("n1"), col("bucket"))
     val b = bucketed.select(col(idCol).as("id2"), col(vecCol).as("v2"), col("nrm").as("n2"), col("bucket"))
     val candidates = a.join(b, Seq("bucket")).filter(col("id1") =!= col("id2"))

@@ -57,9 +57,8 @@ object TextPack {
     * instead of re-running tokenize+shingle per join side.
     */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
-      .select(col("doc_id"), TextOps.wordShingles(col("text"), 3).as("sh"))
-      .persist()
+    val d = graft.Caches.persisted(Tables.documents(spark, dir)
+      .select(col("doc_id"), TextOps.wordShingles(col("text"), 3).as("sh")))
     val a = d.select(col("doc_id").as("doc1"), col("sh").as("sh1"))
     val b = d.select((col("doc_id") - 1).as("doc1"), col("doc_id").as("doc2"), col("sh").as("sh2"))
     a.join(b, "doc1")
@@ -97,7 +96,7 @@ object TextPack {
     // The md5-shingle + minhash subtree is the expensive part; persist the
     // (doc_id, sig) result (16 longs/doc) so the band self-join doesn't
     // evaluate it once per side.
-    val d = signatures(spark, dir).persist()
+    val d = graft.Caches.persisted(signatures(spark, dir))
       .select(col("doc_id"), posexplode(TextOps.lshBandKeys(col("sig"), Bands, R))
         .as(Seq("band", "key")))
       .select(col("doc_id"), concat(col("band").cast("string"), lit(":"), col("key")).as("band_key"))
@@ -163,11 +162,11 @@ object TextPack {
     * a shuffle join, never all-pairs — then exact hamming gate.
     */
   def simhashNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val sims = {
+    val sims = graft.Caches.persisted {
       val toks = Tables.documents(spark, dir)
         .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
       TextOps.simhash(toks, "doc_id", "tok", bits = 60)
-    }.persist()
+    }
     val bandKeys = array((0 until SimBands).map(b =>
       shiftright(col("simhash"), b * SimBandBits).bitwiseAND(lit((1L << SimBandBits) - 1))): _*)
     val banded = sims.select(col("doc_id"), col("simhash"),

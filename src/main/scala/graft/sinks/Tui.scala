@@ -14,10 +14,12 @@ import graft.model.TokenProfile
   */
 object Tui {
 
-  /** cli.py:219-230 */
+  /** cli.py:219-230. Python truthiness: `if token.symbol and ...` skips
+    * empty strings, not just None — mirror with nonEmpty filters.
+    */
   def displayName(t: TokenProfile, index: Int): String =
-    t.symbol.filter(s => !s.startsWith("TOKEN_")).map(_.take(15))
-      .orElse(t.token_name.map(_.take(15)))
+    t.symbol.filter(s => s.nonEmpty && !s.startsWith("TOKEN_")).map(_.take(15))
+      .orElse(t.token_name.filter(_.nonEmpty).map(_.take(15)))
       .getOrElse(f"UNKNOWN_$index%02d")
 
   /** cli.py:204-213 */
@@ -65,12 +67,14 @@ object Tui {
     sb.append(header.mkString(" | ")).append('\n')
     sb.append(Widths.map("-" * _).mkString("-+-")).append('\n')
     top.zipWithIndex.foreach { case (t, i) =>
+      // cli.py:194-202 uses `if token.price` etc. — Python truthiness, so
+      // a present-but-zero metric renders "N/A" exactly like a missing one.
       val cells = Seq(
         (displayName(t, i), false),
-        (t.price.map(p => "$" + pyFixed(p, 6)).getOrElse("N/A"), true),
-        (t.volume_24h.map(formatLargeNumber).getOrElse("N/A"), true),
-        (t.txns_24h.map(v => pyGrouped(v.toLong)).getOrElse("N/A"), true),
-        (t.makers.map(v => pyGrouped(v.toLong)).getOrElse("N/A"), true),
+        (t.price.filter(_ != 0.0).map(p => "$" + pyFixed(p, 6)).getOrElse("N/A"), true),
+        (t.volume_24h.filter(_ != 0.0).map(formatLargeNumber).getOrElse("N/A"), true),
+        (t.txns_24h.filter(_ != 0).map(v => pyGrouped(v.toLong)).getOrElse("N/A"), true),
+        (t.makers.filter(_ != 0).map(v => pyGrouped(v.toLong)).getOrElse("N/A"), true),
         (confEmoji(t.confidence_score), true))
       sb.append(cells.zip(Widths).map { case ((s, r), w) => pad(s, w, r) }
         .mkString(" | ")).append('\n')

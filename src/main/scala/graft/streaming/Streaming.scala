@@ -49,26 +49,29 @@ object Streaming {
       trigger: Trigger = Trigger.ProcessingTime("5 seconds"),
       checkpointDir: Option[String] = None): StreamingQuery = {
     val tokens = tokenStream(spark, frameSource(spark, framesDir))
+    // Ring of recent top-K batches (ST6/O14): bounded driver-side state
+    // feeding the TUI's session stats — scoped to THIS pipeline run, so
+    // concurrent `rich` streams never interleave cycle counts and a
+    // restarted pipeline starts from cycle 1.
+    val ring = new DataBuffer[Seq[TokenProfile]](maxSize = 100)
     val writer = tokens.writeStream
       .outputMode("append")
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        onBatch(batchId, serializeBatch(batch, formatType, topK))
+        onBatch(batchId, serializeBatch(batch, formatType, topK, ring))
         ()
       }
     checkpointDir.foreach(writer.option("checkpointLocation", _))
     writer.start()
   }
 
-  /** Ring of recent top-K batches (ST6/O14): bounded driver-side state
-    * feeding the TUI's session stats; cleared per pipeline run.
-    */
-  private val recentBatches = new DataBuffer[Seq[TokenProfile]](maxSize = 100)
-
   /** One micro-batch → one serialized payload. Stats are a distributed
-    * aggregate; only the bounded top-K rows reach the driver.
+    * aggregate; only the bounded top-K rows reach the driver. The `ring`
+    * (used by the `rich` format's cycle counter) is owned by the caller —
+    * one per pipeline run.
     */
-  def serializeBatch(tokens: DataFrame, formatType: String, topK: Int): String = {
+  def serializeBatch(tokens: DataFrame, formatType: String, topK: Int,
+      ring: DataBuffer[Seq[TokenProfile]] = new DataBuffer(maxSize = 100)): String = {
     val spark = tokens.sparkSession
     import spark.implicits._
     val statsRow = Tokens.batchStats(tokens).collect()(0)
@@ -90,8 +93,8 @@ object Streaming {
       case "rich" =>
         // O14: deterministic TUI frame — cycle from the ring, clock from
         // the batch's injected extraction ts, never wall-clock.
-        recentBatches.append(top)
-        val cycle = recentBatches.size.toLong
+        ring.append(top)
+        val cycle = ring.size.toLong
         graft.sinks.Tui.render(top, total, highConf, complete, cycle,
           sessionSeconds = cycle * 5.0,
           clock = java.time.Instant.ofEpochSecond(ts)
