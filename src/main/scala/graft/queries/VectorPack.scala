@@ -16,7 +16,19 @@ object VectorPack {
   private val TopK = 5
   private val Threshold = 0.35
   private val Dims = 64
-  private val Planes = 8
+
+  /** SRP bucket sizing target: ~this many vectors per bucket, so the
+    * within-bucket candidate join stays bounded as the corpus grows (the
+    * plane count is DERIVED from the corpus size, never pinned).
+    */
+  private[graft] val TargetBucket = 256L
+
+  /** The sizing rule q23 uses, driver-side: one metadata-count of the
+    * corpus → plane count. The oracle derives the identical count in SQL
+    * (same integer formulation), so both engines bucket identically.
+    */
+  private[graft] def lshPlanes(spark: SparkSession, dir: String): Int =
+    VectorOps.planesForCorpus(Tables.embeddings(spark, dir).count(), TargetBucket)
 
   private def quantized(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
@@ -42,9 +54,12 @@ object VectorPack {
 
   /** LSH-bucketed ANN: sign-random-projection bucket key (md5-derived ±1
     * hyperplanes — reproducible in SQL), candidates only within buckets.
+    * Plane count is sized to the corpus via [[VectorOps.planesForCorpus]]
+    * so bucket occupancy — and the quadratic within-bucket join — stays
+    * ~constant as the corpus scales.
     */
   def lshAnn(spark: SparkSession, dir: String): DataFrame =
-    VectorOps.lshTopK(quantized(spark, dir), TopK, Dims, Planes)
+    VectorOps.lshTopK(quantized(spark, dir), TopK, Dims, lshPlanes(spark, dir))
       .withColumn("rank", col("rank").cast("long"))
       .orderBy(col("id1"), col("rank"))
 
@@ -82,11 +97,18 @@ object VectorPack {
 
   private val qv = s"list_transform(embedding, x -> cast(round(x * $Scale) AS bigint))"
   private def dot(a: String, b: String) = s"list_dot_product($a, $b)"
+  // Plane count derived in SQL with the same integer rule as
+  // planesForCorpus: smallest p in [4,24] with 2^p·target ≥ corpus size.
+  private val planesCteSql =
+    s"""np AS (
+       |  SELECT coalesce(min(p), 24) AS planes
+       |  FROM range(4, 25) t(p)
+       |  WHERE (1::bigint << p) * $TargetBucket >= (SELECT count(*) FROM embeddings))""".stripMargin
   private val srpBucketSql =
     s"""array_to_string([CASE WHEN list_sum(
        |    list_transform(range($Dims), d ->
-       |      (((('0x' || substr(md5('srp-' || p || '-' || d), 1, 8))::bigint & 1) * 2 - 1) * qvec[d+1]))
-       |  ) > 0 THEN 1 ELSE 0 END for p in range($Planes)], '')""".stripMargin
+       |      (((('0x' || substr(md5('srp-' || pl || '-' || d), 1, 8))::bigint & 1) * 2 - 1) * qvec[d+1]))
+       |  ) > 0 THEN 1 ELSE 0 END for pl in range((SELECT planes FROM np))], '')""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q21_ann_topk" ->
@@ -116,7 +138,8 @@ object VectorPack {
          |     sqrt(cast(${dot("b.qvec", "b.qvec")} AS double))) >= $Threshold
          |ORDER BY id1, id2""".stripMargin,
     "q23_lsh_ann" ->
-      s"""WITH v AS (SELECT vec_id, $qv AS qvec FROM embeddings),
+      s"""WITH $planesCteSql,
+         |v AS (SELECT vec_id, $qv AS qvec FROM embeddings),
          |b AS (SELECT vec_id, qvec, $srpBucketSql AS bucket FROM v),
          |cand AS (
          |  SELECT a.vec_id AS id1, b2.vec_id AS id2,

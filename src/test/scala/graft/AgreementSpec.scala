@@ -71,6 +71,23 @@ class AgreementSpec extends AnyFunSuite {
     assert(planesForCorpus(2000000) == planesForCorpus(1000000) + 1)
   }
 
+  test("q23 derives its SRP plane count from the corpus, not a constant") {
+    import graft.queries.VectorPack
+    val dir = "/root/testdata/sf0.001"
+    val n = Tables.embeddings(spark, dir).count()
+    val expected = graft.ext.VectorOps.planesForCorpus(n, VectorPack.TargetBucket)
+    assert(VectorPack.lshPlanes(spark, dir) == expected)
+    // The shipped query's plan carries exactly `expected` hyperplanes: the
+    // SRP bucket key embeds one 'srp-<plane>-<dim>' literal per (plane, dim).
+    val plan = VectorPack.queries("q23_lsh_ann")(spark, dir)
+      .queryExecution.analyzed.toString
+    assert((0 until expected).forall(p => plan.contains(s"srp-$p-0")))
+    assert(!plan.contains(s"srp-$expected-0"))
+    // The oracle derives the same count from the same rule in SQL.
+    val oracle = VectorPack.oracles("q23_lsh_ann")
+    assert(oracle.contains(s"* ${VectorPack.TargetBucket} >= (SELECT count(*) FROM embeddings)"))
+  }
+
   test("DataBuffer ring matches utils.py:472-507 semantics") {
     val buf = new DataBuffer[Int](maxSize = 5)
     (1 to 3).foreach(buf.append)
