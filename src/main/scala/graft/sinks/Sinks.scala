@@ -2,7 +2,7 @@ package graft.sinks
 
 import graft.model._
 import graft.sinks.PyFormat._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Export formats O1-O13 (SURVEY §2.11; reference: dexscraper/models.py
@@ -24,25 +24,62 @@ object Sinks {
   val CsvOhlcvHeader = "DateTime,Open,High,Low,Close,Volume"
   val CsvOhlcvtHeader = "DateTime,Open,High,Low,Close,Volume,Trades"
 
+  /** Column-level line builders: the same expressions back both the
+    * `*Lines` DataFrame sinks and the oracle-gated q35 formatting query.
+    *
+    * Rounding parity note (%.Nf): for N ≥ 1 a round-half tie would need
+    * the value to be odd/(2·10^N), which is never exactly representable
+    * in binary — so Java's HALF_UP and C/DuckDB printf's HALF_EVEN agree
+    * on every double. Only %.0f can tie (x.5 IS representable); those
+    * sites pre-round with `bround` (HALF_EVEN) to match C printf.
+    */
+  def mt5LineCol(ts: Column, open: Column, high: Column, low: Column,
+      close: Column, volume: Column): Column =
+    format_string("%s,%.8f,%.8f,%.8f,%.8f,%d",
+      date_format(ts, "yyyy.MM.dd HH:mm:ss"),
+      open, high, low, close, volume.cast("long"))
+
+  def csvOhlcvLineCol(ts: Column, open: Column, high: Column, low: Column,
+      close: Column, volume: Column): Column =
+    format_string("%s,%.8f,%.8f,%.8f,%.8f,%.2f",
+      date_format(ts, "yyyy-MM-dd HH:mm:ss"),
+      open, high, low, close, volume)
+
+  def csvOhlcvtLineCol(ts: Column, open: Column, high: Column, low: Column,
+      close: Column, volume: Column, trades: Column): Column =
+    format_string("%s,%.8f,%.8f,%.8f,%.8f,%.2f,%d",
+      date_format(ts, "yyyy-MM-dd HH:mm:ss"),
+      open, high, low, close, volume,
+      coalesce(trades, (volume / 1000.0).cast("int")))
+
+  /** P4 K/M/B suffix (cli.py:232-241) as a Column — same thresholds and
+    * digit counts as [[Tui.formatLargeNumber]]; the %.0f branches
+    * pre-round HALF_EVEN (see parity note above).
+    */
+  def largeNumberCol(num: Column): Column =
+    when(num >= 1000000000d,
+      concat(lit("$"), format_string("%.1f", num / 1000000000d), lit("B")))
+      .when(num >= 1000000d,
+        concat(lit("$"), format_string("%.1f", num / 1000000d), lit("M")))
+      .when(num >= 1000d,
+        concat(lit("$"), format_string("%.0f", bround(num / 1000d, 0)), lit("K")))
+      .otherwise(concat(lit("$"), format_string("%.0f", bround(num, 0))))
+
   /** O5 MT5 line: `YYYY.MM.DD HH:MM:SS,O,H,L,C,int(V)` at %.8f. */
   def mt5Lines(ohlc: DataFrame): DataFrame =
-    ohlc.select(format_string("%s,%.8f,%.8f,%.8f,%.8f,%d",
-      date_format(timestamp_seconds(col("timestamp")), "yyyy.MM.dd HH:mm:ss"),
-      col("open"), col("high"), col("low"), col("close"),
-      col("volume").cast("long")).as("line"))
+    ohlc.select(mt5LineCol(timestamp_seconds(col("timestamp")),
+      col("open"), col("high"), col("low"), col("close"), col("volume")).as("line"))
 
   /** O3 CSV OHLCV line (header written separately). */
   def csvOhlcvLines(ohlc: DataFrame): DataFrame =
-    ohlc.select(format_string("%s,%.8f,%.8f,%.8f,%.8f,%.2f",
-      date_format(timestamp_seconds(col("timestamp")), "yyyy-MM-dd HH:mm:ss"),
+    ohlc.select(csvOhlcvLineCol(timestamp_seconds(col("timestamp")),
       col("open"), col("high"), col("low"), col("close"), col("volume")).as("line"))
 
   /** O4 CSV OHLCVT line with the volume/1000 trades estimate. */
   def csvOhlcvtLines(ohlc: DataFrame): DataFrame =
-    ohlc.select(format_string("%s,%.8f,%.8f,%.8f,%.8f,%.2f,%d",
-      date_format(timestamp_seconds(col("timestamp")), "yyyy-MM-dd HH:mm:ss"),
+    ohlc.select(csvOhlcvtLineCol(timestamp_seconds(col("timestamp")),
       col("open"), col("high"), col("low"), col("close"), col("volume"),
-      coalesce(col("trades"), (col("volume") / 1000.0).cast("int"))).as("line"))
+      col("trades")).as("line"))
 
   // ---- Bounded exact-parity serializers ------------------------------
 
