@@ -1,0 +1,127 @@
+package graft.cli
+
+import graft.config.QueryCompiler
+import graft.decode.Decode
+import graft.model.TokenProfile
+import graft.operators.Tokens
+import graft.sinks.Sinks
+import graft.streaming.Streaming
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.Trigger
+
+/** EP1, runnable end-to-end (reference: dexscraper/cli.py:1033-1107):
+  * argv → ScrapingConfig → decode pipeline → serialized batch, with the
+  * reference's `--once` / `--output` semantics and exit codes. The one
+  * engine-specific flag is `--frames <dir>` — where the reference dials a
+  * WebSocket, this engine reads frame rows (frame_id, frame, extraction_ts)
+  * from parquet, the same source the streaming path replays.
+  *
+  * The scraping config is applied ENGINE-SIDE via QueryCompiler (S2's
+  * backstop: filter → rank → limit); the reference gets the same effect
+  * server-side via the URL the identical Filters serialize to.
+  */
+object Main {
+
+  def main(args: Array[String]): Unit = {
+    val code = run(args.toSeq, s => { Console.out.println(s); () },
+      s => { Console.err.println(s); () })
+    if (code != 0) sys.exit(code)
+  }
+
+  /** Engine flags stripped before the reference-parity parse. */
+  private[cli] def splitEngineArgs(argv: Seq[String]): (Option[String], Seq[String]) = {
+    val rest = Seq.newBuilder[String]
+    var frames: Option[String] = None
+    var i = 0
+    while (i < argv.length) {
+      if (argv(i) == "--frames" && i + 1 < argv.length) { frames = Some(argv(i + 1)); i += 2 }
+      else { rest += argv(i); i += 1 }
+    }
+    (frames, rest.result())
+  }
+
+  /** Exit-code-returning core (no System.exit, no session ownership) —
+    * the spec drives this directly.
+    */
+  def run(argv: Seq[String], out: String => Unit, err: String => Unit,
+      sparkOpt: Option[SparkSession] = None): Int = {
+    val (framesDirOpt, rest) = splitEngineArgs(argv)
+    Cli.parseArgs(rest) match {
+      case Left(e) => err(e); 2
+      case Right(args) =>
+        framesDirOpt match {
+          case None => err("--frames <dir> is required (engine frame source)"); 2
+          case Some(framesDir) =>
+            val spark = sparkOpt.getOrElse(defaultSession())
+            try execute(spark, framesDir, args, out, err)
+            finally if (sparkOpt.isEmpty) spark.stop()
+        }
+    }
+  }
+
+  private def defaultSession(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+  }
+
+  private def execute(spark: SparkSession, framesDir: String, args: Cli.CliArgs,
+      out: String => Unit, err: String => Unit): Int = {
+    if (args.once) runOnce(spark, framesDir, args, out, err)
+    else if (args.output.isDefined) {
+      // cli.py:1077-1079
+      err("--output is supported only with --once"); 2
+    } else {
+      val query = Streaming.runTokenPipeline(spark, framesDir,
+        (_, payload) => out(payload),
+        formatType = if (args.format == "ohlcv" || args.format == "ohlcvt") "json" else args.format,
+        topK = args.limit,
+        trigger = Trigger.ProcessingTime("5 seconds"))
+      query.awaitTermination()
+      0
+    }
+  }
+
+  /** `--once`: one batch extraction → serialized output (cli.py:1060-1074).
+    * Returns 1 with "Failed to extract token data" when the decode yields
+    * nothing, exactly like the reference.
+    */
+  def runOnce(spark: SparkSession, framesDir: String, args: Cli.CliArgs,
+      out: String => Unit, err: String => Unit): Int = {
+    import spark.implicits._
+    val config = Cli.buildConfigFromArgs(args)
+    val frames = spark.read.schema(Streaming.frameSchema).parquet(framesDir)
+    val decoded = Decode.tokens(spark, frames.as[Decode.Frame])
+    // S2 backstop: the same Filters the URL would carry, applied engine-side.
+    val filtered = decoded.filter(QueryCompiler.filterPredicate(config.filters))
+
+    val statsRow = Tokens.batchStats(filtered).collect()(0)
+    val (total, highConf) = (statsRow.getLong(0), statsRow.getLong(1))
+    val top: Seq[TokenProfile] = filtered
+      .orderBy(QueryCompiler.sortColumns(config.rankBy, config.order): _*)
+      .limit(args.limit) // planned as TakeOrderedAndProject — no global sort
+      .drop("frame_id").as[TokenProfile].collect().toSeq
+    if (top.isEmpty) { err("Failed to extract token data"); return 1 }
+
+    val ts = top.flatMap(_.timestamp).headOption.getOrElse(0L)
+    val serialized =
+      if (args.format == "rich")
+        // Reference routes rich to the interactive TUI; one-shot mode
+        // renders a single deterministic TUI frame instead.
+        graft.sinks.Tui.render(top, total, highConf,
+          complete = statsRow.getLong(2), cycle = 1L, sessionSeconds = 5.0,
+          clock = java.time.Instant.ofEpochSecond(ts)
+            .atZone(java.time.ZoneOffset.UTC).toLocalTime.toString)
+      else Sinks.formatBatchOutput(top, args.format, args.limit, total, highConf, ts)
+
+    args.output match {
+      case Some(path) => Sinks.writeBatchFile(path, serialized)
+      case None => out(serialized)
+    }
+    0
+  }
+}

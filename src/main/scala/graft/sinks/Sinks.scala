@@ -171,6 +171,38 @@ object Sinks {
       "timestamp" -> extractionTs))
   }
 
+  /** W2 driver-side degenerate bar (models.py:253-264): price/volume
+    * present → synthetic ±2% range bar; either missing → no bar.
+    */
+  def tokenOhlcBar(t: TokenProfile): Option[Ohlc] =
+    for (p <- t.price; v <- t.volume_24h)
+      yield Ohlc(t.timestamp.getOrElse(0L), p, p * 1.02, p * 0.98, p, v)
+
+  /** EP1 one-shot serialization (cli.py:667-699 `build_batch_output`):
+    * top-`limit` tokens by (confidence desc, field_count desc), then the
+    * per-format batch string. Unknown formats return "" like the
+    * reference.
+    */
+  def formatBatchOutput(tokens: Seq[TokenProfile], formatType: String,
+      limit: Int, totalExtracted: Long, highConfidenceCount: Long,
+      extractionTs: Long): String = {
+    val top = tokens.sortBy(t => (-t.confidence_score, -t.field_count)).take(limit)
+    lazy val bars = top.flatMap(tokenOhlcBar)
+    formatType match {
+      case "json" => jsonObj(Seq(
+        "type" -> "enhanced_tokens",
+        "extraction_timestamp" -> extractionTs,
+        "total_extracted" -> totalExtracted,
+        "high_confidence_count" -> highConfidenceCount,
+        "tokens" -> top.map(tokenOutputDict)))
+      case "ohlcv" => formatCsvBatch(bars, "ohlcv")
+      case "ohlcvt" => formatCsvBatch(bars, "ohlcvt")
+      case "ohlc" => bars.map(formatOhlcLine("TOKEN", _)).mkString("\n")
+      case "mt5" => bars.map(formatMt5).mkString("\n")
+      case _ => ""
+    }
+  }
+
   /** O6 OHLC line with Python str(float) values (scraper.py:1542-1547). */
   def formatOhlcLine(symbol: String, o: Ohlc): String =
     s"$symbol,${o.timestamp},${pyFloatRepr(o.open)},${pyFloatRepr(o.high)},${pyFloatRepr(o.low)},${pyFloatRepr(o.close)},${pyFloatRepr(o.volume)}"

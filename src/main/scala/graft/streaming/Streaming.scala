@@ -106,8 +106,7 @@ object Streaming {
 
   /** W2 per-token degenerate bar (models.py:253-264). */
   private def tokenOhlc(t: TokenProfile): Option[graft.model.Ohlc] =
-    for (p <- t.price; v <- t.volume_24h)
-      yield graft.model.Ohlc(t.timestamp.getOrElse(0L), p, p * 1.02, p * 0.98, p, v)
+    Sinks.tokenOhlcBar(t)
 
   /** True streaming OHLC (W4 + ST5): watermarked tick stream → windowed
     * bars. `ticks` needs (ts: timestamp, price, volume, key columns).

@@ -94,6 +94,55 @@ class CliSpec extends AnyFunSuite {
     assert(Cli.parseArgs(Seq("--dexs", "raydium,nope")).isLeft)
   }
 
+  test("EP1 e2e: argv -> decode -> --once --output file (cli.py:1053-1074)") {
+    import graft.cli.Main
+    import graft.decode.Wire
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+
+    def tokenFrame(seed: Int): Array[Byte] = {
+      val nums = java.nio.ByteBuffer.allocate(24).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      nums.putDouble(0.004).putDouble(250000.0).putDouble(500.0)
+      val text = (s"  $$TOK${('A' + seed % 5).toChar} pumpfun 24h " +
+        "So11111111111111111111111111111111111111112 ").getBytes("UTF-8")
+      Wire.Preamble ++ Wire.PairsMarker ++ new Array[Byte](15) ++ nums.array() ++ text
+    }
+    val framesDir = java.nio.file.Files.createTempDirectory("cli_frames").toString
+    (0 until 3).map(i => (i.toLong, tokenFrame(i), 1700000000L + i))
+      .toDF("frame_id", "frame", "extraction_ts")
+      .write.mode("overwrite").parquet(framesDir)
+    val outFile = java.nio.file.Files.createTempFile("cli_out", ".json").toString
+
+    val errs = scala.collection.mutable.ArrayBuffer.empty[String]
+    val code = Main.run(
+      Seq("--once", "--output", outFile, "--format", "json", "--limit", "2",
+        "--frames", framesDir),
+      _ => (), errs += _, sparkOpt = Some(spark))
+    assert(code == 0 && errs.isEmpty)
+    val payload = java.nio.file.Files.readString(java.nio.file.Paths.get(outFile))
+    assert(payload.startsWith("""{"type":"enhanced_tokens","extraction_timestamp":"""))
+    assert(payload.contains(""""total_extracted":"""))
+    assert(payload.contains(""""symbol":"TOK"""))
+    assert(payload.endsWith("\n")) // cli.py:1070-1071 trailing newline
+
+    // mt5 one-shot to stdout
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    assert(Main.run(Seq("--once", "--format", "mt5", "--frames", framesDir),
+      lines += _, errs += _, sparkOpt = Some(spark)) == 0)
+    assert(lines.mkString.startsWith("2023.11.14")) // 1700000000 UTC, W2 bar
+
+    // exit codes: filter excluding everything -> 1 with the reference message
+    assert(Main.run(Seq("--once", "--min-liquidity", "999999999",
+      "--frames", framesDir), _ => (), errs += _, sparkOpt = Some(spark)) == 1)
+    assert(errs.contains("Failed to extract token data"))
+    // --output without --once -> 2 (cli.py:1077-1079)
+    assert(Main.run(Seq("--output", "x.json", "--frames", framesDir),
+      _ => (), errs += _, sparkOpt = Some(spark)) == 2)
+    // parse error -> 2
+    assert(Main.run(Seq("--bogus", "--frames", framesDir),
+      _ => (), errs += _, sparkOpt = Some(spark)) == 2)
+  }
+
   test("CLI config compiles to the reference URL (config goldens)") {
     val url = Cli.configFromArgv(Seq("--mode", "trending", "--chain", "solana",
       "--timeframe", "h6")).toOption.get.buildWebsocketUrl
