@@ -106,7 +106,7 @@ object DecodePack {
   /** 44-char base58 encoding of 32 bytes — no 'A', no age substrings. */
   private val Addr2 = "6X1wMdxXKo8ejGDuKGiZ3fFneVdiepvkJvUrURS9zXpR"
 
-  private[queries] def deepFrame(c: Long): Array[Byte] = {
+  private[graft] def deepFrame(c: Long): Array[Byte] = {
     val block = java.nio.ByteBuffer.allocate(72)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     block.putInt(0, (1000 + c % 1500).toInt) // txns uint32 ∈ [1000, 2559)

@@ -1,0 +1,122 @@
+package graft
+
+import graft.config.{Filters, QueryCompiler}
+import graft.decode.Decode
+import graft.queries.DecodePack
+import graft.sources.{FrameTokenScan, FrameTokenSource}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** DSv2 frame source: physical filter/TopN/column pushdown visible in the
+  * executed plan, result equivalence against the engine-side backstop
+  * (S2), and the micro-batch stream path.
+  */
+class SourceSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+
+  private val NFrames = 200
+  private val Ts = 1700000000L
+
+  private lazy val framesDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_src").toString
+    (0 until NFrames).foreach(c =>
+      FrameTokenSource.writeFrameFile(dir, c.toLong, Ts, DecodePack.deepFrame(c.toLong)))
+    dir
+  }
+
+  private def sourceDf: DataFrame =
+    spark.read.format("graft-tokens").load(framesDir)
+
+  private def scanOf(df: DataFrame): FrameTokenScan =
+    df.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b.scan.asInstanceOf[FrameTokenScan]
+    }.getOrElse(fail("no BatchScanExec in plan"))
+
+  test("filters push into the source and the Filter node disappears") {
+    val df = sourceDf
+      .filter(col("liquidity") >= 35000.0 && col("chain") === "solana")
+    val scan = scanOf(df)
+    val pushed = scan.description()
+    assert(pushed.contains("PushedFilters:") && pushed.contains("liquidity"))
+    assert(pushed.contains("chain"))
+    // fully-pushed predicates leave NO engine-side Filter behind
+    val hasFilter = df.queryExecution.executedPlan.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.FilterExec])
+    assert(!hasFilter, "expected no FilterExec for fully-pushed predicates")
+    // ... and explain surfaces the pushdown for plan review
+    val explained = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(explained.contains("PushedFilters:"))
+  }
+
+  test("unsupported predicates stay engine-side (backstop), supported ones still push") {
+    val df = sourceDf
+      .filter(col("liquidity") >= 35000.0 && length(col("symbol")) === 4)
+    assert(scanOf(df).description().contains("liquidity"))
+    val hasFilter = df.queryExecution.executedPlan.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.FilterExec])
+    assert(hasFilter, "length() predicate must remain as an engine Filter")
+  }
+
+  test("TopN pushes as bounded per-partition selection; global order intact") {
+    val df = sourceDf
+      .filter(col("liquidity") >= 35000.0)
+      .orderBy(col("liquidity").desc, col("frame_id").asc)
+      .limit(20)
+    assert(scanOf(df).description().contains("PushedTopN:"))
+
+    // Backstop: same frames through the engine-only path.
+    import spark.implicits._
+    implicit val enc = org.apache.spark.sql.Encoders.product[Decode.Frame]
+    val frames = (0 until NFrames)
+      .map(c => Decode.Frame(c.toLong, DecodePack.deepFrame(c.toLong), Ts)).toDS()
+    val backstop = Decode.tokens(spark, frames)
+      .filter(QueryCompiler.filterPredicate(Filters(liquidityMin = Some(35000L))))
+      .orderBy(col("liquidity").desc, col("frame_id").asc)
+      .limit(20)
+
+    val cols = Seq("frame_id", "symbol", "liquidity", "txns_24h", "confidence_score")
+    val got = df.select(cols.map(col): _*).collect().map(_.toSeq).toSeq
+    val want = backstop.select(cols.map(col): _*).collect().map(_.toSeq).toSeq
+    assert(got == want)
+    assert(got.size == 20)
+  }
+
+  test("full-scan equivalence: source rows == engine decode rows") {
+    import spark.implicits._
+    implicit val enc = org.apache.spark.sql.Encoders.product[Decode.Frame]
+    val frames = (0 until NFrames)
+      .map(c => Decode.Frame(c.toLong, DecodePack.deepFrame(c.toLong), Ts)).toDS()
+    val backstop = Decode.tokens(spark, frames).orderBy(col("frame_id"))
+    val got = sourceDf.orderBy(col("frame_id")).collect().map(_.toSeq).toSeq
+    val want = backstop.collect().map(_.toSeq).toSeq
+    assert(got == want)
+  }
+
+  test("column pruning reaches the reader (ReadSchema)") {
+    val df = sourceDf.select(col("frame_id"), col("symbol"))
+    val scan = scanOf(df)
+    assert(scan.readSchema().fieldNames.toSeq == Seq("frame_id", "symbol"))
+    assert(scan.description().contains("ReadSchema: [frame_id,symbol]"))
+  }
+
+  test("micro-batch stream replays the same rows as the batch read") {
+    val q = spark.readStream.format("graft-tokens").load(framesDir)
+      .writeStream.format("memory").queryName("src_stream")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_src_ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("src_stream")
+    assert(streamed.count() == sourceDf.count())
+    val s = streamed.select("frame_id", "symbol", "liquidity")
+      .orderBy("frame_id").collect().map(_.toSeq).toSeq
+    val b = sourceDf.select("frame_id", "symbol", "liquidity")
+      .orderBy("frame_id").collect().map(_.toSeq).toSeq
+    assert(s == b)
+  }
+}
