@@ -16,11 +16,13 @@ import org.apache.spark.sql.functions._
   *     scales to 100 TB of media because each executor touches only its
   *     own partitions' bytes.
   *
-  * Codec note: this container has no image/audio codecs, so
-  * [[decodePixelsStub]] is a clearly-marked deterministic fake (identity
-  * over payload bytes). The schema, header format, partitioning, batch
-  * iteration, and slicing arithmetic around it are real and tested; a
-  * production deployment swaps ONLY the stub body for e.g. a JNI codec.
+  * Codec note: [[decodePixels]] carries REAL decoders for the public
+  * raster formats ([[ImageCodec]]: 24-bit BMP and PPM P6 → integer-luma
+  * grayscale, oracle-gated through the q37 perceptual-hash query). For
+  * payloads in no recognized format (e.g. the GRFM synthetic cells) it
+  * falls back to [[decodePixelsStub]], the round-2 identity-over-bytes
+  * fake — a production deployment adds further codecs (JPEG/PNG via JNI)
+  * behind the same sniffing dispatch.
   */
 object MultimodalOps {
 
@@ -72,10 +74,16 @@ object MultimodalOps {
     transform(idx, i => substring(media, i * frameSize + (HeaderLen + 1), lit(frameSize)))
   }
 
-  /** DETERMINISTIC-FAKE codec decode: "pixels" are the raw payload bytes
-    * (unsigned). A real deployment replaces this body with an actual
-    * image/audio decoder; everything upstream (header, batching) and
-    * downstream (histogram, resize arithmetic) is codec-agnostic.
+  /** Codec dispatch: recognized public raster formats decode for real
+    * (BMP/PPM → grayscale); anything else falls back to the byte stub so
+    * the operator stays total. Everything downstream (histogram, resize,
+    * hashing) is codec-agnostic.
+    */
+  def decodePixels(media: Array[Byte]): Array[Int] =
+    ImageCodec.decode(media).map(_.gray).getOrElse(decodePixelsStub(media))
+
+  /** DETERMINISTIC-FAKE fallback for unrecognized codecs: "pixels" are
+    * the raw payload bytes (unsigned) after the GRFM header.
     */
   def decodePixelsStub(media: Array[Byte]): Array[Int] = {
     if (media == null || media.length <= HeaderLen) return Array.empty
