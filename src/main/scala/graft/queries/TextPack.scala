@@ -74,11 +74,14 @@ object TextPack {
     * un-collapsed (alias referenced k times, producer non-cheap), so md5
     * runs once per shingle, not once per hash function.
     */
-  private def signatures(spark: SparkSession, dir: String): DataFrame = {
-    val rows = TextOps.shingleRows(Tables.documents(spark, dir), "doc_id", "text", 3)
+  private def signaturesFrom(docs: DataFrame): DataFrame = {
+    val rows = TextOps.shingleRows(docs, "doc_id", "text", 3)
       .select(col("doc_id"), TextOps.hash32(col("_s")).as("_h"))
     TextOps.minhashAggFromHashes(rows, "doc_id", "_h", K)
   }
+
+  private def signatures(spark: SparkSession, dir: String): DataFrame =
+    signaturesFrom(Tables.documents(spark, dir))
 
   /** MinHash signatures, exploded to scalar rows for exact comparison. */
   def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
@@ -91,23 +94,39 @@ object TextPack {
     * docs sharing ≥1 (band-index, band-key). Output is the per-pair
     * shared-band count — candidate generation is an equi-join on the band
     * key (shuffle), never a cross product.
+    *
+    * Skew note: near-duplicate CLUSTERS make band keys hot (a k-dup
+    * cluster puts k rows on one key → k² join output through one
+    * reducer's input). `salts > 1` routes the self-join through
+    * [[graft.operators.Skew.saltedJoin]] — result-identical (SkewSpec
+    * proves it on a hot fixture), probe-side reducer input shrinks
+    * ~salts×; AQE's runtime skew-join split covers the sort-merge case
+    * when salting isn't wired. The oracle-gated queries keep salts = 1
+    * (the fixture corpora are not skewed); at 100 TB size `salts` to the
+    * observed hot-cluster ratio.
     */
-  def lshCandidatePairs(spark: SparkSession, dir: String): DataFrame = {
+  def lshCandidatePairsFrom(docs: DataFrame, salts: Int = 1): DataFrame = {
     // The md5-shingle + minhash subtree is the expensive part; persist the
     // (doc_id, sig) result (16 longs/doc) so the band self-join doesn't
     // evaluate it once per side.
-    val d = graft.Caches.persisted(signatures(spark, dir))
+    val d = graft.Caches.persisted(signaturesFrom(docs))
       .select(col("doc_id"), posexplode(TextOps.lshBandKeys(col("sig"), Bands, R))
         .as(Seq("band", "key")))
       .select(col("doc_id"), concat(col("band").cast("string"), lit(":"), col("key")).as("band_key"))
     val a = d.select(col("doc_id").as("doc1"), col("band_key"))
     val b = d.select(col("doc_id").as("doc2"), col("band_key"))
-    a.join(b, "band_key")
+    val joined =
+      if (salts <= 1) a.join(b, "band_key")
+      else graft.operators.Skew.saltedJoin(a, b, Seq("band_key"), salts)
+    joined
       .filter(col("doc1") < col("doc2"))
       .groupBy(col("doc1"), col("doc2"))
       .agg(count(lit(1)).as("n_shared_bands"))
       .orderBy(col("doc1"), col("doc2"))
   }
+
+  def lshCandidatePairs(spark: SparkSession, dir: String): DataFrame =
+    lshCandidatePairsFrom(Tables.documents(spark, dir))
 
   def simhashes(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(spark, dir)
@@ -161,9 +180,9 @@ object TextPack {
     * ≥1 band whenever d < #bands (pigeonhole), so candidate generation is
     * a shuffle join, never all-pairs — then exact hamming gate.
     */
-  def simhashNearDup(spark: SparkSession, dir: String): DataFrame = {
+  def simhashNearDupFrom(docs: DataFrame, salts: Int = 1): DataFrame = {
     val sims = graft.Caches.persisted {
-      val toks = Tables.documents(spark, dir)
+      val toks = docs
         .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
       TextOps.simhash(toks, "doc_id", "tok", bits = 60)
     }
@@ -175,7 +194,10 @@ object TextPack {
       col("band"), col("key"))
     val b = banded.select(col("doc_id").as("doc2"), col("simhash").as("s2"),
       col("band"), col("key"))
-    a.join(b, Seq("band", "key"))
+    val joined =
+      if (salts <= 1) a.join(b, Seq("band", "key"))
+      else graft.operators.Skew.saltedJoin(a, b, Seq("band", "key"), salts)
+    joined
       .filter(col("doc1") < col("doc2"))
       .select(col("doc1"), col("doc2"),
         bit_count(col("s1").bitwiseXOR(col("s2"))).cast("long").as("hamming"))
@@ -183,6 +205,10 @@ object TextPack {
       .filter(col("hamming") <= MaxHamming)
       .orderBy(col("doc1"), col("doc2"))
   }
+
+  /** See [[lshCandidatePairsFrom]] for the hot-band salting contract. */
+  def simhashNearDup(spark: SparkSession, dir: String): DataFrame =
+    simhashNearDupFrom(Tables.documents(spark, dir))
 
   /** BPE-ish vs whitespace token counts per doc (tokenizer cost model). */
   def bpeTokenCounts(spark: SparkSession, dir: String): DataFrame =
