@@ -17,8 +17,9 @@ object SourcePack {
   private val MinLiquidity = 35000.0
   private val TopN = 200
 
-  /** Harness fixture writer: one `.bin` frame file per customer key,
-    * written per-partition straight to the shared directory (local-mode
+  /** Harness fixture writer: one `.binpack` CONTAINER per input
+    * partition (the scale shape — bounded-size containers, never a file
+    * per frame), written straight to the shared directory (local-mode
     * harness; a cluster deployment would stage to shared storage).
     */
   private def writeFrames(spark: SparkSession, dir: String): String = {
@@ -26,7 +27,11 @@ object SourcePack {
     val out = java.nio.file.Files.createTempDirectory("graft_q36_frames").toString
     graft.Tables.customer(spark, dir).select(col("c_custkey")).as[Long]
       .foreachPartition { (it: Iterator[Long]) =>
-        it.foreach(c => FrameTokenSource.writeFrameFile(out, c, Ts, DecodePack.deepFrame(c)))
+        if (it.hasNext) {
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          FrameTokenSource.writeFramePack(out, f"pack_$pid%06d",
+            it.map(c => (c, Ts, DecodePack.deepFrame(c))))
+        }
       }
     out
   }

@@ -65,9 +65,15 @@ object FrameTokenSource {
   private[sources] val tokenOrdinal: Map[String, Int] =
     tokenSchema.fieldNames.zipWithIndex.toMap
 
+  /** One listed unit: a single-frame `.bin` file (frameId/ts from the
+    * name) or a multi-frame `.binpack` container (ids/ts per record —
+    * the shape that scales: 100 TB of frames lands as bounded-size
+    * containers, never billions of tiny files).
+    */
   final case class FrameFile(path: String, frameId: Long, ts: Long)
 
   private val FileName = """frame_(\d+)_(\d+)\.bin""".r
+  private val PackMagic = Array[Byte]('G', 'F', 'P', 'K')
 
   /** Deterministic listing: files sorted by name (zero-padded ids keep
     * name order = id order in the fixtures).
@@ -75,7 +81,7 @@ object FrameTokenSource {
   def listFrameFiles(dir: String): Array[FrameFile] = {
     val d = new java.io.File(dir)
     val files = Option(d.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.endsWith(".bin"))
+      .filter(f => f.isFile && (f.getName.endsWith(".bin") || f.getName.endsWith(".binpack")))
       .sortBy(_.getName)
     files.zipWithIndex.map { case (f, i) =>
       f.getName match {
@@ -94,6 +100,49 @@ object FrameTokenSource {
     java.nio.file.Files.write(
       java.nio.file.Paths.get(dir, frameFileName(frameId, ts)), bytes)
     ()
+  }
+
+  /** Write a `.binpack` container: "GFPK" magic then repeated
+    * [frameId i64][ts i64][len i32][frame bytes], little-endian.
+    */
+  def writeFramePack(dir: String, name: String,
+      frames: Iterator[(Long, Long, Array[Byte])]): Unit = {
+    val path = java.nio.file.Paths.get(dir, s"$name.binpack")
+    val out = new java.io.BufferedOutputStream(
+      java.nio.file.Files.newOutputStream(path), 1 << 20)
+    try {
+      out.write(PackMagic)
+      val hdr = java.nio.ByteBuffer.allocate(20).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      frames.foreach { case (id, ts, bytes) =>
+        hdr.clear()
+        hdr.putLong(id).putLong(ts).putInt(bytes.length)
+        out.write(hdr.array())
+        out.write(bytes)
+      }
+    } finally out.close()
+  }
+
+  /** Expand one listed file into its (frameId, ts, bytes) frames. */
+  def readFrames(f: FrameFile): Iterator[(Long, Long, Array[Byte])] = {
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(f.path))
+    if (!f.path.endsWith(".binpack")) Iterator.single((f.frameId, f.ts, bytes))
+    else {
+      require(bytes.length >= 4 && bytes.take(4).sameElements(PackMagic),
+        s"not a GFPK container: ${f.path}")
+      val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.position(4)
+      new Iterator[(Long, Long, Array[Byte])] {
+        override def hasNext: Boolean = buf.remaining() >= 20
+        override def next(): (Long, Long, Array[Byte]) = {
+          val id = buf.getLong()
+          val ts = buf.getLong()
+          val len = buf.getInt()
+          val frame = new Array[Byte](len)
+          buf.get(frame)
+          (id, ts, frame)
+        }
+      }
+    }
   }
 
   /** JVM value of a column from a decoded (frameId, token row) pair —
@@ -330,10 +379,10 @@ class FrameTokenPartitionReader(files: Seq[FrameTokenSource.FrameFile],
 
   private val iter: Iterator[InternalRow] = {
     val ser = ExpressionEncoder[TokenProfile]().createSerializer()
-    val decoded = files.iterator.flatMap { f =>
-      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(f.path))
-      TokenExtractor.extractTokens(bytes, f.ts).iterator
-        .map(t => (f.frameId, ser(t).copy()))
+    val decoded = files.iterator.flatMap(FrameTokenSource.readFrames).flatMap {
+      case (frameId, ts, bytes) =>
+        TokenExtractor.extractTokens(bytes, ts).iterator
+          .map(t => (frameId, ser(t).copy()))
     }
     val filtered =
       if (filters.isEmpty) decoded

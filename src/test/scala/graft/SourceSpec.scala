@@ -103,6 +103,19 @@ class SourceSpec extends AnyFunSuite {
     assert(scan.description().contains("ReadSchema: [frame_id,symbol]"))
   }
 
+  test("binpack containers decode identically to per-frame files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_src_pack").toString
+    // first half as singles, second half as one container — mixed listing
+    (0 until 50).foreach(c =>
+      FrameTokenSource.writeFrameFile(dir, c.toLong, Ts, DecodePack.deepFrame(c.toLong)))
+    FrameTokenSource.writeFramePack(dir, "pack_000000",
+      (50 until NFrames).iterator.map(c => (c.toLong, Ts, DecodePack.deepFrame(c.toLong))))
+    val packed = spark.read.format("graft-tokens").load(dir)
+      .orderBy(col("frame_id")).collect().map(_.toSeq).toSeq
+    val singles = sourceDf.orderBy(col("frame_id")).collect().map(_.toSeq).toSeq
+    assert(packed == singles)
+  }
+
   test("micro-batch stream replays the same rows as the batch read") {
     val q = spark.readStream.format("graft-tokens").load(framesDir)
       .writeStream.format("memory").queryName("src_stream")
