@@ -134,11 +134,11 @@ object VectorOps {
     * candidate generation is an equi-join on cell id (shuffle bounded by
     * cell sizes), never a cross product, and the codebook is a broadcast.
     *
-    * The codebook here is the per-label centroid (an exact, deterministic
-    * stand-in for a k-means|| trainer — production swaps the codebook
-    * construction, keeping assign/probe/re-rank identical). All centroid
-    * arithmetic is integer (floor-divided sums at 1e-6 scale), so
-    * assignment and probing are bit-reproducible in SQL.
+    * The codebook here is the per-label centroid (exact and
+    * deterministic; [[kmeansCodebook]] is the REAL trainer — swap the
+    * codebook construction, assign/probe/re-rank stay identical). All
+    * centroid arithmetic is integer (truncating-divided sums at 1e-6
+    * scale), so assignment and probing are bit-reproducible in SQL.
     *
     * @param vectors (idCol, labelCol, vecCol-quantized) corpus
     * @param queries predicate selecting the query subset by id
@@ -191,6 +191,78 @@ object VectorOps {
     explodeTopK(
       candidates.groupBy(col("q_id")).agg(topk(col("c_id"), col("cosine")).as("top")),
       "q_id", "top", "c_id", "cosine")
+  }
+
+  /** Deterministic integer k-means (Lloyd) codebook trainer — the real
+    * replacement for ivfTopK's label-centroid stand-in. Everything is
+    * exact int64 arithmetic so any SQL engine reproduces the training
+    * bit-for-bit:
+    *
+    *   - seeds: the vectors at ids floor(j·n/k), j ∈ [0,k) — spread over
+    *     the id range, no RNG (×1000 to centroid scale);
+    *   - assign: argmin over cells of Σ(x·1000 − c)², ties to the lower
+    *     cell id (min over (dist2, cell) structs — no window);
+    *   - update: c[d] = (Σx)·1000 div count — truncating integer
+    *     division, matching DuckDB's `//`;
+    *   - `iters` full Lloyd rounds, unrolled into the plan (k is small:
+    *     the codebook is a broadcast at every step; the only shuffles
+    *     are the k·dims-sized centroid aggregations).
+    *
+    * Empty cells drop out (both engines aggregate only assigned cells).
+    * Returns (cell, cvec) at scale 1000, ready for [[ivfTopK]]-style
+    * assign/probe/re-rank.
+    */
+  def kmeansCodebook(vectors: DataFrame, k: Int, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "qvec"): DataFrame = {
+    require(k > 0 && iters >= 0, "k and iters must be positive")
+    val vecs = graft.Caches.persisted(vectors.select(col(idCol), col(vecCol)))
+    val n = vecs.count()
+    val seedIds = (0 until k).map(j => j * n / k)
+    var codebook = vecs
+      .filter(col(idCol).isin(seedIds: _*))
+      .select(col(idCol), transform(col(vecCol), x => x * 1000L).as("cvec"))
+      // rank seeds by id → cell ids 0..k-1 (k rows: a driver-side sort
+      // of a bounded set would also do; keep it in-plan and tiny)
+      .withColumn("cell",
+        (row_number().over(org.apache.spark.sql.expressions.Window.orderBy(col(idCol))) - 1)
+          .cast("long"))
+      .select(col("cell"), col("cvec"))
+
+    val dist2 = aggregate(
+      zip_with(col(vecCol), col("cvec"), (x, c) => (x * 1000L - c) * (x * 1000L - c)),
+      lit(0L), (acc, t) => acc + t)
+
+    (0 until iters).foreach { _ =>
+      val assigned = vecs.crossJoin(broadcast(codebook))
+        .withColumn("dist2", dist2)
+        .groupBy(col(idCol))
+        .agg(min(struct(col("dist2"), col("cell"))).as("best"))
+        .select(col(idCol), col("best.cell").as("cell"))
+      val byDim = vecs.join(assigned, idCol)
+        .select(col("cell"), posexplode(col(vecCol)).as(Seq("d", "x")))
+        .groupBy(col("cell"), col("d"))
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("cnt"))
+        .withColumn("c", expr("s * 1000 div cnt"))
+      codebook = byDim.groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("d"), col("c")))).as("dc"))
+        .select(col("cell"), transform(col("dc"), e => e.getField("c")).as("cvec"))
+    }
+    codebook
+  }
+
+  /** Final cell assignment for a trained codebook (argmin of the exact
+    * integer distance, ties to the lower cell id).
+    */
+  def assignToCodebook(vectors: DataFrame, codebook: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "qvec"): DataFrame = {
+    val dist2 = aggregate(
+      zip_with(col(vecCol), col("cvec"), (x, c) => (x * 1000L - c) * (x * 1000L - c)),
+      lit(0L), (acc, t) => acc + t)
+    vectors.crossJoin(broadcast(codebook))
+      .withColumn("dist2", dist2)
+      .groupBy(col(idCol))
+      .agg(min(struct(col("dist2"), col("cell"))).as("best"))
+      .select(col(idCol), col("best.dist2").as("dist2"), col("best.cell").as("cell"))
   }
 
   /** Number of SRP hyperplanes sized to the corpus: 2^planes buckets,

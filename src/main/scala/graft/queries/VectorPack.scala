@@ -88,12 +88,30 @@ object VectorPack {
       .withColumn("rank", col("rank").cast("long"))
       .orderBy(col("q_id"), col("rank"))
 
+  private val KmK = 8
+  private val KmIters = 2
+
+  /** Real codebook training for the IVF path: deterministic integer
+    * k-means (Lloyd, id-spread seeds, 2 unrolled rounds — see
+    * VectorOps.kmeansCodebook), gated on the full training trajectory:
+    * final cell sizes + total within-cell integer distance.
+    */
+  def kmeansCells(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = quantized(spark, dir).select(col("vec_id"), col("qvec"))
+    val codebook = VectorOps.kmeansCodebook(vecs, KmK, KmIters)
+    VectorOps.assignToCodebook(vecs, codebook)
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vectors"), sum(col("dist2")).as("total_dist2"))
+      .orderBy(col("cell"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_ann_topk" -> annTopK _,
     "q22_cosine_pairs" -> cosinePairs _,
     "q23_lsh_ann" -> lshAnn _,
     "q24_label_centroids" -> labelCentroidStats _,
-    "q30_ivf_ann" -> ivfAnn _)
+    "q30_ivf_ann" -> ivfAnn _,
+    "q38_kmeans_codebook" -> kmeansCells _)
 
   private val qv = s"list_transform(embedding, x -> cast(round(x * $Scale) AS bigint))"
   private def dot(a: String, b: String) = s"list_dot_product($a, $b)"
@@ -192,6 +210,47 @@ object VectorPack {
          |  FROM scored)
          |SELECT q_id, rank, c_id, cosine FROM ranked WHERE rank <= $TopK
          |ORDER BY q_id, rank""".stripMargin,
+    "q38_kmeans_codebook" -> {
+      // Unrolled Lloyd rounds, each = assign (argmin of exact integer
+      // distance, ties to lower cell) + centroid update ((sum·1000) //
+      // count — DuckDB // truncates toward zero exactly like Spark div).
+      def distSql(cvecExpr: String) =
+        s"""list_sum(list_transform(range($Dims), i ->
+           |      (qvec[i+1]*1000 - ($cvecExpr)[i+1]) * (qvec[i+1]*1000 - ($cvecExpr)[i+1])))""".stripMargin
+      def assignCte(name: String, cb: String) =
+        s"""$name AS (
+           |  SELECT vec_id, cell FROM (
+           |    SELECT v.vec_id, s.cell,
+           |      row_number() OVER (PARTITION BY v.vec_id
+           |        ORDER BY ${distSql("s.cvec")}, s.cell) AS rn
+           |    FROM v CROSS JOIN $cb s) WHERE rn = 1)""".stripMargin
+      def updateCte(name: String, assign: String) =
+        s"""$name AS (
+           |  SELECT cell, list(c ORDER BY d) AS cvec FROM (
+           |    SELECT cell, d, (sum(x) * 1000) // count(*) AS c FROM (
+           |      SELECT a.cell, generate_subscripts(qvec, 1) - 1 AS d, unnest(qvec) AS x
+           |      FROM v JOIN $assign a USING (vec_id))
+           |    GROUP BY cell, d)
+           |  GROUP BY cell)""".stripMargin
+      s"""WITH v AS (SELECT vec_id, $qv AS qvec FROM embeddings),
+         |nn AS (SELECT count(*) AS n FROM v),
+         |seeds AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+         |         list_transform(qvec, x -> x * 1000) AS cvec
+         |  FROM v WHERE vec_id IN (SELECT (j * nn.n) // $KmK FROM range($KmK) t(j), nn)),
+         |${assignCte("a1", "seeds")},
+         |${updateCte("cb1", "a1")},
+         |${assignCte("a2", "cb1")},
+         |${updateCte("cb2", "a2")},
+         |final AS (
+         |  SELECT vec_id, cell, dist2 FROM (
+         |    SELECT v.vec_id, s.cell, ${distSql("s.cvec")} AS dist2,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY ${distSql("s.cvec")}, s.cell) AS rn
+         |    FROM v CROSS JOIN cb2 s) WHERE rn = 1)
+         |SELECT cell, count(*) AS n_vectors, sum(dist2)::bigint AS total_dist2
+         |FROM final GROUP BY cell ORDER BY cell""".stripMargin
+    },
     "q24_label_centroids" ->
       s"""WITH e AS (
          |  SELECT label, dim, sum(v) AS s, count(*) AS n FROM (

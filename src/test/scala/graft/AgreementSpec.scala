@@ -88,6 +88,30 @@ class AgreementSpec extends AnyFunSuite {
     assert(oracle.contains(s"* ${VectorPack.TargetBucket} >= (SELECT count(*) FROM embeddings)"))
   }
 
+  test("kmeansCodebook: deterministic, k cells max, SSE non-increasing (Lloyd)") {
+    import graft.ext.VectorOps
+    val dir = "/root/testdata/sf0.001"
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), VectorOps.quantize(col("embedding")).as("qvec"))
+
+    def sse(iters: Int): Long = {
+      val cb = VectorOps.kmeansCodebook(vecs, 8, iters)
+      VectorOps.assignToCodebook(vecs, cb)
+        .agg(sum(col("dist2"))).head.getLong(0)
+    }
+    val trajectory = (0 to 2).map(sse)
+    // each Lloyd round can only improve (or hold) the quantization error
+    assert(trajectory.sliding(2).forall { case Seq(a, b) => b <= a })
+    assert(trajectory.last < trajectory.head, s"no improvement: $trajectory")
+
+    val cb2 = VectorOps.kmeansCodebook(vecs, 8, 2)
+    assert(cb2.count() <= 8)
+    // bit-identical across runs (no RNG anywhere)
+    val a = cb2.orderBy("cell").collect().map(_.toSeq).toSeq
+    val b = VectorOps.kmeansCodebook(vecs, 8, 2).orderBy("cell").collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+
   test("DataBuffer ring matches utils.py:472-507 semantics") {
     val buf = new DataBuffer[Int](maxSize = 5)
     (1 to 3).foreach(buf.append)
