@@ -276,10 +276,25 @@ class FrameTokenTable(path: String) extends Table with SupportsRead {
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new FrameTokenScanBuilder(path,
-      Option(options.get("partitions")).map(_.toInt).getOrElse(32))
+      Option(options.get("partitions")).map(_.toInt).getOrElse(32),
+      ConnectivityConf.fromOptions(options))
 }
 
-class FrameTokenScanBuilder(path: String, partitions: Int) extends ScanBuilder
+/** Connection-policy knobs, reference defaults (scraper.py:44-47):
+  * 4 polls/s, 5 attempts, 1 s backoff base.
+  */
+final case class ConnectivityConf(rateLimit: Double, maxRetries: Int, backoffBase: Double)
+
+object ConnectivityConf {
+  val Defaults: ConnectivityConf = ConnectivityConf(4.0, 5, 1.0)
+  def fromOptions(options: CaseInsensitiveStringMap): ConnectivityConf = ConnectivityConf(
+    Option(options.get("ratelimit")).map(_.toDouble).getOrElse(Defaults.rateLimit),
+    Option(options.get("maxretries")).map(_.toInt).getOrElse(Defaults.maxRetries),
+    Option(options.get("backoffbase")).map(_.toDouble).getOrElse(Defaults.backoffBase))
+}
+
+class FrameTokenScanBuilder(path: String, partitions: Int,
+    connectivity: ConnectivityConf = ConnectivityConf.Defaults) extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
     with SupportsPushDownTopN
@@ -315,11 +330,13 @@ class FrameTokenScanBuilder(path: String, partitions: Int) extends ScanBuilder
   /** Per-partition top-N only — Spark's global TakeOrdered completes it. */
   override def isPartiallyPushed(): Boolean = true
 
-  override def build(): Scan = new FrameTokenScan(path, partitions, required, pushed, topN)
+  override def build(): Scan =
+    new FrameTokenScan(path, partitions, required, pushed, topN, connectivity)
 }
 
 class FrameTokenScan(path: String, partitions: Int, required: StructType,
-    filters: Array[Filter], topN: Option[FrameTokenSource.TopNSpec])
+    filters: Array[Filter], topN: Option[FrameTokenSource.TopNSpec],
+    connectivity: ConnectivityConf = ConnectivityConf.Defaults)
     extends Scan with Batch {
   import FrameTokenSource._
 
@@ -345,7 +362,7 @@ class FrameTokenScan(path: String, partitions: Int, required: StructType,
     new FrameTokenReaderFactory(required, filters, topN)
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new FrameTokenMicroBatchStream(path, partitions, required, filters, topN)
+    new FrameTokenMicroBatchStream(path, partitions, required, filters, topN, connectivity)
 }
 
 final case class FrameFilesPartition(files: Seq[FrameTokenSource.FrameFile])
@@ -424,8 +441,17 @@ class FrameTokenPartitionReader(files: Seq[FrameTokenSource.FrameFile],
   */
 class FrameTokenMicroBatchStream(path: String, partitions: Int,
     required: StructType, filters: Array[Filter],
-    topN: Option[FrameTokenSource.TopNSpec]) extends MicroBatchStream {
+    topN: Option[FrameTokenSource.TopNSpec],
+    connectivity: ConnectivityConf = ConnectivityConf.Defaults) extends MicroBatchStream {
   import FrameTokenSource._
+
+  /** Per-stream governor (ST3/ST4): paces the listing polls at the
+    * reference's request rate and retries transient listing failures
+    * with jittered exponential backoff. One instance per stream — no
+    * shared state across concurrent queries.
+    */
+  private val governor = new Connectivity.ConnectionGovernor(
+    connectivity.rateLimit, connectivity.maxRetries, connectivity.backoffBase)
 
   private case class FilesOffset(n: Int) extends Offset {
     override def json(): String = s"""{"files":$n}"""
@@ -433,7 +459,12 @@ class FrameTokenMicroBatchStream(path: String, partitions: Int,
   private val N = """\{"files":(\d+)\}""".r
 
   override def initialOffset(): Offset = FilesOffset(0)
-  override def latestOffset(): Offset = FilesOffset(listFrameFiles(path).length)
+  override def latestOffset(): Offset = {
+    val n = governor.connect { _ => scala.util.Try(listFrameFiles(path).length).toOption }
+      .getOrElse(throw new IllegalStateException(
+        s"frame listing failed after ${governor.maxRetries} attempts: $path"))
+    FilesOffset(n)
+  }
   override def deserializeOffset(json: String): Offset = json match {
     case N(n) => FilesOffset(n.toInt)
     case _ => throw new IllegalArgumentException(s"bad offset: $json")
