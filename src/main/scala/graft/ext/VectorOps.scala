@@ -265,6 +265,38 @@ object VectorOps {
       .select(col(idCol), col("best.dist2").as("dist2"), col("best.cell").as("cell"))
   }
 
+  /** Embedding-cosine near-duplicate DEDUP — the vector analog of the
+    * text pipeline's LSH near-dup drop (TextPack corpus-clean): SRP-bucket
+    * the corpus (plane count sized by the caller via [[planesForCorpus]]
+    * so bucket occupancy stays ~constant as the corpus grows), form
+    * candidate pairs ONLY within buckets (equi-join on the bucket key,
+    * never a cross product), gate on exact integer-quantized cosine ≥
+    * `threshold`, and drop every vector that has a smaller-id near-dup
+    * (the same deterministic keep-first-by-id rule the exact-dedup path
+    * uses). Returns the surviving rows of `vectors` unchanged.
+    *
+    * Single-band SRP: recall is approximate by design (same contract as
+    * the ANN path); the exact quadratic [[thresholdPairs]] is the
+    * bounded-corpus alternative.
+    */
+  def nearDupSurvivors(vectors: DataFrame, threshold: Double, dims: Int,
+      planes: Int, idCol: String = "vec_id", vecCol: String = "qvec"): DataFrame = {
+    val bucketed = graft.Caches.persisted(vectors
+      .select(col(idCol), col(vecCol))
+      .withColumn("bucket", srpBucket(col(vecCol), dims, planes))
+      .withColumn("nrm", normInt(col(vecCol))))
+    val a = bucketed.select(col("bucket"), col(idCol).as("id1"),
+      col(vecCol).as("v1"), col("nrm").as("n1"))
+    val b = bucketed.select(col("bucket"), col(idCol).as("id2"),
+      col(vecCol).as("v2"), col("nrm").as("n2"))
+    val dropped = a.join(b, "bucket")
+      .filter(col("id1") < col("id2"))
+      .filter(cosinePre(col("v1"), col("n1"), col("v2"), col("n2")) >= threshold)
+      .select(col("id2").as(idCol))
+      .distinct() // multi-collision pairs drop an id once
+    vectors.join(dropped, Seq(idCol), "left_anti")
+  }
+
   /** Number of SRP hyperplanes sized to the corpus: 2^planes buckets,
     * targeting ~`targetBucketSize` vectors per bucket so within-bucket
     * candidate sets stay bounded as the corpus grows (a fixed plane count

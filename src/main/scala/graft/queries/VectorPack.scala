@@ -105,13 +105,25 @@ object VectorPack {
       .orderBy(col("cell"))
   }
 
+  /** Embedding-cosine near-dup dedup (the brief's last dedup mode as a
+    * first-class operator): SRP-bucketed candidate pairs, exact cosine
+    * gate, drop-any-with-smaller-id-dup, survivors out. Plane count
+    * derives from the corpus size exactly as q23's.
+    */
+  def embeddingDedup(spark: SparkSession, dir: String): DataFrame =
+    VectorOps.nearDupSurvivors(
+        quantized(spark, dir), Threshold, Dims, lshPlanes(spark, dir))
+      .select(col("vec_id"), col("label"))
+      .orderBy(col("vec_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_ann_topk" -> annTopK _,
     "q22_cosine_pairs" -> cosinePairs _,
     "q23_lsh_ann" -> lshAnn _,
     "q24_label_centroids" -> labelCentroidStats _,
     "q30_ivf_ann" -> ivfAnn _,
-    "q38_kmeans_codebook" -> kmeansCells _)
+    "q38_kmeans_codebook" -> kmeansCells _,
+    "q39_embedding_dedup" -> embeddingDedup _)
 
   private val qv = s"list_transform(embedding, x -> cast(round(x * $Scale) AS bigint))"
   private def dot(a: String, b: String) = s"list_dot_product($a, $b)"
@@ -251,6 +263,19 @@ object VectorPack {
          |SELECT cell, count(*) AS n_vectors, sum(dist2)::bigint AS total_dist2
          |FROM final GROUP BY cell ORDER BY cell""".stripMargin
     },
+    "q39_embedding_dedup" ->
+      s"""WITH $planesCteSql,
+         |v AS (SELECT vec_id, $qv AS qvec FROM embeddings),
+         |b AS (SELECT vec_id, qvec, $srpBucketSql AS bucket FROM v),
+         |dropped AS (
+         |  SELECT DISTINCT b2.vec_id AS vec_id
+         |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+         |  WHERE cast(${dot("a.qvec", "b2.qvec")} AS double) /
+         |      (sqrt(cast(${dot("a.qvec", "a.qvec")} AS double)) *
+         |       sqrt(cast(${dot("b2.qvec", "b2.qvec")} AS double))) >= $Threshold)
+         |SELECT e.vec_id, e.label FROM embeddings e
+         |WHERE e.vec_id NOT IN (SELECT vec_id FROM dropped)
+         |ORDER BY e.vec_id""".stripMargin,
     "q24_label_centroids" ->
       s"""WITH e AS (
          |  SELECT label, dim, sum(v) AS s, count(*) AS n FROM (

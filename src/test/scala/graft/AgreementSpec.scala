@@ -88,6 +88,29 @@ class AgreementSpec extends AnyFunSuite {
     assert(oracle.contains(s"* ${VectorPack.TargetBucket} >= (SELECT count(*) FROM embeddings)"))
   }
 
+  test("nearDupSurvivors: drops are sound (subset of exact pairwise drops), keep-first by id") {
+    import graft.ext.VectorOps
+    val dir = "/root/testdata/sf0.001"
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), VectorOps.quantize(col("embedding")).as("qvec"))
+    val n = vecs.count()
+
+    val survivors = VectorOps.nearDupSurvivors(vecs, 0.35, 64, planes = 4)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val droppedBucketed = vecs.select("vec_id").collect().map(_.getLong(0)).toSet -- survivors
+
+    // exact pairwise ground truth: any id with a smaller-id near-dup
+    val droppedExact = VectorOps.thresholdPairs(vecs, 0.35)
+      .select("id2").collect().map(_.getLong(0)).toSet
+
+    assert(droppedBucketed.nonEmpty, "fixture should contain near-dups")
+    assert(droppedBucketed.subsetOf(droppedExact),
+      "bucketed candidates must be a subset of the exact pair set")
+    assert(survivors.size + droppedBucketed.size == n)
+    // keep-first rule: the smallest id always survives
+    assert(survivors.contains(0L) || !droppedExact.contains(0L))
+  }
+
   test("kmeansCodebook: deterministic, k cells max, SSE non-increasing (Lloyd)") {
     import graft.ext.VectorOps
     val dir = "/root/testdata/sf0.001"
