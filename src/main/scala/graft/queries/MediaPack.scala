@@ -115,9 +115,58 @@ object MediaPack {
       .orderBy(col("id1"), col("id2"))
   }
 
+  // ---- q40: real WAV decode + windowed audio features -----------------
+
+  private val NSamples = 256
+  private val WinLen = 64
+  private val NWins = NSamples / WinLen
+
+  /** Deterministic PCM16 test tone: a signed waveform closed-form in
+    * (clip id, sample index), with sign changes (zero crossings) and a
+    * clip-dependent envelope so every feature value is key-specific.
+    */
+  private[graft] def audioSample(c: Long, i: Int): Short =
+    ((c * 31 + i.toLong * i * 7 + i * 13) % 4096 - 2048).toShort
+
+  /** Encode → REAL RIFF/WAVE decode → windowed features, all inside the
+    * gated path: per 64-sample window, exact integer energy (Σx²),
+    * zero-crossing count (sign flips between adjacent samples within the
+    * window), and peak |x|. The codec roundtrip is the identity the
+    * query proves — a misparsed chunk or byte-order slip shifts samples
+    * and fails the oracle. Features are HOF column expressions over the
+    * decoded array: one narrow pass, no shuffle until the final sort.
+    */
+  def audioFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val clips = graft.Tables.customer(spark, dir)
+      .select(col("c_custkey")).as[Long]
+      .mapPartitions(_.map { c =>
+        val wav = graft.ext.AudioCodec.encodeWav(8000,
+          Array.tabulate(NSamples)(i => audioSample(c, i)))
+        val audio = graft.ext.AudioCodec.decodeWav(wav)
+          .getOrElse(sys.error(s"WAV decode failed for clip $c"))
+        (c, audio.samples.map(_.toLong).toSeq)
+      })
+      .toDF("clip_id", "samples")
+    val win = clips
+      .select(col("clip_id"), col("samples"),
+        posexplode(array((0 until NWins).map(w => lit(w.toLong)): _*)).as(Seq("_p", "win")))
+      .withColumn("w", slice(col("samples"), col("win") * WinLen + 1, lit(WinLen)))
+    win.select(
+        col("clip_id").as("c_custkey"), col("win"),
+        aggregate(col("w"), lit(0L), (acc, x) => acc + x * x).as("sum_sq"),
+        aggregate(
+          zip_with(slice(col("w"), 1, WinLen - 1), slice(col("w"), 2, WinLen - 1),
+            (a, b) => when((a < 0) =!= (b < 0), 1L).otherwise(0L)),
+          lit(0L), (acc, x) => acc + x).as("zero_crossings"),
+        array_max(transform(col("w"), x => abs(x))).as("peak"))
+      .orderBy(col("c_custkey"), col("win"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q29_multimodal_stats" -> multimodalStats _,
-    "q37_image_neardup" -> imageNearDup _)
+    "q37_image_neardup" -> imageNearDup _,
+    "q40_audio_features" -> audioFeatures _)
 
   // byte_sum over the payload = 8 × Σ over the md5-hex string of the
   // char's ASCII code — expressible as count(char)·code sums in SQL.
@@ -165,8 +214,30 @@ object MediaPack {
        |ORDER BY id1, id2""".stripMargin
   }
 
+  // q40 oracle: recompute the closed-form samples (the WAV roundtrip is
+  // the identity the query must prove), then the same windowed integer
+  // features in SQL. DuckDB % matches Scala % here: the dividend is
+  // non-negative before the -2048 shift.
+  private val q40Sql =
+    s"""WITH s AS (
+       |  SELECT c_custkey AS c, i.i AS i,
+       |    (c_custkey * 31 + i.i * i.i * 7 + i.i * 13) % 4096 - 2048 AS v
+       |  FROM customer, range($NSamples) i(i)),
+       |w AS (
+       |  SELECT c, i // $WinLen AS win, i, v,
+       |    lag(v) OVER (PARTITION BY c, i // $WinLen ORDER BY i) AS prev
+       |  FROM s)
+       |SELECT c AS c_custkey, win,
+       |  sum(v * v)::bigint AS sum_sq,
+       |  sum(CASE WHEN prev IS NOT NULL AND (v < 0) <> (prev < 0)
+       |      THEN 1 ELSE 0 END)::bigint AS zero_crossings,
+       |  max(abs(v))::bigint AS peak
+       |FROM w GROUP BY c, win
+       |ORDER BY c_custkey, win""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q37_image_neardup" -> q37Sql,
+    "q40_audio_features" -> q40Sql,
     "q29_multimodal_stats" ->
       s"""WITH m AS (SELECT c_custkey, md5('media-' || c_custkey) AS h FROM customer)
          |SELECT c_custkey,
