@@ -133,40 +133,100 @@ object MediaPack {
     * zero-crossing count (sign flips between adjacent samples within the
     * window), and peak |x|. The codec roundtrip is the identity the
     * query proves — a misparsed chunk or byte-order slip shifts samples
-    * and fails the oracle. Features are HOF column expressions over the
-    * decoded array: one narrow pass, no shuffle until the final sort.
+    * and fails the oracle. Decode AND the per-sample reductions run in
+    * one typed batch pass (the documented posture for byte-level tensor
+    * work — interpreted HOFs over 256-element arrays cost ~3× the whole
+    * query): the sample arrays never materialize as rows, only the 4
+    * feature tuples per clip do. No shuffle until the final sort.
     */
   def audioFeatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val clips = graft.Tables.customer(spark, dir)
+    graft.Tables.customer(spark, dir)
       .select(col("c_custkey")).as[Long]
-      .mapPartitions(_.map { c =>
+      .mapPartitions(_.flatMap { c =>
         val wav = graft.ext.AudioCodec.encodeWav(8000,
           Array.tabulate(NSamples)(i => audioSample(c, i)))
         val audio = graft.ext.AudioCodec.decodeWav(wav)
           .getOrElse(sys.error(s"WAV decode failed for clip $c"))
-        (c, audio.samples.map(_.toLong).toSeq)
+        val s = audio.samples
+        (0 until NWins).iterator.map { w =>
+          val off = w * WinLen
+          var sumSq = 0L
+          var zcr = 0L
+          var peak = 0L
+          var i = 0
+          while (i < WinLen) {
+            val x = s(off + i).toLong
+            sumSq += x * x
+            if (i > 0 && ((x < 0) != (s(off + i - 1) < 0))) zcr += 1
+            val a = math.abs(x)
+            if (a > peak) peak = a
+            i += 1
+          }
+          (c, w.toLong, sumSq, zcr, peak)
+        }
       })
-      .toDF("clip_id", "samples")
-    val win = clips
-      .select(col("clip_id"), col("samples"),
-        posexplode(array((0 until NWins).map(w => lit(w.toLong)): _*)).as(Seq("_p", "win")))
-      .withColumn("w", slice(col("samples"), col("win") * WinLen + 1, lit(WinLen)))
-    win.select(
-        col("clip_id").as("c_custkey"), col("win"),
-        aggregate(col("w"), lit(0L), (acc, x) => acc + x * x).as("sum_sq"),
-        aggregate(
-          zip_with(slice(col("w"), 1, WinLen - 1), slice(col("w"), 2, WinLen - 1),
-            (a, b) => when((a < 0) =!= (b < 0), 1L).otherwise(0L)),
-          lit(0L), (acc, x) => acc + x).as("zero_crossings"),
-        array_max(transform(col("w"), x => abs(x))).as("peak"))
+      .toDF("c_custkey", "win", "sum_sq", "zero_crossings", "peak")
       .orderBy(col("c_custkey"), col("win"))
+  }
+
+  // ---- q41: real Y4M decode + scene-change detection ------------------
+
+  private val VidW = 16
+  private val VidH = 8
+  private val NFrames = 8
+  private val SceneSad = 6000L
+
+  /** Deterministic luma generator with a planted scene cut: frames
+    * before the clip-dependent cut index follow one gradient family,
+    * frames at/after it follow another (offset +128) — so consecutive-
+    * frame SAD is small within a scene and large across the cut.
+    */
+  private[graft] def videoPixel(c: Long, f: Int, x: Int, y: Int): Int =
+    if (f >= 2 + (c % 5)) ((c * 13 + x * 9 + y * 2 + f * 17 + 128) % 256).toInt
+    else ((c * 7 + x * 3 + y * 5 + f * 11) % 256).toInt
+
+  /** Encode → REAL Y4M decode → temporal features, all inside the gated
+    * path: per consecutive-frame pair, exact integer SAD (Σ|Δluma|),
+    * the frame's mean luma, and a scene-change flag (SAD > threshold).
+    * Decode and the per-pixel reductions share one typed batch pass
+    * (same posture as q40): the plane arrays never leave the pass, only
+    * 7 feature tuples per clip do. No shuffle until the final sort.
+    */
+  def videoScenes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.Tables.customer(spark, dir)
+      .select(col("c_custkey")).as[Long]
+      .mapPartitions(_.flatMap { c =>
+        val y4m = graft.ext.VideoCodec.encodeY4m(VidW, VidH, 25, 1,
+          (0 until NFrames).map(f => (x: Int, y: Int) => videoPixel(c, f, x, y)))
+        val video = graft.ext.VideoCodec.decodeY4m(y4m)
+          .getOrElse(sys.error(s"Y4M decode failed for clip $c"))
+        val planes = video.frames
+        (1 until NFrames).iterator.map { f =>
+          val cur = planes(f)
+          val prev = planes(f - 1)
+          var sad = 0L
+          var sum = 0L
+          var i = 0
+          while (i < cur.length) {
+            sad += math.abs(cur(i) - prev(i))
+            sum += cur(i)
+            i += 1
+          }
+          // plane is 16×8 = 128 px: integer mean is an exact shift
+          (c, f.toLong, sad, sum >> 7, sad > SceneSad)
+        }
+      })
+      .toDF("c_custkey", "frame", "sad", "mean_luma", "scene_change")
+      .orderBy(col("c_custkey"), col("frame"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q29_multimodal_stats" -> multimodalStats _,
     "q37_image_neardup" -> imageNearDup _,
-    "q40_audio_features" -> audioFeatures _)
+    "q40_audio_features" -> audioFeatures _,
+    "q41_video_scenes" -> videoScenes _)
 
   // byte_sum over the payload = 8 × Σ over the md5-hex string of the
   // char's ASCII code — expressible as count(char)·code sums in SQL.
@@ -235,9 +295,31 @@ object MediaPack {
        |FROM w GROUP BY c, win
        |ORDER BY c_custkey, win""".stripMargin
 
+  // q41 oracle: recompute the closed-form luma planes (the Y4M roundtrip
+  // is the identity the query must prove), then identical SAD / mean /
+  // flag arithmetic in SQL.
+  private val q41Sql =
+    s"""WITH px AS (
+       |  SELECT c_custkey AS c, f.f AS f, x.x AS x, y.y AS y,
+       |    CASE WHEN f.f >= 2 + c_custkey % 5
+       |      THEN (c_custkey*13 + x.x*9 + y.y*2 + f.f*17 + 128) % 256
+       |      ELSE (c_custkey*7 + x.x*3 + y.y*5 + f.f*11) % 256 END AS p
+       |  FROM customer, range($NFrames) f(f), range($VidW) x(x), range($VidH) y(y)),
+       |fr AS (SELECT c, f, sum(p) AS sum_luma FROM px GROUP BY c, f),
+       |sad AS (
+       |  SELECT a.c, a.f, sum(abs(a.p - b.p)) AS sad
+       |  FROM px a JOIN px b ON a.c = b.c AND a.x = b.x AND a.y = b.y AND b.f = a.f - 1
+       |  GROUP BY a.c, a.f)
+       |SELECT s.c AS c_custkey, s.f::bigint AS frame, s.sad::bigint AS sad,
+       |  (fr.sum_luma // ${VidW * VidH})::bigint AS mean_luma,
+       |  s.sad > $SceneSad AS scene_change
+       |FROM sad s JOIN fr ON fr.c = s.c AND fr.f = s.f
+       |ORDER BY c_custkey, frame""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q37_image_neardup" -> q37Sql,
     "q40_audio_features" -> q40Sql,
+    "q41_video_scenes" -> q41Sql,
     "q29_multimodal_stats" ->
       s"""WITH m AS (SELECT c_custkey, md5('media-' || c_custkey) AS h FROM customer)
          |SELECT c_custkey,
