@@ -278,9 +278,17 @@ object VectorOps {
     * Single-band SRP: recall is approximate by design (same contract as
     * the ANN path); the exact quadratic [[thresholdPairs]] is the
     * bounded-corpus alternative.
+    *
+    * Hot buckets (a cluster of near-identical embeddings lands every
+    * member in ONE bucket) have the same wired mitigation as the text
+    * band joins: `salts > 1` routes the self-join through
+    * [[graft.operators.Skew.saltedJoin]] — row-identical results, max
+    * reducer input shrunk ~salts×. The gated query keeps salts = 1 (the
+    * fixture corpus is not skewed).
     */
   def nearDupSurvivors(vectors: DataFrame, threshold: Double, dims: Int,
-      planes: Int, idCol: String = "vec_id", vecCol: String = "qvec"): DataFrame = {
+      planes: Int, idCol: String = "vec_id", vecCol: String = "qvec",
+      salts: Int = 1): DataFrame = {
     val bucketed = graft.Caches.persisted(vectors
       .select(col(idCol), col(vecCol))
       .withColumn("bucket", srpBucket(col(vecCol), dims, planes))
@@ -289,7 +297,10 @@ object VectorOps {
       col(vecCol).as("v1"), col("nrm").as("n1"))
     val b = bucketed.select(col("bucket"), col(idCol).as("id2"),
       col(vecCol).as("v2"), col("nrm").as("n2"))
-    val dropped = a.join(b, "bucket")
+    val joined =
+      if (salts <= 1) a.join(b, "bucket")
+      else graft.operators.Skew.saltedJoin(a, b, Seq("bucket"), salts)
+    val dropped = joined
       .filter(col("id1") < col("id2"))
       .filter(cosinePre(col("v1"), col("n1"), col("v2"), col("n2")) >= threshold)
       .select(col("id2").as(idCol))

@@ -44,6 +44,33 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("media codecs roundtrip arbitrary content and never throw on arbitrary bytes") {
+    import graft.ext.{AudioCodec, ImageCodec, VideoCodec}
+    (1 to 60).foreach { _ =>
+      // WAV: random PCM16 mono at a random rate
+      val samples = Array.fill(rnd.nextInt(500) + 1)(rnd.nextInt().toShort)
+      val rate = rnd.nextInt(96000) + 1
+      val audio = AudioCodec.decodeWav(AudioCodec.encodeWav(rate, samples))
+      assert(audio.exists(a => a.sampleRate == rate && a.samples.toSeq == samples.toSeq))
+
+      // Y4M: random luma planes and geometry
+      val (w, h) = (rnd.nextInt(20) + 1, rnd.nextInt(20) + 1)
+      val nf = rnd.nextInt(4) + 1
+      val planes = Array.fill(nf, w * h)(rnd.nextInt(256))
+      val video = VideoCodec.decodeY4m(VideoCodec.encodeY4m(w, h, 25, 1,
+        (0 until nf).map(f => (x: Int, y: Int) => planes(f)(y * w + x))))
+      assert(video.exists(v => v.width == w && v.height == h &&
+        v.frames.zip(planes).forall { case (a, b) => a.toSeq == b.toSeq }))
+
+      // all three decoders are total on garbage
+      val junk = new Array[Byte](rnd.nextInt(4096))
+      rnd.nextBytes(junk)
+      AudioCodec.decodeWav(junk)
+      VideoCodec.decodeY4m(junk)
+      ImageCodec.decode(junk)
+    }
+  }
+
   test("pyFloatRepr round-trips doubles across magnitudes") {
     val edge = Seq(0.0, -0.0, 1e-320, 123456.789, 0.1, 2e16, 1e16 - 2.0,
       9.999999999999999e15, 1e-4, 9.5e-5, Double.MinPositiveValue)

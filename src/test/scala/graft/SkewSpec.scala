@@ -74,6 +74,26 @@ class SkewSpec extends AnyFunSuite {
     assert(saltedMax <= 40, s"hot key still concentrated: max salted group $saltedMax")
   }
 
+  test("embedding near-dup dedup: salting leaves survivors identical on a hot bucket") {
+    import spark.implicits._
+    import graft.ext.VectorOps
+    // Hot fixture: 60 identical embeddings (one SRP bucket holds all of
+    // them, and they are exact cosine-1 duplicates) + 40 distinct ones.
+    val base = Array.tabulate(64)(d => (d * 17 % 23 + 1).toLong)
+    val vecs = ((0 until 60).map(i => (i.toLong, base.toSeq)) ++
+      (60 until 100).map(i =>
+        (i.toLong, Array.tabulate(64)(d => ((d * 31 + i * 7) % 41 - 20).toLong).toSeq)))
+      .toDF("vec_id", "qvec")
+
+    val plain = VectorOps.nearDupSurvivors(vecs, 0.95, 64, planes = 4)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq.sorted
+    val salted = VectorOps.nearDupSurvivors(vecs, 0.95, 64, planes = 4, salts = 8)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(salted == plain)
+    // the duplicate cluster collapses to its smallest id
+    assert(plain.contains(0L) && !plain.exists(id => id > 0 && id < 60))
+  }
+
   test("saltedJoin equals plain join on a skewed probe") {
     import spark.implicits._
     val build = (Seq("hot") ++ (1 to 20).map(k => s"cold$k"))
