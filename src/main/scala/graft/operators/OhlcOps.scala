@@ -16,31 +16,31 @@ object OhlcOps {
     * price=1.0 / volume=1000.0 when data is missing. `nowTs` is injected
     * rather than read from the clock (SURVEY §7.4.5).
     */
-  def pairToOhlc(pairs: DataFrame, nowTs: Long): DataFrame = {
+  def pairToOhlc(pairs: DataFrame, nowTs: Long, idCols: Seq[String] = Nil): DataFrame = {
     val hasData = col("price").isNotNull && col("volume_h24").isNotNull &&
       col("created_at").isNotNull
     val price = when(hasData, col("price")).otherwise(lit(1.0))
     val volume = when(hasData, col("volume_h24")).otherwise(lit(1000.0))
     val ts = when(hasData, col("created_at")).otherwise(lit(nowTs))
-    pairs.select(
+    pairs.select(idCols.map(col) ++ Seq(
       ts.as("timestamp"),
       price.as("open"), price.as("high"), price.as("low"), price.as("close"),
-      volume.as("volume"), lit(null).cast("int").as("trades"))
+      volume.as("volume"), lit(null).cast("int").as("trades")): _*)
   }
 
   /** W2/W3 (models.py:253-264, :387-394): token tick → synthetic-range
     * bar (±2%); rows missing price or volume yield no bar.
     */
-  def tokenToOhlc(tokens: DataFrame): DataFrame =
+  def tokenToOhlc(tokens: DataFrame, idCols: Seq[String] = Nil): DataFrame =
     tokens.filter(col("price").isNotNull && col("volume_24h").isNotNull)
-      .select(
+      .select(idCols.map(col) ++ Seq(
         col("timestamp"),
         col("price").as("open"),
         (col("price") * 1.02).as("high"),
         (col("price") * 0.98).as("low"),
         col("price").as("close"),
         col("volume_24h").as("volume"),
-        lit(null).cast("int").as("trades"))
+        lit(null).cast("int").as("trades")): _*)
 
   /** W5 trades estimate (models.py:74-76). */
   def tradesOrEstimate: Column =

@@ -338,15 +338,39 @@ object DecodePack {
     rows.orderBy(col("c_custkey"), col("section"))
   }
 
+  /** A2 market-stats panel (cli.py:458-471) + A1/F4 batch counters over
+    * the deep-pipeline tokens — the exact-decimal aggregate formulation
+    * ([[graft.Tables.exactSum]]) so the float sums are bit-reproducible
+    * in the oracle.
+    */
+  def marketStats(spark: SparkSession, dir: String): DataFrame = {
+    val tokens = tokenPipeline(spark, dir)
+    tokens.agg(
+      graft.Tables.exactSum(col("volume_24h"), 1).as("total_volume"),
+      graft.Tables.exactAvg(col("confidence_score"), 2).as("avg_confidence"),
+      count(lit(1)).as("n_tokens"),
+      count_if(col("confidence_score") >= 0.7).as("high_confidence_count"),
+      count_if(graft.operators.Tokens.isComplete()).as("complete_profiles_count"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q11_decode_roundtrip" -> decodeRoundtrip _,
     "q12_token_pipeline" -> tokenPipeline _,
     "q25_cluster_pipeline" -> clusterPipeline _,
     "q26_text_decode" -> textDecode _,
     "q27_enhanced_clusters" -> enhancedClusters _,
-    "q28_variable_length" -> variableLength _)
+    "q28_variable_length" -> variableLength _,
+    "q42_market_stats" -> marketStats _)
 
   val oracles: Map[String, String] = Map(
+    "q42_market_stats" ->
+      s"""SELECT
+         |  ${graft.Tables.sqlExactSum("(128 + c_custkey % 32) * 1024.0", 1)} AS total_volume,
+         |  ${graft.Tables.sqlExactAvg("0.95", 2)} AS avg_confidence,
+         |  count(*) AS n_tokens,
+         |  count(*) AS high_confidence_count,
+         |  count(*) AS complete_profiles_count
+         |FROM customer""".stripMargin,
     "q11_decode_roundtrip" ->
       """SELECT 'c' || l_returnflag || l_linestatus AS chain,
         |  'dex' || (l_orderkey % 10) AS protocol,

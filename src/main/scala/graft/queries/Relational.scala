@@ -140,6 +140,35 @@ object Relational {
       .orderBy(col("click_id"))
   }
 
+  /** Degenerate tick→bar projections (W1, W2/W3) + trades estimate (W5),
+    * oracle-gated: ticks derive from `events` with planted nulls
+    * (closed-form in event_id) so BOTH the has-data path and every
+    * placeholder branch (W1's price=1.0 / volume=1000.0 / ts=nowTs;
+    * W2's row-drop) are exercised and hash-checked. Narrow projections —
+    * the only shuffle is the presentation sort.
+    */
+  def tickBars(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.OhlcOps
+    val ticks = events(spark, dir).select(
+      col("event_id"),
+      when(col("event_id") % 7 === 0, lit(null)).otherwise(col("value")).as("price"),
+      when(col("event_id") % 11 === 0, lit(null))
+        .otherwise(col("value") * 100.0).as("volume_h24"),
+      when(col("event_id") % 13 === 0, lit(null))
+        .otherwise(col("event_id") + 1700000000L).as("created_at"))
+    val w1 = OhlcOps.pairToOhlc(ticks, nowTs = 1800000000L, idCols = Seq("event_id"))
+      .withColumn("op", lit("w1"))
+    val w2 = OhlcOps.tokenToOhlc(
+        ticks.select(col("event_id"), col("price"),
+          col("volume_h24").as("volume_24h"), col("created_at").as("timestamp")),
+        idCols = Seq("event_id"))
+      .withColumn("op", lit("w2"))
+    w1.unionByName(w2)
+      .withColumn("trades_est", OhlcOps.tradesOrEstimate.cast("long"))
+      .drop("trades")
+      .orderBy(col("op"), col("event_id"))
+  }
+
   /** Tick stream → hourly OHLC bars (W4): the true time-bucketed form of
     * the reference's OHLC export, with open/close selected by a total
     * order (arg-min/arg-max on the unique event id) so results are
@@ -172,9 +201,38 @@ object Relational {
     "q07_frequency" -> frequency _,
     "q08_topk_per_group" -> topKPerGroup _,
     "q09_proximity_band" -> proximityBand _,
-    "q10_ohlc_hourly" -> ohlcHourly _)
+    "q10_ohlc_hourly" -> ohlcHourly _,
+    "q43_tick_bars" -> tickBars _)
 
   val oracles: Map[String, String] = Map(
+    "q43_tick_bars" ->
+      """WITH t AS (
+        |  SELECT event_id,
+        |    CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS price,
+        |    CASE WHEN event_id % 11 = 0 THEN NULL ELSE value * 100.0 END AS volume_h24,
+        |    CASE WHEN event_id % 13 = 0 THEN NULL
+        |         ELSE event_id + 1700000000 END AS created_at
+        |  FROM events),
+        |w1 AS (
+        |  SELECT event_id,
+        |    CASE WHEN ok THEN created_at ELSE 1800000000 END AS "timestamp",
+        |    CASE WHEN ok THEN price ELSE 1.0 END AS open,
+        |    CASE WHEN ok THEN price ELSE 1.0 END AS high,
+        |    CASE WHEN ok THEN price ELSE 1.0 END AS low,
+        |    CASE WHEN ok THEN price ELSE 1.0 END AS close,
+        |    CASE WHEN ok THEN volume_h24 ELSE 1000.0 END AS volume,
+        |    'w1' AS op
+        |  FROM (SELECT *, price IS NOT NULL AND volume_h24 IS NOT NULL
+        |          AND created_at IS NOT NULL AS ok FROM t)),
+        |w2 AS (
+        |  SELECT event_id, created_at AS "timestamp",
+        |    price AS open, price * 1.02 AS high, price * 0.98 AS low,
+        |    price AS close, volume_h24 AS volume, 'w2' AS op
+        |  FROM t WHERE price IS NOT NULL AND volume_h24 IS NOT NULL),
+        |u AS (SELECT * FROM w1 UNION ALL SELECT * FROM w2)
+        |SELECT event_id, "timestamp", open, high, low, close, volume, op,
+        |  cast(trunc(volume / 1000.0) AS bigint) AS trades_est
+        |FROM u ORDER BY op, event_id""".stripMargin,
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  ${sqlExactSum("l_quantity", 2)} AS sum_qty,
