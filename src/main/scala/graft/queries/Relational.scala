@@ -83,6 +83,37 @@ object Relational {
       .orderBy(col("r_name"))
   }
 
+  /** Scalar function family (P1/P2/P5/P6) + the Base58 codegen
+    * expression (D11), oracle-gated: inputs are closed-form in
+    * c_custkey with every branch planted (trim vs '@'/'\\' truncation,
+    * empty→UNK, zero-denominator default, valid/invalid-alphabet/
+    * too-short addresses), so the oracle states each expected value
+    * directly while the engine computes it through the real functions.
+    */
+  def scalarFunctions(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{Functions => F}
+    // the SOL mint — the reference's canonical valid base58 fixture
+    val solMint = "So11111111111111111111111111111111111111112"
+    val c = col("c_custkey")
+    val k = c.cast("string")
+    val cleanIn = when(c % 4 === 0, concat(lit("  name"), k, lit("  ")))
+      .when(c % 4 === 1, concat(lit("user@ex"), k))
+      .when(c % 4 === 2, concat(lit("a\\b"), k))
+      .otherwise(concat(lit("tab\tname"), k, lit("\u0001")))
+    val symIn = when(c % 5 === 0, lit("!!!")).otherwise(concat(lit("sym-"), k, lit("x!")))
+    val addrIn = when(c % 3 === 0, lit(solMint))
+      .when(c % 3 === 1, lit("0" + solMint.drop(1))) // '0' not in the alphabet
+      .otherwise(lit(solMint.take(20))) // too short
+    customer(spark, dir).select(
+        c,
+        F.cleanString(cleanIn).as("cleaned"),
+        F.normalizeSymbol(symIn).as("symbol"),
+        F.safeDivide((c + 1).cast("double") * 1.5, (c % 4).cast("double")).as("ratio"),
+        F.tokenId(concat(lit("tok"), k)).as("token_id"),
+        F.isBase58Address(addrIn).as("is_mint"))
+      .orderBy(c)
+  }
+
   /** Batch statistics (A1): total / conditional counts / distinct users —
     * the reference's `ExtractedTokenBatch.__post_init__` stats shape.
     */
@@ -202,9 +233,24 @@ object Relational {
     "q08_topk_per_group" -> topKPerGroup _,
     "q09_proximity_band" -> proximityBand _,
     "q10_ohlc_hourly" -> ohlcHourly _,
-    "q43_tick_bars" -> tickBars _)
+    "q43_tick_bars" -> tickBars _,
+    "q44_scalar_functions" -> scalarFunctions _)
 
   val oracles: Map[String, String] = Map(
+    "q44_scalar_functions" ->
+      """SELECT c_custkey,
+        |  CASE c_custkey % 4
+        |    WHEN 0 THEN 'name' || c_custkey
+        |    WHEN 1 THEN 'user'
+        |    WHEN 2 THEN 'a'
+        |    ELSE 'tab' || chr(9) || 'name' || c_custkey END AS cleaned,
+        |  CASE WHEN c_custkey % 5 = 0 THEN 'UNK'
+        |    ELSE left('SYM' || c_custkey || 'X', 10) END AS symbol,
+        |  CASE WHEN c_custkey % 4 = 0 THEN 0.0
+        |    ELSE (c_custkey + 1) * 1.5 / (c_custkey % 4) END AS ratio,
+        |  left(md5('tok' || c_custkey), 8) AS token_id,
+        |  c_custkey % 3 = 0 AS is_mint
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "q43_tick_bars" ->
       """WITH t AS (
         |  SELECT event_id,
