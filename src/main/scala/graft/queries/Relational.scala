@@ -114,6 +114,78 @@ object Relational {
       .orderBy(c)
   }
 
+  /** Sink output projection (P7 null-coalescing defaults), trading-data
+    * sanity (F5), and the config-driven rank/limit compile (T2) in one
+    * oracle-gated query: token rows synthesize from c_custkey with nulls
+    * planted in every default family (string/numeric/int + the
+    * token_name→symbol→"" fallback chain), F5 probe values cover every
+    * rejection branch (0.0, ±1.0, out-of-range magnitudes, >$1M price,
+    * negative/oversized volume, null-passes), and the result then flows
+    * through `QueryCompiler.apply` with rankBy=volume/desc + limit over
+    * unique volumes (plans as TakeOrderedAndProject).
+    */
+  def outputGate(spark: SparkSession, dir: String): DataFrame = {
+    import graft.config.{Filters, Order, QueryCompiler, RankBy, ScrapingConfig}
+    import graft.functions.{Functions => F}
+    val c = col("c_custkey")
+    val k = c.cast("string")
+    val priceProbe = when(c % 7 === 0, lit(null))
+      .when(c % 7 === 1, lit(0.0))
+      .when(c % 7 === 2, lit(-1.0))
+      .when(c % 7 === 3, lit(2e15))
+      .when(c % 7 === 4, lit(1e-16))
+      .when(c % 7 === 5, lit(1500000.0))
+      .otherwise(lit(0.05))
+    val volProbe = when(c % 5 === 0, lit(null))
+      .when(c % 5 === 1, lit(-5.0))
+      .when(c % 5 === 2, lit(2e12))
+      .otherwise(lit(1000.0))
+    val tokens = customer(spark, dir).select(
+      c,
+      when(c % 2 === 0, lit(null)).otherwise(concat(lit("S"), k)).as("symbol"),
+      when(c % 4 === 0, lit(null)).otherwise(concat(lit("N"), k)).as("token_name"),
+      when(c % 3 === 0, lit(null)).otherwise(lit("base")).as("chain"),
+      lit(null).cast("string").as("protocol"),
+      lit(null).cast("string").as("age"),
+      lit(null).cast("string").as("website"),
+      lit(null).cast("string").as("twitter"),
+      lit(null).cast("string").as("telegram"),
+      lit(null).cast("string").as("pair_address"),
+      lit(null).cast("string").as("creator_address"),
+      lit(null).cast("string").as("token_address"),
+      lit(null).cast("string").as("quote_address"),
+      priceProbe.as("price"),
+      (c.cast("double") * 7.0).as("volume_24h"), // unique → deterministic top-N
+      (c.cast("double") * 3.0).as("liquidity"),
+      (c.cast("double") * 11.0).as("market_cap"),
+      lit(null).cast("double").as("change_5m"),
+      lit(null).cast("double").as("change_1h"),
+      lit(null).cast("double").as("change_6h"),
+      when(c % 6 === 0, lit(null)).otherwise(lit(1.25)).as("change_24h"),
+      when(c % 3 === 1, lit(null)).otherwise((c % 100).cast("int")).as("txns_24h"),
+      when(c % 5 === 2, lit(null)).otherwise((c % 50).cast("int")).as("makers"),
+      lit(null).cast("int").as("boost"),
+      (lit(0.5) + (c % 5).cast("double") / 10.0).as("confidence_score"),
+      (c % 8).cast("int").as("field_count"),
+      volProbe.as("vol_probe"))
+    val projected = graft.operators.Tokens.outputProjection(tokens)
+      .withColumn("valid_trading", F.validTradingData(priceProbe, col("vol_probe")))
+      .drop("vol_probe")
+    // Filters() keeps the reference's chain default (solana) — after P7
+    // defaulting that retains exactly the null-chain rows (c%3=0), so the
+    // F2 membership filter is live in this gate too.
+    val config = ScrapingConfig(rankBy = RankBy.Volume, order = Order.Desc,
+      filters = Filters(volumeH24Min = Some(700L)))
+    QueryCompiler.apply(projected, config, limitN = 100)
+      .select(c, col("symbol"), col("token_name"), col("chain"), col("protocol"),
+        col("pair_address"), col("price"), col("volume_24h"),
+        col("change_5m"), col("change_24h"),
+        col("txns_24h").cast("long").as("txns_24h"),
+        col("makers").cast("long").as("makers"),
+        col("boost").cast("long").as("boost"), col("valid_trading"))
+      .orderBy(c)
+  }
+
   /** Batch statistics (A1): total / conditional counts / distinct users —
     * the reference's `ExtractedTokenBatch.__post_init__` stats shape.
     */
@@ -234,9 +306,32 @@ object Relational {
     "q09_proximity_band" -> proximityBand _,
     "q10_ohlc_hourly" -> ohlcHourly _,
     "q43_tick_bars" -> tickBars _,
-    "q44_scalar_functions" -> scalarFunctions _)
+    "q44_scalar_functions" -> scalarFunctions _,
+    "q45_output_gate" -> outputGate _)
 
   val oracles: Map[String, String] = Map(
+    "q45_output_gate" ->
+      """WITH sel AS (
+        |  SELECT c_custkey AS c FROM customer
+        |  WHERE c_custkey % 3 = 0 AND c_custkey * 7.0 >= 700.0
+        |  ORDER BY c_custkey * 7.0 DESC LIMIT 100)
+        |SELECT c AS c_custkey,
+        |  CASE WHEN c % 2 = 0 THEN '' ELSE 'S' || c END AS symbol,
+        |  CASE WHEN c % 4 <> 0 THEN 'N' || c ELSE '' END AS token_name,
+        |  'solana' AS chain,
+        |  'unknown' AS protocol,
+        |  'unknown' AS pair_address,
+        |  CASE c % 7 WHEN 0 THEN 0.0 WHEN 1 THEN 0.0 WHEN 2 THEN -1.0
+        |    WHEN 3 THEN 2e15 WHEN 4 THEN 1e-16 WHEN 5 THEN 1500000.0
+        |    ELSE 0.05 END AS price,
+        |  c * 7.0 AS volume_24h,
+        |  0.0 AS change_5m,
+        |  CASE WHEN c % 6 = 0 THEN 0.0 ELSE 1.25 END AS change_24h,
+        |  cast(CASE WHEN c % 3 = 1 THEN 0 ELSE c % 100 END AS bigint) AS txns_24h,
+        |  cast(CASE WHEN c % 5 = 2 THEN 0 ELSE c % 50 END AS bigint) AS makers,
+        |  cast(0 AS bigint) AS boost,
+        |  (c % 7 IN (0, 6)) AND (c % 5 NOT IN (1, 2)) AS valid_trading
+        |FROM sel ORDER BY c""".stripMargin,
     "q44_scalar_functions" ->
       """SELECT c_custkey,
         |  CASE c_custkey % 4
