@@ -3,35 +3,55 @@ package graft
 import org.apache.spark.sql.DataFrame
 import scala.collection.mutable
 
-/** Session-scoped cache ledger: operators that persist a subtree register
-  * it here instead of calling `.persist()` directly, and the driver of the
-  * action (`Verify`, `Bench`, a test, a CLI run) releases everything after
-  * the dependent action completes. Persisted plans are reference-counted
-  * by plan identity nowhere — the ledger is append-only per query run —
-  * so `releaseAll()` after each query keeps a long-lived session from
-  * accumulating pinned storage (and keeps re-built identical plans from
-  * tripping CacheManager's "already cached" re-registration).
+/** Cache ledger: operators that persist a subtree register it here
+  * instead of calling `.persist()` directly, and the driver of the
+  * action (`Verify`, `Bench`, a test, a CLI run) releases everything
+  * after the dependent action completes — so a long-lived session never
+  * accumulates pinned storage.
+  *
+  * The ledger is THREAD-LOCAL: two queries running concurrently on the
+  * same SparkSession (parallel tests, a streaming batch overlapping a
+  * batch job) each see their own ledger, so one query's `releaseAll()`
+  * can never unpersist another's in-flight cache. [[scoped]] swaps in a
+  * fresh ledger for its body and restores the previous one afterwards,
+  * so nested scopes release exactly the caches their own body
+  * registered.
   */
 object Caches {
 
-  private val registry = mutable.ArrayBuffer.empty[DataFrame]
+  private val registry =
+    ThreadLocal.withInitial[mutable.ArrayBuffer[DataFrame]](
+      () => mutable.ArrayBuffer.empty[DataFrame])
 
-  /** Persist `df` and record it for the next [[releaseAll]]. */
-  def persisted(df: DataFrame): DataFrame = synchronized {
+  /** Persist `df` and record it in this thread's ledger for the next
+    * [[releaseAll]].
+    */
+  def persisted(df: DataFrame): DataFrame = {
     df.persist()
-    registry += df
+    registry.get() += df
     df
   }
 
-  /** Unpersist every ledgered DataFrame (non-blocking) and clear. */
-  def releaseAll(): Unit = synchronized {
-    registry.foreach(_.unpersist(blocking = false))
-    registry.clear()
+  /** Unpersist every DataFrame in this thread's ledger (non-blocking)
+    * and clear it.
+    */
+  def releaseAll(): Unit = {
+    val buf = registry.get()
+    buf.foreach(_.unpersist(blocking = false))
+    buf.clear()
   }
 
-  /** Run `body`, then release every cache it ledgered — the caller-owned
-    * lifecycle for one query + its action.
+  /** Run `body` with a fresh ledger, then release exactly the caches it
+    * registered — the caller-owned lifecycle for one query + its action.
+    * The enclosing scope's ledger is untouched.
     */
-  def scoped[A](body: => A): A =
-    try body finally releaseAll()
+  def scoped[A](body: => A): A = {
+    val outer = registry.get()
+    registry.set(mutable.ArrayBuffer.empty[DataFrame])
+    try body
+    finally {
+      releaseAll()
+      registry.set(outer)
+    }
+  }
 }

@@ -76,9 +76,17 @@ object Main {
       // cli.py:1077-1079
       err("--output is supported only with --once"); 2
     } else {
+      val streamFormat =
+        if (args.format == "ohlcv" || args.format == "ohlcvt") {
+          // bar formats need a completed batch boundary; streaming emits
+          // token payloads — say so instead of silently switching
+          err(s"--format ${args.format} is one-shot only; streaming emits json " +
+            "(use --once for bar output)")
+          "json"
+        } else args.format
       val query = Streaming.runTokenPipeline(spark, framesDir,
         (_, payload) => out(payload),
-        formatType = if (args.format == "ohlcv" || args.format == "ohlcvt") "json" else args.format,
+        formatType = streamFormat,
         topK = args.limit,
         trigger = Trigger.ProcessingTime("5 seconds"))
       query.awaitTermination()
@@ -114,8 +122,7 @@ object Main {
         // renders a single deterministic TUI frame instead.
         graft.sinks.Tui.render(top, total, highConf,
           complete = statsRow.getLong(2), cycle = 1L, sessionSeconds = 5.0,
-          clock = java.time.Instant.ofEpochSecond(ts)
-            .atZone(java.time.ZoneOffset.UTC).toLocalTime.toString)
+          clock = graft.sinks.Tui.clockString(ts))
       else Sinks.formatBatchOutput(top, args.format, args.limit, total, highConf, ts)
 
     args.output match {

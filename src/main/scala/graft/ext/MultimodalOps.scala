@@ -76,11 +76,16 @@ object MultimodalOps {
 
   /** Codec dispatch: recognized public raster formats decode for real
     * (BMP/PPM → grayscale); anything else falls back to the byte stub so
-    * the operator stays total. Everything downstream (histogram, resize,
-    * hashing) is codec-agnostic.
+    * the operator stays total. The sniff runs on the PAYLOAD — a media
+    * value is [GRFM header][codec bytes], so the magic bytes live after
+    * [[HeaderLen]], never at offset 0. Everything downstream (histogram,
+    * resize, hashing) is codec-agnostic.
     */
-  def decodePixels(media: Array[Byte]): Array[Int] =
-    ImageCodec.decode(media).map(_.gray).getOrElse(decodePixelsStub(media))
+  def decodePixels(media: Array[Byte]): Array[Int] = {
+    if (media == null || media.length <= HeaderLen) return Array.empty
+    val codecBytes = java.util.Arrays.copyOfRange(media, HeaderLen, media.length)
+    ImageCodec.decode(codecBytes).map(_.gray).getOrElse(decodePixelsStub(media))
+  }
 
   /** DETERMINISTIC-FAKE fallback for unrecognized codecs: "pixels" are
     * the raw payload bytes (unsigned) after the GRFM header.

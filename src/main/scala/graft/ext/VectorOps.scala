@@ -64,7 +64,11 @@ object VectorOps {
     * The broadcast side is BOUNDED: the query set is counted up front and
     * the operator refuses query sets above `maxQueryRows` rather than
     * silently broadcasting an unbounded DataFrame into every executor —
-    * flip the sides or use `lshTopK` when both sides are large.
+    * flip the sides or use `lshTopK` when both sides are large. The
+    * guard count is EAGER (one job at construction over the persisted
+    * query side, which the subsequent join reuses): build the operator
+    * only when you are about to execute it, inside a `Caches.scoped`
+    * block that owns the cache lifecycle.
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       qId: String = "q_id", qVec: String = "q_vec",
@@ -198,8 +202,11 @@ object VectorOps {
     * exact int64 arithmetic so any SQL engine reproduces the training
     * bit-for-bit:
     *
-    *   - seeds: the vectors at ids floor(j·n/k), j ∈ [0,k) — spread over
-    *     the id range, no RNG (×1000 to centroid scale);
+    *   - seeds: bucket the ID RANGE into k spans (`(id−lo)·k div span`)
+    *     and take the smallest id per span — spread over the actual id
+    *     domain, no RNG, no dense-0-based assumption, no global sort
+    *     (one min/max agg + one groupBy); sparse spans simply yield
+    *     fewer cells, which Lloyd handles (×1000 to centroid scale);
     *   - assign: argmin over cells of Σ(x·1000 − c)², ties to the lower
     *     cell id (min over (dist2, cell) structs — no window);
     *   - update: c[d] = (Σx)·1000 div count — truncating integer
@@ -216,17 +223,17 @@ object VectorOps {
       idCol: String = "vec_id", vecCol: String = "qvec"): DataFrame = {
     require(k > 0 && iters >= 0, "k and iters must be positive")
     val vecs = graft.Caches.persisted(vectors.select(col(idCol), col(vecCol)))
-    val n = vecs.count()
-    val seedIds = (0 until k).map(j => j * n / k)
+    val Array(lo, hi) = vecs.agg(min(col(idCol)), max(col(idCol)))
+      .head.toSeq.map(_.asInstanceOf[Long]).toArray
+    val span = hi - lo + 1
+    // cell = id-range bucket; smallest id per bucket is its seed. Works
+    // for any id domain (offset, sparse); empty buckets drop out.
+    // `div` (not `/`) keeps the arithmetic integral.
+    val bucket = expr(s"(($idCol - ${lo}L) * $k) div ${span}L")
     var codebook = vecs
-      .filter(col(idCol).isin(seedIds: _*))
-      .select(col(idCol), transform(col(vecCol), x => x * 1000L).as("cvec"))
-      // rank seeds by id → cell ids 0..k-1 (k rows: a driver-side sort
-      // of a bounded set would also do; keep it in-plan and tiny)
-      .withColumn("cell",
-        (row_number().over(org.apache.spark.sql.expressions.Window.orderBy(col(idCol))) - 1)
-          .cast("long"))
-      .select(col("cell"), col("cvec"))
+      .groupBy(bucket.cast("long").as("cell"))
+      .agg(min(struct(col(idCol), col(vecCol))).as("seed"))
+      .select(col("cell"), transform(col("seed").getField(vecCol), x => x * 1000L).as("cvec"))
 
     val dist2 = aggregate(
       zip_with(col(vecCol), col("cvec"), (x, c) => (x * 1000L - c) * (x * 1000L - c)),

@@ -245,11 +245,15 @@ object VectorPack {
            |    GROUP BY cell, d)
            |  GROUP BY cell)""".stripMargin
       s"""WITH v AS (SELECT vec_id, $qv AS qvec FROM embeddings),
-         |nn AS (SELECT count(*) AS n FROM v),
+         |bounds AS (SELECT min(vec_id) AS lo, max(vec_id) AS hi FROM v),
          |seeds AS (
-         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
-         |         list_transform(qvec, x -> x * 1000) AS cvec
-         |  FROM v WHERE vec_id IN (SELECT (j * nn.n) // $KmK FROM range($KmK) t(j), nn)),
+         |  SELECT cell, list_transform(qvec, x -> x * 1000) AS cvec FROM (
+         |    SELECT ((v.vec_id - b.lo) * $KmK) // (b.hi - b.lo + 1) AS cell,
+         |      v.qvec,
+         |      row_number() OVER (
+         |        PARTITION BY ((v.vec_id - b.lo) * $KmK) // (b.hi - b.lo + 1)
+         |        ORDER BY v.vec_id) AS rn
+         |    FROM v, bounds b) WHERE rn = 1),
          |${assignCte("a1", "seeds")},
          |${updateCte("cb1", "a1")},
          |${assignCte("a2", "cb1")},

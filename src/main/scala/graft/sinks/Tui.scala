@@ -82,6 +82,16 @@ object Tui {
     sb.toString
   }
 
+  /** Fixed-width HH:mm:ss clock from unix seconds (UTC) — the one
+    * formatter both the streaming TUI and `--once` rich output use.
+    * (`LocalTime.toString` would drop the seconds field when it is zero,
+    * diverging from the reference's strftime("%H:%M:%S").)
+    */
+  def clockString(epochSeconds: Long): String =
+    java.time.Instant.ofEpochSecond(epochSeconds)
+      .atZone(java.time.ZoneOffset.UTC).toLocalTime
+      .format(java.time.format.DateTimeFormatter.ofPattern("HH:mm:ss"))
+
   /** cli.py:417-496: three stats columns. `extractionRate` and clock are
     * injected for determinism (the reference reads time.time()/now()).
     */

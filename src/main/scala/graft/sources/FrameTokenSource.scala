@@ -137,6 +137,9 @@ object FrameTokenSource {
           val id = buf.getLong()
           val ts = buf.getLong()
           val len = buf.getInt()
+          require(len >= 0 && len <= buf.remaining(),
+            s"corrupt GFPK record in ${f.path}: frame $id declares $len bytes, " +
+              s"${buf.remaining()} remain")
           val frame = new Array[Byte](len)
           buf.get(frame)
           (id, ts, frame)
@@ -194,29 +197,51 @@ object FrameTokenSource {
     case _ => false
   }
 
-  /** Evaluate a pushed predicate against a decoded row (null comparisons
-    * are false, like SQL three-valued logic collapsing to a row gate).
+  /** SQL three-valued evaluation: None = UNKNOWN (a null operand).
+    * Collapsing null comparisons straight to `false` would be wrong
+    * under `Not` — SQL's NOT(UNKNOWN) is UNKNOWN (row dropped), while
+    * !(false) is true (row kept) — so UNKNOWN must propagate through
+    * the boolean connectives (Kleene logic) and collapse to "drop" only
+    * at the row gate, exactly like Spark's own FilterExec.
     */
-  def evalFilter(f: Filter, frameId: Long, row: InternalRow): Boolean = f match {
-    case EqualTo(a, v) =>
-      val x = columnValue(a, frameId, row); x != null && compareValues(x, v) == 0
-    case GreaterThan(a, v) =>
-      val x = columnValue(a, frameId, row); x != null && compareValues(x, v) > 0
-    case GreaterThanOrEqual(a, v) =>
-      val x = columnValue(a, frameId, row); x != null && compareValues(x, v) >= 0
-    case LessThan(a, v) =>
-      val x = columnValue(a, frameId, row); x != null && compareValues(x, v) < 0
-    case LessThanOrEqual(a, v) =>
-      val x = columnValue(a, frameId, row); x != null && compareValues(x, v) <= 0
-    case In(a, vs) =>
-      val x = columnValue(a, frameId, row); x != null && vs.exists(v => compareValues(x, v) == 0)
-    case IsNotNull(a) => columnValue(a, frameId, row) != null
-    case IsNull(a) => columnValue(a, frameId, row) == null
-    case And(l, r) => evalFilter(l, frameId, row) && evalFilter(r, frameId, row)
-    case Or(l, r) => evalFilter(l, frameId, row) || evalFilter(r, frameId, row)
-    case Not(c) => !evalFilter(c, frameId, row)
-    case _ => false
+  private def evalFilter3(f: Filter, frameId: Long, row: InternalRow): Option[Boolean] = {
+    def cmp(a: String, v: Any): Option[Int] = {
+      val x = columnValue(a, frameId, row)
+      if (x == null) None else Some(compareValues(x, v))
+    }
+    f match {
+      case EqualTo(a, v) => cmp(a, v).map(_ == 0)
+      case GreaterThan(a, v) => cmp(a, v).map(_ > 0)
+      case GreaterThanOrEqual(a, v) => cmp(a, v).map(_ >= 0)
+      case LessThan(a, v) => cmp(a, v).map(_ < 0)
+      case LessThanOrEqual(a, v) => cmp(a, v).map(_ <= 0)
+      case In(a, vs) =>
+        // supportedFilter rejects null list elements, so no UNKNOWN-from-
+        // the-list case exists — only a null probe value
+        val x = columnValue(a, frameId, row)
+        if (x == null) None else Some(vs.exists(v => compareValues(x, v) == 0))
+      case IsNotNull(a) => Some(columnValue(a, frameId, row) != null)
+      case IsNull(a) => Some(columnValue(a, frameId, row) == null)
+      case And(l, r) =>
+        (evalFilter3(l, frameId, row), evalFilter3(r, frameId, row)) match {
+          case (Some(false), _) | (_, Some(false)) => Some(false)
+          case (Some(true), Some(true)) => Some(true)
+          case _ => None
+        }
+      case Or(l, r) =>
+        (evalFilter3(l, frameId, row), evalFilter3(r, frameId, row)) match {
+          case (Some(true), _) | (_, Some(true)) => Some(true)
+          case (Some(false), Some(false)) => Some(false)
+          case _ => None
+        }
+      case Not(c) => evalFilter3(c, frameId, row).map(!_)
+      case _ => Some(false) // unreachable: supportedFilter gates pushdown
+    }
   }
+
+  /** Row gate for pushed predicates: keep only when TRUE (UNKNOWN drops). */
+  def evalFilter(f: Filter, frameId: Long, row: InternalRow): Boolean =
+    evalFilter3(f, frameId, row).contains(true)
 
   /** One pushed sort key: column + direction + null placement. */
   final case class SortKey(column: String, descending: Boolean, nullsFirst: Boolean)

@@ -97,8 +97,7 @@ object Streaming {
         val cycle = ring.size.toLong
         graft.sinks.Tui.render(top, total, highConf, complete, cycle,
           sessionSeconds = cycle * 5.0,
-          clock = java.time.Instant.ofEpochSecond(ts)
-            .atZone(java.time.ZoneOffset.UTC).toLocalTime.toString)
+          clock = graft.sinks.Tui.clockString(ts))
       case other =>
         throw new IllegalArgumentException(s"unknown stream format: $other")
     }

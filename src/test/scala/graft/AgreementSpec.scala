@@ -111,6 +111,19 @@ class AgreementSpec extends AnyFunSuite {
     assert(survivors.contains(0L) || !droppedExact.contains(0L))
   }
 
+  test("kmeansCodebook: offset/sparse id domains still seed a full codebook") {
+    import graft.ext.VectorOps
+    val dir = "/root/testdata/sf0.001"
+    val vecs = Tables.embeddings(spark, dir)
+      .select((col("vec_id") + 1000000L).as("vec_id"), // offset, non-0-based
+        VectorOps.quantize(col("embedding")).as("qvec"))
+    val cb = VectorOps.kmeansCodebook(vecs, 8, 1)
+    val n = cb.count()
+    assert(n == 8, s"expected 8 seeded cells on a contiguous offset domain, got $n")
+    val assigned = VectorOps.assignToCodebook(vecs, cb)
+    assert(assigned.count() == vecs.count())
+  }
+
   test("kmeansCodebook: deterministic, k cells max, SSE non-increasing (Lloyd)") {
     import graft.ext.VectorOps
     val dir = "/root/testdata/sf0.001"

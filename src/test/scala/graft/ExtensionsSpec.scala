@@ -40,12 +40,22 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(!rows.getBoolean(2))
   }
 
-  test("withExtensions wiring: a fresh session built with the extension resolves the functions") {
-    // the injectFunction path (what --conf spark.sql.extensions exercises)
-    val ext = new org.apache.spark.sql.SparkSessionExtensions
-    new GraftExtensions().apply(ext)
-    // registration side effect is on the builder; prove the builder list is non-empty
-    // by invoking through the shared session instead (same builders)
+  test("registered builders construct working expressions (the injectFunction payload)") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    // apply() must not throw when handed a fresh extensions object
+    new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
     assert(GraftExtensions.registrations.map(_._1) == Seq("dot_long", "base58_valid"))
+
+    // evaluate each builder's expression directly — a swapped argument or
+    // arity bug fails here without needing a second SparkSession
+    val byName = GraftExtensions.registrations.map(r => r._1 -> r._3).toMap
+    val arr = Literal.create(ArrayData.toArrayData(Array(2L, 3L)), ArrayType(LongType))
+    assert(byName("dot_long")(Seq(arr, arr)).eval(null) == 13L)
+    val mint = Literal("So11111111111111111111111111111111111111112")
+    assert(byName("base58_valid")(Seq(mint)).eval(null) == true)
+    intercept[IllegalArgumentException](byName("dot_long")(Seq(arr)))
+    intercept[IllegalArgumentException](byName("base58_valid")(Seq(mint, mint)))
   }
 }

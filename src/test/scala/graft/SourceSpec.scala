@@ -61,6 +61,24 @@ class SourceSpec extends AnyFunSuite {
     assert(hasFilter, "length() predicate must remain as an engine Filter")
   }
 
+  test("Not over a nullable column keeps SQL three-valued semantics when pushed") {
+    // pair_address decodes to null in the deep fixture; SQL says
+    // NOT(null = 'x') is UNKNOWN → row dropped. A naive null→false
+    // collapse would keep every row here.
+    val notEq = sourceDf.filter(!(col("pair_address") === "nope"))
+    assert(scanOf(notEq).description().contains("pair_address"),
+      "Not predicate should push into the source")
+    assert(notEq.count() == 0, "NOT over null must drop rows, not keep them")
+
+    // same answer as SQL semantics computed engine-side on the full scan
+    val srcRows = sourceDf.filter(!(col("protocol") === "pumpfun"))
+      .select("frame_id").collect().map(_.getLong(0)).toSet
+    val engRows = sourceDf.select("frame_id", "protocol").collect()
+      .filter(r => !r.isNullAt(1) && r.getString(1) != "pumpfun")
+      .map(_.getLong(0)).toSet
+    assert(srcRows == engRows)
+  }
+
   test("TopN pushes as bounded per-partition selection; global order intact") {
     val df = sourceDf
       .filter(col("liquidity") >= 35000.0)
