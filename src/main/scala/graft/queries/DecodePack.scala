@@ -195,7 +195,11 @@ object DecodePack {
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     def putF(off: Int, v: Double): Unit = window.putFloat(off, v.toFloat)
     putF(0, (128 + c % 32) / 2048.0) // price ∈ [0.0625, 0.0776]
-    window.putInt(12, (1000 + c % 11000).toInt) // txns uint32 ∈ [1000, 11999]
+    // txns uint32 ∈ [1000, 2499]: MUST stay < 2560 — a larger value puts
+    // a non-zero byte at offset 13, and the stride-2 float read at offset
+    // 10 (00 00 <lo> <hi>) then lands just above the 1e-10 validity
+    // floor, consuming the position before the uint32 pass reads it
+    window.putInt(12, (1000 + c % 1500).toInt)
     if (c % 3 != 0) putF(24, ((128 + c % 32) * 4).toDouble) // makers ∈ [512, 636]
     putF(36, ((128 + c % 25) * 65536).toDouble) // volume ∈ [8.39M, 9.96M]
     putF(48, ((128 + c % 32) * 256).toDouble) // liquidity ∈ [32768, 40704]
@@ -416,7 +420,7 @@ object DecodePack {
          |    WHEN 2 THEN 'SHIB' ELSE 'BONK' END AS symbol,
          |  (128 + c_custkey % 32) / 2048.0 AS price,
          |  (128 + c_custkey % 25) * 65536.0 AS volume_24h,
-         |  cast(1000 + c_custkey % 11000 AS bigint) AS txns_24h,
+         |  cast(1000 + c_custkey % 1500 AS bigint) AS txns_24h,
          |  CASE WHEN c_custkey % 3 <> 0
          |    THEN cast((128 + c_custkey % 32) * 4 AS bigint) END AS makers,
          |  (128 + c_custkey % 32) * 256.0 AS liquidity,

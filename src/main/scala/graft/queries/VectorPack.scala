@@ -125,7 +125,11 @@ object VectorPack {
     "q38_kmeans_codebook" -> kmeansCells _,
     "q39_embedding_dedup" -> embeddingDedup _)
 
-  private val qv = s"list_transform(embedding, x -> cast(round(x * $Scale) AS bigint))"
+  // cast to double BEFORE the multiply: DuckDB would otherwise keep
+  // FLOAT×DECIMAL in single precision (0.3195f·1000 = 319.5f → 320),
+  // while Spark promotes to double (319.4999… → 319)
+  private val qv =
+    s"list_transform(embedding, x -> cast(round(cast(x AS double) * $Scale) AS bigint))"
   private def dot(a: String, b: String) = s"list_dot_product($a, $b)"
   // Plane count derived in SQL with the same integer rule as
   // planesForCorpus: smallest p in [4,24] with 2^p·target ≥ corpus size.
