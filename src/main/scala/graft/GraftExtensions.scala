@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{Base58, DotLong}
+import graft.functions.{Base58, DotLong, PyRepr}
 
 /** Spark-native integration point: registers the engine's custom codegen
   * expressions in the SQL function registry so plain `spark.sql(...)`
@@ -47,6 +47,12 @@ object GraftExtensions {
       { args =>
         require(args.length == 1, s"base58_valid expects 1 argument, got ${args.length}")
         Base58.IsBase58Address(args(0))
+      }),
+    ("py_repr",
+      info("py_repr", "py_repr(d) - Python repr() of a double (shortest roundtrip digits)"),
+      { args =>
+        require(args.length == 1, s"py_repr expects 1 argument, got ${args.length}")
+        PyRepr(args(0))
       }))
 
   /** Register on an already-built session (tests, notebook sessions). */

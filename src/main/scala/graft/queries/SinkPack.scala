@@ -47,8 +47,36 @@ object SinkPack {
       .orderBy(col("bar_unix"), col("event_type"))
   }
 
+  /** A6/O12 Prometheus exposition, distributed: sample lines built by
+    * the Column-level builder (with the REAL Python-repr codegen
+    * expression) instead of the driver-side top-10 loop. Values are
+    * planted in repr-closed-form families (x.5 halves and
+    * integer-valued doubles — repr is "<int>.5" / "<int>.0" exactly),
+    * with the reference's zero/null truthiness skip exercised on both
+    * metrics.
+    */
+  def prometheusLines(spark: SparkSession, dir: String): DataFrame = {
+    val c = col("c_custkey")
+    val k = c.cast("string")
+    val tsMs = lit(1700000000000L)
+    val price = when(c % 4 === 1, (c % 90).cast("double") + 0.5)
+      .when(c % 4 === 3, (c % 500 + 1).cast("double"))
+      .when(c % 4 === 0, lit(0.0)) // falsy → line skipped
+      .otherwise(lit(null).cast("double")) // missing → line skipped
+    val volume = when(c % 3 === 0, lit(0.0))
+      .otherwise((c % 1000 + 1).cast("double") * 1024.0)
+    Tables.customer(spark, dir).select(
+        c,
+        Sinks.prometheusSampleCol("dex_token_price",
+          concat(lit("TK"), k), price, tsMs).as("price_line"),
+        Sinks.prometheusSampleCol("dex_token_volume_24h",
+          concat(lit("TK"), k), volume, tsMs).as("volume_line"))
+      .orderBy(c)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q35_sink_formats" -> sinkFormats _)
+    "q35_sink_formats" -> sinkFormats _,
+    "q46_prometheus_lines" -> prometheusLines _)
 
   private val ohlcCte =
     s"""bars AS (
@@ -62,6 +90,21 @@ object SinkPack {
        |  FROM events GROUP BY 1, 2)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q46_prometheus_lines" ->
+      """SELECT c_custkey,
+        |  CASE
+        |    WHEN c_custkey % 4 = 1 THEN
+        |      'dex_token_price{symbol="TK' || c_custkey || '"} '
+        |        || (c_custkey % 90) || '.5 1700000000000'
+        |    WHEN c_custkey % 4 = 3 THEN
+        |      'dex_token_price{symbol="TK' || c_custkey || '"} '
+        |        || (c_custkey % 500 + 1) || '.0 1700000000000'
+        |    END AS price_line,
+        |  CASE WHEN c_custkey % 3 <> 0 THEN
+        |      'dex_token_volume_24h{symbol="TK' || c_custkey || '"} '
+        |        || ((c_custkey % 1000 + 1) * 1024) || '.0 1700000000000'
+        |    END AS volume_line
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "q35_sink_formats" ->
       s"""WITH $ohlcCte
          |SELECT epoch(bucket)::bigint AS bar_unix, event_type,

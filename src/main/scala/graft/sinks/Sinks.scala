@@ -39,6 +39,18 @@ object Sinks {
       date_format(ts, "yyyy.MM.dd HH:mm:ss"),
       open, high, low, close, volume.cast("long"))
 
+  /** O12 Prometheus sample line as a Column (models.py:736-748 shape):
+    * `metric{symbol="S"} <python-repr> <ts-ms>` — null when the value is
+    * null or 0.0 (the reference's truthiness skip), so a distributed
+    * exposition export is `df.select(line).na.drop.write.text(...)` at
+    * any scale instead of a driver-side top-10 loop.
+    */
+  def prometheusSampleCol(metric: String, symbol: Column, value: Column,
+      tsMs: Column): Column =
+    when(value.isNotNull && value =!= 0.0,
+      format_string(s"""$metric{symbol="%s"} %s %s""",
+        symbol, graft.functions.PyRepr(value), tsMs))
+
   def csvOhlcvLineCol(ts: Column, open: Column, high: Column, low: Column,
       close: Column, volume: Column): Column =
     format_string("%s,%.8f,%.8f,%.8f,%.8f,%.2f",

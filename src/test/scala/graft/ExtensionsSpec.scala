@@ -46,7 +46,8 @@ class ExtensionsSpec extends AnyFunSuite {
     import org.apache.spark.sql.types.{ArrayType, LongType}
     // apply() must not throw when handed a fresh extensions object
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
-    assert(GraftExtensions.registrations.map(_._1) == Seq("dot_long", "base58_valid"))
+    assert(GraftExtensions.registrations.map(_._1) ==
+      Seq("dot_long", "base58_valid", "py_repr"))
 
     // evaluate each builder's expression directly — a swapped argument or
     // arity bug fails here without needing a second SparkSession
@@ -55,6 +56,7 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(byName("dot_long")(Seq(arr, arr)).eval(null) == 13L)
     val mint = Literal("So11111111111111111111111111111111111111112")
     assert(byName("base58_valid")(Seq(mint)).eval(null) == true)
+    assert(byName("py_repr")(Seq(Literal(37.5))).eval(null).toString == "37.5")
     intercept[IllegalArgumentException](byName("dot_long")(Seq(arr)))
     intercept[IllegalArgumentException](byName("base58_valid")(Seq(mint, mint)))
   }
