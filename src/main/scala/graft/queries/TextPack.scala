@@ -128,6 +128,43 @@ object TextPack {
   def lshCandidatePairs(spark: SparkSession, dir: String): DataFrame =
     lshCandidatePairsFrom(Tables.documents(spark, dir))
 
+  private val VerifyJaccard = 0.5
+
+  /** The COMPLETE classic near-dup detection pipeline: LSH banding
+    * proposes candidates (equi-join, never all-pairs), exact n-gram
+    * Jaccard verifies them — the quadratic-exact step (q16's math) runs
+    * only on the candidate set, which banding keeps ~linear in corpus
+    * size. This is the composition production dedup actually ships
+    * (candidates ≫ cheap, verification exact).
+    */
+  def lshJaccardVerify(spark: SparkSession, dir: String): DataFrame = {
+    // ONE persisted shingle pass feeds both stages: signatures derive
+    // from the exploded arrays (minhash is duplicate-invariant, so the
+    // distinct arrays give the same minima as the row-stream form — and
+    // no per-doc window is needed), verification intersects the same
+    // arrays.
+    val sh = graft.Caches.persisted(Tables.documents(spark, dir)
+      .select(col("doc_id"), TextOps.wordShingles(col("text"), 3).as("sh")))
+    val hashRows = sh.select(col("doc_id"), explode(col("sh")).as("_s"))
+      .select(col("doc_id"), TextOps.hash32(col("_s")).as("_h"))
+    val banded = TextOps.minhashAggFromHashes(hashRows, "doc_id", "_h", K)
+      .select(col("doc_id"), posexplode(TextOps.lshBandKeys(col("sig"), Bands, R))
+        .as(Seq("band", "key")))
+      .select(col("doc_id"),
+        concat(col("band").cast("string"), lit(":"), col("key")).as("band_key"))
+    val cands = banded.select(col("doc_id").as("doc1"), col("band_key"))
+      .join(banded.select(col("doc_id").as("doc2"), col("band_key")), "band_key")
+      .filter(col("doc1") < col("doc2"))
+      .select(col("doc1"), col("doc2")).distinct()
+    cands
+      .join(sh.select(col("doc_id").as("doc1"), col("sh").as("sh1")), "doc1")
+      .join(sh.select(col("doc_id").as("doc2"), col("sh").as("sh2")), "doc2")
+      .select(col("doc1"), col("doc2"),
+        TextOps.jaccard(col("sh1"), col("sh2")).as("jaccard"))
+      .filter(col("jaccard") >= VerifyJaccard)
+      .orderBy(col("doc1"), col("doc2"))
+  }
+
   def simhashes(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
@@ -245,7 +282,8 @@ object TextPack {
     "q17_minhash_signatures" -> minhashSignatures _,
     "q18_lsh_candidate_pairs" -> lshCandidatePairs _,
     "q19_simhash" -> simhashes _,
-    "q20_language_id" -> languageId _)
+    "q20_language_id" -> languageId _,
+    "q47_lsh_jaccard_verify" -> lshJaccardVerify _)
 
   private val stopList = TextOps.Stopwords.map(s => s"'$s'").mkString(", ")
   private val (aList, bList) = {
@@ -390,6 +428,30 @@ object TextPack {
          |SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_shared_bands
          |FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
          |GROUP BY 1, 2 ORDER BY doc1, doc2""".stripMargin,
+    "q47_lsh_jaccard_verify" ->
+      s"""WITH shtok AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |sh AS (SELECT doc_id, $shinglesSql AS sh FROM shtok),
+         |sig AS (SELECT doc_id, $sigSql AS sig FROM sh),
+         |bands AS (
+         |  SELECT doc_id, b,
+         |    b || ':' || array_to_string(sig[b*$R+1:b*$R+$R], ',') AS band_key
+         |  FROM sig CROSS JOIN (SELECT unnest(range($Bands)) AS b)),
+         |cand AS (
+         |  SELECT a.doc_id AS doc1, b.doc_id AS doc2
+         |  FROM bands a JOIN bands b
+         |    ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |j AS (
+         |  SELECT c.doc1, c.doc2,
+         |    cast(len(list_intersect(s1.sh, s2.sh)) AS double)
+         |      / cast(len(list_distinct(list_concat(s1.sh, s2.sh))) AS double) AS jaccard
+         |  FROM cand c
+         |  JOIN sh s1 ON s1.doc_id = c.doc1
+         |  JOIN sh s2 ON s2.doc_id = c.doc2)
+         |SELECT doc1, doc2, jaccard FROM j
+         |WHERE jaccard >= $VerifyJaccard
+         |ORDER BY doc1, doc2""".stripMargin,
     "q20_language_id" -> {
       // Mirrors TextOps.languageId: per-language score = sum over grams of
       // (len - len(replace))/len(gram) (int/int → double in both engines,
