@@ -197,6 +197,46 @@ object VectorOps {
       "q_id", "top", "c_id", "cosine")
   }
 
+  /** IVF probe against an EXTERNALLY TRAINED codebook — the second half
+    * of the production "train index → assign → probe → re-rank" path
+    * ([[kmeansCodebook]] is the first half; [[ivfTopK]] is the
+    * label-centroid stand-in that fuses both for the legacy gate).
+    * Identical physical shape: the codebook broadcasts, assignment is an
+    * argmin over the broadcast (no shuffle beyond the per-id agg), probing
+    * is a bounded window over codebook-sized groups, candidate generation
+    * is an equi-join on cell id, and the re-rank is the bounded top-k
+    * aggregate. Codebook schema: (cell: long, cvec: array<long>) at scale
+    * 1000 — exactly what [[kmeansCodebook]] returns.
+    */
+  def ivfProbeTopK(vectors: DataFrame, codebook: DataFrame,
+      isQuery: Column => Column, k: Int, nprobe: Int,
+      idCol: String = "vec_id", vecCol: String = "qvec"): DataFrame = {
+    val vecs = graft.Caches.persisted(vectors.select(col(idCol), col(vecCol),
+      normInt(col(vecCol)).as("nrm")))
+    val dist2 = aggregate(
+      zip_with(col(vecCol), col("cvec"), (x, c) => (x * 1000L - c) * (x * 1000L - c)),
+      lit(0L), (acc, t) => acc + t)
+    val scoredCells = vecs.crossJoin(broadcast(codebook))
+      .withColumn("dist2", dist2)
+    val assigned = scoredCells.groupBy(col(idCol))
+      .agg(min(struct(col("dist2"), col("cell"))).as("best"))
+      .select(col(idCol).as("c_id"), col("best.cell").as("cell"))
+      .join(vecs.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"), col("nrm").as("c_nrm")), "c_id")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(idCol)).orderBy(col("dist2").asc, col("cell").asc)
+    val probes = scoredCells.filter(isQuery(col(idCol)))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= nprobe)
+      .select(col(idCol).as("q_id"), col("cell"), col(vecCol).as("q_vec"), col("nrm").as("q_nrm"))
+    val candidates = probes.join(assigned, Seq("cell"))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("cosine", cosinePre(col("q_vec"), col("q_nrm"), col("c_vec"), col("c_nrm")))
+    val topk = udaf(new graft.functions.TopKAgg(k))
+    explodeTopK(
+      candidates.groupBy(col("q_id")).agg(topk(col("c_id"), col("cosine")).as("top")),
+      "q_id", "top", "c_id", "cosine")
+  }
+
   /** Deterministic integer k-means (Lloyd) codebook trainer — the real
     * replacement for ivfTopK's label-centroid stand-in. Everything is
     * exact int64 arithmetic so any SQL engine reproduces the training
@@ -253,6 +293,13 @@ object VectorOps {
       codebook = byDim.groupBy(col("cell"))
         .agg(array_sort(collect_list(struct(col("d"), col("c")))).as("dc"))
         .select(col("cell"), transform(col("dc"), e => e.getField("c")).as("cvec"))
+      // Each unrolled round nests the whole prior plan under a broadcast,
+      // so analyzer/optimizer cost grows superlinearly with `iters`. The
+      // codebook is k rows — an eager localCheckpoint (executor-memory
+      // materialization, no checkpoint dir needed) costs one tiny job and
+      // keeps plan size constant per round. Skipped at toy iteration
+      // counts so the gated q38 plan (iters=2) is byte-identical to r3.
+      if (iters > 2) codebook = codebook.localCheckpoint()
     }
     codebook
   }

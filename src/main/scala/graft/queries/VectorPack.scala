@@ -105,6 +105,21 @@ object VectorPack {
       .orderBy(col("cell"))
   }
 
+  /** The production ANN story as ONE gated path: train the IVF index with
+    * the real k-means trainer (same k/iters as q38), then assign / probe /
+    * re-rank against THAT codebook (VectorOps.ivfProbeTopK) — q30 keeps
+    * the label-centroid stand-in for continuity; this query proves the
+    * trained-index composition end-to-end against an oracle that re-derives
+    * the identical integer training in SQL.
+    */
+  def ivfTrainedAnn(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = quantized(spark, dir).select(col("vec_id"), col("qvec"))
+    val codebook = VectorOps.kmeansCodebook(vecs, KmK, KmIters)
+    VectorOps.ivfProbeTopK(vecs, codebook, q => q < 10, TopK, NProbe)
+      .withColumn("rank", col("rank").cast("long"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** Embedding-cosine near-dup dedup (the brief's last dedup mode as a
     * first-class operator): SRP-bucketed candidate pairs, exact cosine
     * gate, drop-any-with-smaller-id-dup, survivors out. Plane count
@@ -123,7 +138,8 @@ object VectorPack {
     "q24_label_centroids" -> labelCentroidStats _,
     "q30_ivf_ann" -> ivfAnn _,
     "q38_kmeans_codebook" -> kmeansCells _,
-    "q39_embedding_dedup" -> embeddingDedup _)
+    "q39_embedding_dedup" -> embeddingDedup _,
+    "q48_ivf_trained_ann" -> ivfTrainedAnn _)
 
   // cast to double BEFORE the multiply: DuckDB would otherwise keep
   // FLOAT×DECIMAL in single precision (0.3195f·1000 = 319.5f → 320),
@@ -143,6 +159,45 @@ object VectorPack {
        |    list_transform(range($Dims), d ->
        |      (((('0x' || substr(md5('srp-' || pl || '-' || d), 1, 8))::bigint & 1) * 2 - 1) * qvec[d+1]))
        |  ) > 0 THEN 1 ELSE 0 END for pl in range((SELECT planes FROM np))], '')""".stripMargin
+
+  // ---- shared trained-codebook SQL (q38 gate + q48 trained-IVF probe) ----
+  // Unrolled Lloyd rounds, each = assign (argmin of exact integer
+  // distance, ties to lower cell) + centroid update ((sum·1000) // count —
+  // DuckDB // truncates toward zero exactly like Spark div).
+  private def kmDistSql(cvecExpr: String) =
+    s"""list_sum(list_transform(range($Dims), i ->
+       |      (qvec[i+1]*1000 - ($cvecExpr)[i+1]) * (qvec[i+1]*1000 - ($cvecExpr)[i+1])))""".stripMargin
+  private def kmAssignCte(name: String, cb: String) =
+    s"""$name AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT v.vec_id, s.cell,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${kmDistSql("s.cvec")}, s.cell) AS rn
+       |    FROM v CROSS JOIN $cb s) WHERE rn = 1)""".stripMargin
+  private def kmUpdateCte(name: String, assign: String) =
+    s"""$name AS (
+       |  SELECT cell, list(c ORDER BY d) AS cvec FROM (
+       |    SELECT cell, d, (sum(x) * 1000) // count(*) AS c FROM (
+       |      SELECT a.cell, generate_subscripts(qvec, 1) - 1 AS d, unnest(qvec) AS x
+       |      FROM v JOIN $assign a USING (vec_id))
+       |    GROUP BY cell, d)
+       |  GROUP BY cell)""".stripMargin
+  /** CTE chain ending in `cb2`, the KmIters=2-round trained codebook. */
+  private val kmTrainedCtes =
+    s"""v AS (SELECT vec_id, $qv AS qvec FROM embeddings),
+       |bounds AS (SELECT min(vec_id) AS lo, max(vec_id) AS hi FROM v),
+       |seeds AS (
+       |  SELECT cell, list_transform(qvec, x -> x * 1000) AS cvec FROM (
+       |    SELECT ((v.vec_id - b.lo) * $KmK) // (b.hi - b.lo + 1) AS cell,
+       |      v.qvec,
+       |      row_number() OVER (
+       |        PARTITION BY ((v.vec_id - b.lo) * $KmK) // (b.hi - b.lo + 1)
+       |        ORDER BY v.vec_id) AS rn
+       |    FROM v, bounds b) WHERE rn = 1),
+       |${kmAssignCte("a1", "seeds")},
+       |${kmUpdateCte("cb1", "a1")},
+       |${kmAssignCte("a2", "cb1")},
+       |${kmUpdateCte("cb2", "a2")}""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q21_ann_topk" ->
@@ -226,51 +281,47 @@ object VectorPack {
          |  FROM scored)
          |SELECT q_id, rank, c_id, cosine FROM ranked WHERE rank <= $TopK
          |ORDER BY q_id, rank""".stripMargin,
-    "q38_kmeans_codebook" -> {
-      // Unrolled Lloyd rounds, each = assign (argmin of exact integer
-      // distance, ties to lower cell) + centroid update ((sum·1000) //
-      // count — DuckDB // truncates toward zero exactly like Spark div).
-      def distSql(cvecExpr: String) =
-        s"""list_sum(list_transform(range($Dims), i ->
-           |      (qvec[i+1]*1000 - ($cvecExpr)[i+1]) * (qvec[i+1]*1000 - ($cvecExpr)[i+1])))""".stripMargin
-      def assignCte(name: String, cb: String) =
-        s"""$name AS (
-           |  SELECT vec_id, cell FROM (
-           |    SELECT v.vec_id, s.cell,
-           |      row_number() OVER (PARTITION BY v.vec_id
-           |        ORDER BY ${distSql("s.cvec")}, s.cell) AS rn
-           |    FROM v CROSS JOIN $cb s) WHERE rn = 1)""".stripMargin
-      def updateCte(name: String, assign: String) =
-        s"""$name AS (
-           |  SELECT cell, list(c ORDER BY d) AS cvec FROM (
-           |    SELECT cell, d, (sum(x) * 1000) // count(*) AS c FROM (
-           |      SELECT a.cell, generate_subscripts(qvec, 1) - 1 AS d, unnest(qvec) AS x
-           |      FROM v JOIN $assign a USING (vec_id))
-           |    GROUP BY cell, d)
-           |  GROUP BY cell)""".stripMargin
-      s"""WITH v AS (SELECT vec_id, $qv AS qvec FROM embeddings),
-         |bounds AS (SELECT min(vec_id) AS lo, max(vec_id) AS hi FROM v),
-         |seeds AS (
-         |  SELECT cell, list_transform(qvec, x -> x * 1000) AS cvec FROM (
-         |    SELECT ((v.vec_id - b.lo) * $KmK) // (b.hi - b.lo + 1) AS cell,
-         |      v.qvec,
-         |      row_number() OVER (
-         |        PARTITION BY ((v.vec_id - b.lo) * $KmK) // (b.hi - b.lo + 1)
-         |        ORDER BY v.vec_id) AS rn
-         |    FROM v, bounds b) WHERE rn = 1),
-         |${assignCte("a1", "seeds")},
-         |${updateCte("cb1", "a1")},
-         |${assignCte("a2", "cb1")},
-         |${updateCte("cb2", "a2")},
+    "q38_kmeans_codebook" ->
+      s"""WITH $kmTrainedCtes,
          |final AS (
          |  SELECT vec_id, cell, dist2 FROM (
-         |    SELECT v.vec_id, s.cell, ${distSql("s.cvec")} AS dist2,
+         |    SELECT v.vec_id, s.cell, ${kmDistSql("s.cvec")} AS dist2,
          |      row_number() OVER (PARTITION BY v.vec_id
-         |        ORDER BY ${distSql("s.cvec")}, s.cell) AS rn
+         |        ORDER BY ${kmDistSql("s.cvec")}, s.cell) AS rn
          |    FROM v CROSS JOIN cb2 s) WHERE rn = 1)
          |SELECT cell, count(*) AS n_vectors, sum(dist2)::bigint AS total_dist2
-         |FROM final GROUP BY cell ORDER BY cell""".stripMargin
-    },
+         |FROM final GROUP BY cell ORDER BY cell""".stripMargin,
+    "q48_ivf_trained_ann" ->
+      s"""WITH $kmTrainedCtes,
+         |ad AS (
+         |  SELECT v.vec_id, s.cell, ${kmDistSql("s.cvec")} AS dist2
+         |  FROM v CROSS JOIN cb2 s),
+         |assigned AS (
+         |  SELECT vec_id AS c_id, cell FROM (
+         |    SELECT vec_id, cell,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cell) AS rn
+         |    FROM ad) WHERE rn = 1),
+         |probes AS (
+         |  SELECT vec_id AS q_id, cell FROM (
+         |    SELECT vec_id, cell,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cell) AS rn
+         |    FROM ad WHERE vec_id < 10) WHERE rn <= $NProbe),
+         |cand AS (
+         |  SELECT p.q_id, a.c_id FROM probes p
+         |  JOIN assigned a ON a.cell = p.cell AND a.c_id <> p.q_id),
+         |scored AS (
+         |  SELECT cand.q_id, cand.c_id,
+         |    cast(${dot("q.qvec", "c.qvec")} AS double) /
+         |      (sqrt(cast(${dot("q.qvec", "q.qvec")} AS double)) *
+         |       sqrt(cast(${dot("c.qvec", "c.qvec")} AS double))) AS cosine
+         |  FROM cand JOIN v q ON q.vec_id = cand.q_id
+         |            JOIN v c ON c.vec_id = cand.c_id),
+         |ranked AS (
+         |  SELECT q_id, c_id, cosine,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS rank
+         |  FROM scored)
+         |SELECT q_id, rank, c_id, cosine FROM ranked WHERE rank <= $TopK
+         |ORDER BY q_id, rank""".stripMargin,
     "q39_embedding_dedup" ->
       s"""WITH $planesCteSql,
          |v AS (SELECT vec_id, $qv AS qvec FROM embeddings),

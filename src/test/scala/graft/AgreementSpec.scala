@@ -148,6 +148,26 @@ class AgreementSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("kmeansCodebook: iters=8 runs via per-round localCheckpoint, SSE still monotone") {
+    import graft.ext.VectorOps
+    val dir = "/root/testdata/sf0.001"
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), VectorOps.quantize(col("embedding")).as("qvec"))
+    // iters>2 takes the lineage-truncated path: without it, 8 unrolled
+    // rounds nest the full prior plan under each broadcast and the
+    // analyzer cost explodes. This must both finish promptly and keep
+    // Lloyd's guarantee.
+    def sse(iters: Int): Long = {
+      val cb = VectorOps.kmeansCodebook(vecs, 8, iters)
+      VectorOps.assignToCodebook(vecs, cb).agg(sum(col("dist2"))).head.getLong(0)
+    }
+    assert(sse(8) <= sse(2), "more Lloyd rounds must not worsen quantization error")
+    // determinism holds across the checkpointed path too
+    val a = VectorOps.kmeansCodebook(vecs, 8, 8).orderBy("cell").collect().map(_.toSeq).toSeq
+    val b = VectorOps.kmeansCodebook(vecs, 8, 8).orderBy("cell").collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+
   test("DataBuffer ring matches utils.py:472-507 semantics") {
     val buf = new DataBuffer[Int](maxSize = 5)
     (1 to 3).foreach(buf.append)
