@@ -2,7 +2,9 @@ package graft.sources
 
 import graft.decode.TokenExtractor
 import graft.model.TokenProfile
-import org.apache.spark.sql.Encoders
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FSDataInputStream, LocatedFileStatus, Path}
+import org.apache.spark.sql.{Encoders, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
@@ -14,7 +16,27 @@ import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import java.util.{Map => JMap}
+import scala.collection.mutable
 import scala.jdk.CollectionConverters._
+
+/** Serializable snapshot of the session Hadoop configuration, shipped to
+  * executors inside the reader factory so they open the SAME FileSystem
+  * (credentials, endpoints, s3a settings) the driver planned with.
+  * `Configuration` itself is a Writable, not Serializable — this is the
+  * standard wrap-the-Writable pattern.
+  */
+final class SerializableHadoopConf(@transient var value: Configuration)
+    extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new Configuration(false)
+    value.readFields(in)
+  }
+}
 
 /** DataSource V2 frame source with PHYSICAL pushdown (SURVEY §2.1 S1/S2,
   * full shape): the defining trick of the reference is that the entire
@@ -23,8 +45,9 @@ import scala.jdk.CollectionConverters._
   * pre-ranked, pre-limited rows. This connector is the Spark-native
   * mapping of that architecture: the "server" is the scan itself. It
   * reads raw frame files (one WebSocket frame per `.bin` file, named
-  * `frame_<id>_<ts>.bin`), runs the deep token extraction
-  * (scraper.py:307-674) inside the reader, and implements
+  * `frame_<id>_<ts>.bin`, or many frames per `.binpack` container), runs
+  * the deep token extraction (scraper.py:307-674) inside the reader, and
+  * implements
   *
   *   - [[SupportsPushDownFilters]] — the same predicate vocabulary the
   *     URL carries (chain/protocol equality + IN, liquidity/volume/txns/
@@ -39,11 +62,24 @@ import scala.jdk.CollectionConverters._
   *   - [[SupportsPushDownRequiredColumns]] — column pruning: a 2-column
   *     projection materializes 2 fields per token, not 29.
   *
-  * Scale shape: one input partition = a slice of the frame-file listing;
-  * decode is embarrassingly parallel; no shuffle happens inside the
-  * source. The micro-batch stream tracks the file listing as its offset,
-  * replaying the same decode per batch (every reference cycle is a full
-  * snapshot, ST2).
+  * Scale shape (the 100 TB posture, for real this time):
+  *   - All listing and reading go through `org.apache.hadoop.fs
+  *     .FileSystem`, so `load("hdfs://…")` / `load("s3a://…")` work the
+  *     same as a local directory, with the session Hadoop conf
+  *     (credentials, endpoints) shipped to executors.
+  *   - `.binpack` containers (v2, sync-marked) are SPLITTABLE by byte
+  *     range — a 10 GB container becomes ~80 independent 128 MB slices,
+  *     so a few huge containers can no longer skew partitions; readers
+  *     resynchronize at the per-record "GFRM" marker exactly the way
+  *     SequenceFile/Avro readers find their sync points.
+  *   - Work units are packed into input partitions balanced by BYTES
+  *     (greedy longest-processing-time), not by file count, and each
+  *     partition carries `preferredLocations` derived from the HDFS
+  *     block hosts of its slices, so the scheduler gets data locality.
+  *   - Decode is embarrassingly parallel; no shuffle happens inside the
+  *     source. The micro-batch stream tracks the file listing as its
+  *     offset, replaying the same decode per batch (every reference
+  *     cycle is a full snapshot, ST2).
   */
 object FrameTokenSource {
 
@@ -65,53 +101,133 @@ object FrameTokenSource {
   private[sources] val tokenOrdinal: Map[String, Int] =
     tokenSchema.fieldNames.zipWithIndex.toMap
 
-  /** One listed unit: a single-frame `.bin` file (frameId/ts from the
-    * name) or a multi-frame `.binpack` container (ids/ts per record —
-    * the shape that scales: 100 TB of frames lands as bounded-size
-    * containers, never billions of tiny files).
+  /** Default split size for `.binpack` containers — same default as
+    * `spark.sql.files.maxPartitionBytes`.
     */
-  final case class FrameFile(path: String, frameId: Long, ts: Long)
+  val DefaultMaxSplitBytes: Long = 128L << 20
+
+  // ---------------------------------------------------------------------
+  // File formats
+  // ---------------------------------------------------------------------
+  //   single frame:  frame_<id12>_<ts>.bin            (raw frame bytes)
+  //   container v1:  "GFPK" ++ [id i64][ts i64][len i32][bytes]*   (legacy,
+  //                  LE, no sync markers → not splittable; whole-file read)
+  //   container v2:  "GFP2" ++ ("GFRM"[id i64][ts i64][len i32][bytes])*
+  //                  (LE; the per-record "GFRM" marker lets a reader
+  //                  resynchronize mid-file, making byte-range splits
+  //                  self-contained)
+  // ---------------------------------------------------------------------
 
   private val FileName = """frame_(\d+)_(\d+)\.bin""".r
-  private val PackMagic = Array[Byte]('G', 'F', 'P', 'K')
+  private val PackMagicV1 = Array[Byte]('G', 'F', 'P', 'K')
+  private val PackMagicV2 = Array[Byte]('G', 'F', 'P', '2')
+  private val RecordMarker = Array[Byte]('G', 'F', 'R', 'M')
+  private val RecordHeaderLen = 24 // marker 4 + id 8 + ts 8 + len 4
 
-  /** Deterministic listing: files sorted by name (zero-padded ids keep
-    * name order = id order in the fixtures).
+  /** One block of a listed file with its replica hosts (from the located
+    * listing — no extra namenode RPC per file).
     */
-  def listFrameFiles(dir: String): Array[FrameFile] = {
-    val d = new java.io.File(dir)
-    val files = Option(d.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && (f.getName.endsWith(".bin") || f.getName.endsWith(".binpack")))
-      .sortBy(_.getName)
-    files.zipWithIndex.map { case (f, i) =>
-      f.getName match {
-        case FileName(id, ts) => FrameFile(f.getPath, id.toLong, ts.toLong)
-        case _ => FrameFile(f.getPath, i.toLong, 0L)
-      }
+  final case class HostedRange(start: Long, end: Long, hosts: Seq[String])
+
+  /** One listed file: a single-frame `.bin` (frameId/ts from the name) or
+    * a multi-frame `.binpack` container.
+    */
+  final case class FrameFile(path: String, frameId: Long, ts: Long,
+      size: Long, isPack: Boolean, blocks: Seq[HostedRange])
+
+  /** One reader work unit. */
+  sealed trait FrameUnit extends Serializable {
+    def path: String
+    def bytes: Long
+    def start: Long
+  }
+  /** A whole single-frame `.bin` file. */
+  final case class SingleFrame(path: String, frameId: Long, ts: Long, size: Long)
+      extends FrameUnit {
+    def bytes: Long = size
+    def start: Long = 0L
+  }
+  /** A byte range of a `.binpack` container: the reader consumes every
+    * record whose sync marker STARTS in [start, end) — the Hadoop input-
+    * split ownership rule, so slices tile a container exactly.
+    */
+  final case class PackSlice(path: String, start: Long, end: Long, fileLen: Long)
+      extends FrameUnit {
+    def bytes: Long = end - start
+  }
+
+  /** Deterministic located listing through the Hadoop FileSystem API:
+    * files sorted by name (zero-padded ids keep name order = id order in
+    * the fixtures); works for file://, hdfs://, s3a:// alike. Block
+    * locations ride along from `listLocatedStatus` for locality hints.
+    */
+  def listFrameFiles(dir: String, conf: Configuration): Array[FrameFile] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return Array.empty
+    val it = fs.listLocatedStatus(p)
+    val buf = mutable.ArrayBuffer.empty[LocatedFileStatus]
+    while (it.hasNext) {
+      val s = it.next()
+      val n = s.getPath.getName
+      if (s.isFile && (n.endsWith(".bin") || n.endsWith(".binpack"))) buf += s
     }
+    buf.sortBy(_.getPath.getName).zipWithIndex.map { case (s, i) =>
+      val name = s.getPath.getName
+      val (id, ts) = name match {
+        case FileName(fid, fts) => (fid.toLong, fts.toLong)
+        case _ => (i.toLong, 0L)
+      }
+      FrameFile(s.getPath.toString, id, ts, s.getLen, name.endsWith(".binpack"),
+        s.getBlockLocations.toSeq.map(b =>
+          HostedRange(b.getOffset, b.getOffset + b.getLength, b.getHosts.toSeq)))
+    }.toArray
   }
 
   /** Harness/test helper: write frames as the file layout the source
-    * reads (zero-padded id keeps listing order).
+    * reads (zero-padded id keeps listing order). Goes through the Hadoop
+    * FileSystem so harnesses can stage to any scheme.
     */
   def frameFileName(frameId: Long, ts: Long): String = f"frame_$frameId%012d_$ts.bin"
 
   def writeFrameFile(dir: String, frameId: Long, ts: Long, bytes: Array[Byte]): Unit = {
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(dir, frameFileName(frameId, ts)), bytes)
-    ()
+    val p = new Path(dir, frameFileName(frameId, ts))
+    val out = p.getFileSystem(new Configuration()).create(p, true)
+    try out.write(bytes) finally out.close()
   }
 
-  /** Write a `.binpack` container: "GFPK" magic then repeated
-    * [frameId i64][ts i64][len i32][frame bytes], little-endian.
+  /** Write a v2 (splittable) `.binpack` container: "GFP2" magic then
+    * sync-marked records ["GFRM"][frameId i64][ts i64][len i32][bytes],
+    * little-endian.
     */
   def writeFramePack(dir: String, name: String,
       frames: Iterator[(Long, Long, Array[Byte])]): Unit = {
-    val path = java.nio.file.Paths.get(dir, s"$name.binpack")
+    val p = new Path(dir, s"$name.binpack")
     val out = new java.io.BufferedOutputStream(
-      java.nio.file.Files.newOutputStream(path), 1 << 20)
+      p.getFileSystem(new Configuration()).create(p, true), 1 << 20)
     try {
-      out.write(PackMagic)
+      out.write(PackMagicV2)
+      val hdr = java.nio.ByteBuffer.allocate(RecordHeaderLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      frames.foreach { case (id, ts, bytes) =>
+        hdr.clear()
+        hdr.put(RecordMarker).putLong(id).putLong(ts).putInt(bytes.length)
+        out.write(hdr.array())
+        out.write(bytes)
+      }
+    } finally out.close()
+  }
+
+  /** Legacy v1 container writer — kept ONLY so tests can pin backward
+    * compatibility of the reader with pre-split-era containers.
+    */
+  private[graft] def writeFramePackV1(dir: String, name: String,
+      frames: Iterator[(Long, Long, Array[Byte])]): Unit = {
+    val p = new Path(dir, s"$name.binpack")
+    val out = new java.io.BufferedOutputStream(
+      p.getFileSystem(new Configuration()).create(p, true), 1 << 20)
+    try {
+      out.write(PackMagicV1)
       val hdr = java.nio.ByteBuffer.allocate(20).order(java.nio.ByteOrder.LITTLE_ENDIAN)
       frames.foreach { case (id, ts, bytes) =>
         hdr.clear()
@@ -122,29 +238,217 @@ object FrameTokenSource {
     } finally out.close()
   }
 
-  /** Expand one listed file into its (frameId, ts, bytes) frames. */
-  def readFrames(f: FrameFile): Iterator[(Long, Long, Array[Byte])] = {
-    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(f.path))
-    if (!f.path.endsWith(".binpack")) Iterator.single((f.frameId, f.ts, bytes))
-    else {
-      require(bytes.length >= 4 && bytes.take(4).sameElements(PackMagic),
-        s"not a GFPK container: ${f.path}")
-      val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      buf.position(4)
-      new Iterator[(Long, Long, Array[Byte])] {
-        override def hasNext: Boolean = buf.remaining() >= 20
-        override def next(): (Long, Long, Array[Byte]) = {
-          val id = buf.getLong()
-          val ts = buf.getLong()
-          val len = buf.getInt()
-          require(len >= 0 && len <= buf.remaining(),
-            s"corrupt GFPK record in ${f.path}: frame $id declares $len bytes, " +
-              s"${buf.remaining()} remain")
-          val frame = new Array[Byte](len)
-          buf.get(frame)
-          (id, ts, frame)
+  /** Expand the listing into reader work units: singles pass through,
+    * containers split into ~maxSplitBytes byte ranges (v1 containers are
+    * range-split too — the reader detects the un-synced magic and lets
+    * only the head slice scan the file, so legacy packs stay correct,
+    * just unbalanced; the writer has emitted splittable v2 since r4).
+    */
+  def planSlices(files: Array[FrameFile],
+      maxSplitBytes: Long): Array[(FrameUnit, Seq[HostedRange])] = {
+    val maxSplit = math.max(1L, maxSplitBytes)
+    files.flatMap { f =>
+      if (!f.isPack) {
+        Seq((SingleFrame(f.path, f.frameId, f.ts, f.size): FrameUnit, f.blocks))
+      } else if (f.size == 0) {
+        Seq.empty
+      } else {
+        val nSplits = ((f.size + maxSplit - 1) / maxSplit).max(1L)
+        val step = ((f.size + nSplits - 1) / nSplits).max(1L)
+        (0L until f.size by step).map { s =>
+          (PackSlice(f.path, s, math.min(s + step, f.size), f.size): FrameUnit, f.blocks)
         }
       }
+    }
+  }
+
+  /** Pack work units into ≤`partitions` input partitions balanced by
+    * BYTES (greedy longest-processing-time: biggest unit to the least
+    * loaded bin), so one huge container slice can't ride with a full
+    * share of small files. Each partition's preferred hosts are the
+    * byte-weighted top block hosts of its slices.
+    */
+  def groupUnits(units: Array[(FrameUnit, Seq[HostedRange])],
+      partitions: Int): Array[InputPartition] = {
+    if (units.isEmpty) return Array.empty
+    val sorted = units.sortBy { case (u, _) => (-u.bytes, u.path, u.start) }
+    val nBins = math.min(math.max(1, partitions), units.length)
+    val load = Array.fill(nBins)(0L)
+    val bins = Array.fill(nBins)(mutable.ArrayBuffer.empty[(FrameUnit, Seq[HostedRange])])
+    sorted.foreach { t =>
+      var best = 0
+      var i = 1
+      while (i < nBins) { if (load(i) < load(best)) best = i; i += 1 }
+      bins(best) += t
+      load(best) += t._1.bytes
+    }
+    bins.filter(_.nonEmpty).map { bin =>
+      val hostWeight = mutable.Map.empty[String, Long]
+      bin.foreach { case (u, blocks) =>
+        val (s, e) = (u.start, u.start + u.bytes)
+        blocks.foreach { b =>
+          val overlap = math.min(e, b.end) - math.max(s, b.start)
+          if (overlap > 0) b.hosts.foreach { h =>
+            hostWeight.update(h, hostWeight.getOrElse(h, 0L) + overlap)
+          }
+        }
+      }
+      val locations = hostWeight.toSeq.sortBy { case (h, w) => (-w, h) }
+        .take(3).map(_._1).toArray
+      // order within the partition by (path, offset) for sequential reads
+      FrameSlicesPartition(
+        bin.sortBy(t => (t._1.path, t._1.start)).map(_._1).toArray,
+        locations): InputPartition
+    }
+  }
+
+  /** Open one work unit as its (frameId, ts, bytes) frames. Streams are
+    * closed at iterator exhaustion; `register` additionally hands them to
+    * the caller so an early-terminated reader (pushed limit) can close
+    * them in `PartitionReader.close()`.
+    */
+  def openFrames(unit: FrameUnit, conf: Configuration,
+      register: AutoCloseable => Unit = _ => ()): Iterator[(Long, Long, Array[Byte])] =
+    unit match {
+      case SingleFrame(path, id, ts, size) =>
+        require(size <= Int.MaxValue, s"single frame too large: $path ($size bytes)")
+        val p = new Path(path)
+        val in = p.getFileSystem(conf).open(p)
+        try {
+          val bytes = new Array[Byte](size.toInt)
+          in.readFully(0L, bytes)
+          Iterator.single((id, ts, bytes))
+        } finally in.close()
+
+      case slice @ PackSlice(path, _, _, fileLen) =>
+        if (fileLen < 4) Iterator.empty
+        else {
+          val p = new Path(path)
+          val in = p.getFileSystem(conf).open(p)
+          register(in)
+          val magic = new Array[Byte](4)
+          in.readFully(0L, magic)
+          if (magic.sameElements(PackMagicV2)) new PackSliceIterator(in, slice)
+          else if (magic.sameElements(PackMagicV1)) {
+            // legacy, no sync markers: only the slice owning byte 0 reads
+            // (whole file, sequential); other slices of the same file are
+            // no-ops. Correct but skewed — v2 is the scale format.
+            try {
+              if (slice.start > 0) Iterator.empty
+              else {
+                require(fileLen <= Int.MaxValue,
+                  s"legacy v1 container too large to read unsplit: $path")
+                val bytes = new Array[Byte](fileLen.toInt)
+                in.readFully(0L, bytes)
+                parsePackV1(bytes, path)
+              }
+            } finally in.close()
+          } else {
+            in.close()
+            throw new IllegalArgumentException(s"not a GFPK/GFP2 container: $path")
+          }
+        }
+    }
+
+  /** v1 parse: sequential [id][ts][len][bytes] records after the magic. */
+  private def parsePackV1(bytes: Array[Byte], path: String): Iterator[(Long, Long, Array[Byte])] = {
+    val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.position(4)
+    new Iterator[(Long, Long, Array[Byte])] {
+      override def hasNext: Boolean = buf.remaining() >= 20
+      override def next(): (Long, Long, Array[Byte]) = {
+        val id = buf.getLong()
+        val ts = buf.getLong()
+        val len = buf.getInt()
+        require(len >= 0 && len <= buf.remaining(),
+          s"corrupt GFPK record in $path: frame $id declares $len bytes, " +
+            s"${buf.remaining()} remain")
+        val frame = new Array[Byte](len)
+        buf.get(frame)
+        (id, ts, frame)
+      }
+    }
+  }
+
+  /** v2 byte-range record iterator: finds the first valid "GFRM" marker
+    * at or after `start` (chained-header validation kills payload bytes
+    * that merely look like a marker), then follows the record chain until
+    * a record starts at or past `end`. Positioned reads only — no seek
+    * state, safe over any FSDataInputStream.
+    */
+  private final class PackSliceIterator(in: FSDataInputStream, slice: PackSlice)
+      extends Iterator[(Long, Long, Array[Byte])] {
+    private val end = slice.end
+    private val fileLen = slice.fileLen
+    private var nextMarker = findFirstMarker(math.max(slice.start, 4L))
+    private var closed = false
+
+    private def closeIn(): Unit = if (!closed) { closed = true; in.close() }
+
+    private def isMarker(b: Array[Byte], i: Int): Boolean =
+      b(i) == 'G' && b(i + 1) == 'F' && b(i + 2) == 'R' && b(i + 3) == 'M'
+
+    /** Header at `m` if the marker + declared length are coherent AND the
+      * chain continues (next marker or exact EOF) — depth-2 validation:
+      * a payload needs ~2^64 luck to fake marker, sane length, and a
+      * second marker at the implied offset.
+      */
+    private def headerAt(m: Long, chain: Boolean): Option[(Long, Long, Int)] = {
+      if (m + RecordHeaderLen > fileLen) return None
+      val hdr = new Array[Byte](RecordHeaderLen)
+      in.readFully(m, hdr)
+      if (!isMarker(hdr, 0)) return None
+      val bb = java.nio.ByteBuffer.wrap(hdr).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.position(4)
+      val id = bb.getLong(); val ts = bb.getLong(); val len = bb.getInt()
+      if (len < 0 || m + RecordHeaderLen + len > fileLen) return None
+      val nxt = m + RecordHeaderLen + len
+      if (!chain || nxt == fileLen) Some((id, ts, len))
+      else {
+        val peek = new Array[Byte](4)
+        in.readFully(nxt, peek)
+        if (isMarker(peek, 0)) Some((id, ts, len)) else None
+      }
+    }
+
+    /** Chunked forward scan for the first validated marker in [from, end). */
+    private def findFirstMarker(from: Long): Long = {
+      val ChunkSize = 1 << 18
+      val scanEnd = math.min(end + 3, fileLen) // marker may straddle `end`… but must START before it
+      var base = from
+      while (base + 4 <= scanEnd) {
+        val n = (math.min(base + ChunkSize, scanEnd) - base).toInt
+        val buf = new Array[Byte](n)
+        in.readFully(base, buf)
+        var i = 0
+        while (i + 4 <= n) {
+          if (isMarker(buf, i) && base + i < end && headerAt(base + i, chain = true).isDefined)
+            return base + i
+          i += 1
+        }
+        if (base + n >= scanEnd) return -1L
+        base += n - 3 // re-scan the 3-byte overlap for straddling markers
+      }
+      -1L
+    }
+
+    override def hasNext: Boolean = {
+      val has = nextMarker >= 0 && nextMarker < end
+      if (!has) closeIn()
+      has
+    }
+
+    override def next(): (Long, Long, Array[Byte]) = {
+      if (!hasNext) throw new NoSuchElementException
+      val m = nextMarker
+      val (id, ts, len) = headerAt(m, chain = true).getOrElse(
+        throw new IllegalStateException(
+          s"corrupt GFP2 chain in ${slice.path} at offset $m"))
+      val bytes = new Array[Byte](len)
+      in.readFully(m + RecordHeaderLen, bytes)
+      val nxt = m + RecordHeaderLen + len
+      nextMarker = if (nxt >= fileLen) -1L else nxt
+      (id, ts, bytes)
     }
   }
 
@@ -302,6 +606,11 @@ class FrameTokenTable(path: String) extends Table with SupportsRead {
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new FrameTokenScanBuilder(path,
       Option(options.get("partitions")).map(_.toInt).getOrElse(32),
+      Option(options.get("maxsplitbytes")).map(_.toLong)
+        .getOrElse(FrameTokenSource.DefaultMaxSplitBytes),
+      // snapshot the SESSION Hadoop conf at planning time (driver-side):
+      // executors must resolve hdfs://s3a:// with the same credentials
+      new SerializableHadoopConf(SparkSession.active.sessionState.newHadoopConf()),
       ConnectivityConf.fromOptions(options))
 }
 
@@ -318,7 +627,8 @@ object ConnectivityConf {
     Option(options.get("backoffbase")).map(_.toDouble).getOrElse(Defaults.backoffBase))
 }
 
-class FrameTokenScanBuilder(path: String, partitions: Int,
+class FrameTokenScanBuilder(path: String, partitions: Int, maxSplitBytes: Long,
+    hconf: SerializableHadoopConf,
     connectivity: ConnectivityConf = ConnectivityConf.Defaults) extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
@@ -356,10 +666,12 @@ class FrameTokenScanBuilder(path: String, partitions: Int,
   override def isPartiallyPushed(): Boolean = true
 
   override def build(): Scan =
-    new FrameTokenScan(path, partitions, required, pushed, topN, connectivity)
+    new FrameTokenScan(path, partitions, maxSplitBytes, hconf, required, pushed,
+      topN, connectivity)
 }
 
-class FrameTokenScan(path: String, partitions: Int, required: StructType,
+class FrameTokenScan(path: String, partitions: Int, maxSplitBytes: Long,
+    hconf: SerializableHadoopConf, required: StructType,
     filters: Array[Filter], topN: Option[FrameTokenSource.TopNSpec],
     connectivity: ConnectivityConf = ConnectivityConf.Defaults)
     extends Scan with Batch {
@@ -376,38 +688,44 @@ class FrameTokenScan(path: String, partitions: Int, required: StructType,
       s" ReadSchema: ${required.fieldNames.mkString("[", ",", "]")}$t"
   }
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val files = listFrameFiles(path)
-    if (files.isEmpty) return Array.empty
-    val chunk = math.max(1, math.ceil(files.length.toDouble / partitions).toInt)
-    files.grouped(chunk).map(g => FrameFilesPartition(g): InputPartition).toArray
-  }
+  override def planInputPartitions(): Array[InputPartition] =
+    groupUnits(
+      planSlices(listFrameFiles(path, hconf.value), maxSplitBytes), partitions)
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new FrameTokenReaderFactory(required, filters, topN)
+    new FrameTokenReaderFactory(hconf, required, filters, topN)
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new FrameTokenMicroBatchStream(path, partitions, required, filters, topN, connectivity)
+    new FrameTokenMicroBatchStream(path, partitions, maxSplitBytes, hconf,
+      required, filters, topN, connectivity)
 }
 
-final case class FrameFilesPartition(files: Seq[FrameTokenSource.FrameFile])
-  extends InputPartition
+final case class FrameSlicesPartition(units: Array[FrameTokenSource.FrameUnit],
+    locations: Array[String]) extends InputPartition {
+  override def preferredLocations(): Array[String] = locations
+}
 
-class FrameTokenReaderFactory(required: StructType, filters: Array[Filter],
+class FrameTokenReaderFactory(hconf: SerializableHadoopConf,
+    required: StructType, filters: Array[Filter],
     topN: Option[FrameTokenSource.TopNSpec]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new FrameTokenPartitionReader(
-      partition.asInstanceOf[FrameFilesPartition].files, required, filters, topN)
+      partition.asInstanceOf[FrameSlicesPartition].units, hconf.value,
+      required, filters, topN)
 }
 
 /** Decode → filter → bounded top-N → prune, all inside the reader: the
   * "server side" of the reference's architecture, executor-local.
   */
-class FrameTokenPartitionReader(files: Seq[FrameTokenSource.FrameFile],
-    required: StructType, filters: Array[Filter],
+class FrameTokenPartitionReader(units: Seq[FrameTokenSource.FrameUnit],
+    conf: Configuration, required: StructType, filters: Array[Filter],
     topN: Option[FrameTokenSource.TopNSpec])
     extends PartitionReader[InternalRow] {
   import FrameTokenSource._
+
+  // streams opened by slice iterators; closed on exhaustion, and here as
+  // a backstop when a pushed limit stops the reader mid-slice
+  private val openStreams = mutable.ArrayBuffer.empty[AutoCloseable]
 
   private val projection: Array[(Long, InternalRow) => Any] =
     required.fields.map { f =>
@@ -421,11 +739,12 @@ class FrameTokenPartitionReader(files: Seq[FrameTokenSource.FrameFile],
 
   private val iter: Iterator[InternalRow] = {
     val ser = ExpressionEncoder[TokenProfile]().createSerializer()
-    val decoded = files.iterator.flatMap(FrameTokenSource.readFrames).flatMap {
-      case (frameId, ts, bytes) =>
+    val decoded = units.iterator
+      .flatMap(u => FrameTokenSource.openFrames(u, conf, openStreams += _))
+      .flatMap { case (frameId, ts, bytes) =>
         TokenExtractor.extractTokens(bytes, ts).iterator
           .map(t => (frameId, ser(t).copy()))
-    }
+      }
     val filtered =
       if (filters.isEmpty) decoded
       else decoded.filter { case (id, row) => filters.forall(evalFilter(_, id, row)) }
@@ -457,7 +776,10 @@ class FrameTokenPartitionReader(files: Seq[FrameTokenSource.FrameFile],
   override def next(): Boolean =
     if (iter.hasNext) { current = iter.next(); true } else false
   override def get(): InternalRow = current
-  override def close(): Unit = ()
+  override def close(): Unit = {
+    openStreams.foreach(s => scala.util.Try(s.close()))
+    openStreams.clear()
+  }
 }
 
 /** Offset = length of the (sorted) frame-file listing: each micro-batch
@@ -465,6 +787,7 @@ class FrameTokenPartitionReader(files: Seq[FrameTokenSource.FrameFile],
   * reference's 5-second poll cycle.
   */
 class FrameTokenMicroBatchStream(path: String, partitions: Int,
+    maxSplitBytes: Long, hconf: SerializableHadoopConf,
     required: StructType, filters: Array[Filter],
     topN: Option[FrameTokenSource.TopNSpec],
     connectivity: ConnectivityConf = ConnectivityConf.Defaults) extends MicroBatchStream {
@@ -485,9 +808,10 @@ class FrameTokenMicroBatchStream(path: String, partitions: Int,
 
   override def initialOffset(): Offset = FilesOffset(0)
   override def latestOffset(): Offset = {
-    val n = governor.connect { _ => scala.util.Try(listFrameFiles(path).length).toOption }
-      .getOrElse(throw new IllegalStateException(
-        s"frame listing failed after ${governor.maxRetries} attempts: $path"))
+    val n = governor.connect { _ =>
+      scala.util.Try(listFrameFiles(path, hconf.value).length).toOption
+    }.getOrElse(throw new IllegalStateException(
+      s"frame listing failed after ${governor.maxRetries} attempts: $path"))
     FilesOffset(n)
   }
   override def deserializeOffset(json: String): Offset = json match {
@@ -498,14 +822,12 @@ class FrameTokenMicroBatchStream(path: String, partitions: Int,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[FilesOffset].n
     val e = end.asInstanceOf[FilesOffset].n
-    val files = listFrameFiles(path).slice(s, e)
-    if (files.isEmpty) return Array.empty
-    val chunk = math.max(1, math.ceil(files.length.toDouble / partitions).toInt)
-    files.grouped(chunk).map(g => FrameFilesPartition(g): InputPartition).toArray
+    val files = listFrameFiles(path, hconf.value).slice(s, e)
+    groupUnits(planSlices(files, maxSplitBytes), partitions)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new FrameTokenReaderFactory(required, filters, topN)
+    new FrameTokenReaderFactory(hconf, required, filters, topN)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
