@@ -33,11 +33,23 @@ object Bench {
     // a count on top lets Catalyst prune every unreferenced projection,
     // so map-heavy expression pipelines would be measured mostly deleted.
     // toRdd materializes every output column of the query as written.
-    def run(name: String, dir: String): Unit = Caches.scoped {
-      SparkEntry.queries(name)(spark, dir).queryExecution.toRdd.count()
+    //
+    // scopedBlocking + clearCache between samples: repeats must start
+    // from the same cold-cache state — a non-blocking unpersist lets
+    // sample N+1 re-hit still-live blocks and report a partially cached
+    // rerun as "steady state" (the r4 tail's "Block rdd_… already
+    // exists" warnings were exactly that).
+    def run(name: String, dir: String): Unit = {
+      Caches.scopedBlocking {
+        SparkEntry.queries(name)(spark, dir).queryExecution.toRdd.count()
+      }
+      spark.sharedState.cacheManager.clearCache()
     }
 
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     names.foreach { name =>
       try run(name, warmupDir)
       catch { case _: Throwable => }

@@ -32,12 +32,16 @@ object Caches {
     df
   }
 
-  /** Unpersist every DataFrame in this thread's ledger (non-blocking)
-    * and clear it.
+  /** Unpersist every DataFrame in this thread's ledger and clear it.
+    * Non-blocking by default (interactive paths shouldn't wait on block
+    * eviction); pass `blocking = true` when the caller needs the blocks
+    * GONE before proceeding — e.g. a benchmark repeating the same query,
+    * where a lazily-evicted cache would let the next sample re-hit still
+    * -live blocks and measure a partially cached rerun.
     */
-  def releaseAll(): Unit = {
+  def releaseAll(blocking: Boolean = false): Unit = {
     val buf = registry.get()
-    buf.foreach(_.unpersist(blocking = false))
+    buf.foreach(_.unpersist(blocking))
     buf.clear()
   }
 
@@ -45,12 +49,20 @@ object Caches {
     * registered — the caller-owned lifecycle for one query + its action.
     * The enclosing scope's ledger is untouched.
     */
-  def scoped[A](body: => A): A = {
+  def scoped[A](body: => A): A = scopedImpl(blocking = false)(body)
+
+  /** [[scoped]] with a BLOCKING release: returns only after every cache
+    * the body registered is actually evicted. Benchmark harnesses use
+    * this so repeat N+1 starts from the same cold-cache state as repeat N.
+    */
+  def scopedBlocking[A](body: => A): A = scopedImpl(blocking = true)(body)
+
+  private def scopedImpl[A](blocking: Boolean)(body: => A): A = {
     val outer = registry.get()
     registry.set(mutable.ArrayBuffer.empty[DataFrame])
     try body
     finally {
-      releaseAll()
+      releaseAll(blocking)
       registry.set(outer)
     }
   }

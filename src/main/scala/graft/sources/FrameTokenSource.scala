@@ -113,16 +113,24 @@ object FrameTokenSource {
   //   container v1:  "GFPK" ++ [id i64][ts i64][len i32][bytes]*   (legacy,
   //                  LE, no sync markers → not splittable; whole-file read)
   //   container v2:  "GFP2" ++ ("GFRM"[id i64][ts i64][len i32][bytes])*
-  //                  (LE; the per-record "GFRM" marker lets a reader
-  //                  resynchronize mid-file, making byte-range splits
-  //                  self-contained)
+  //                  (LE; the constant per-record "GFRM" marker lets a
+  //                  reader resynchronize mid-file — read-compatible, but
+  //                  a payload can contain "GFRM" by chance/adversarially)
+  //   container v3:  "GFP3" ++ sync[16] ++ (sync[16][id i64][ts i64]
+  //                  [len i32][bytes])*  (LE; the sync marker is 16
+  //                  RANDOM bytes drawn per file and recorded in the
+  //                  header — readers learn it before scanning, so a
+  //                  payload colliding with it is a 2^-128 event, the
+  //                  same guarantee SequenceFile/Avro sync blocks give)
   // ---------------------------------------------------------------------
 
   private val FileName = """frame_(\d+)_(\d+)\.bin""".r
   private val PackMagicV1 = Array[Byte]('G', 'F', 'P', 'K')
   private val PackMagicV2 = Array[Byte]('G', 'F', 'P', '2')
+  private val PackMagicV3 = Array[Byte]('G', 'F', 'P', '3')
   private val RecordMarker = Array[Byte]('G', 'F', 'R', 'M')
-  private val RecordHeaderLen = 24 // marker 4 + id 8 + ts 8 + len 4
+  private val SyncLen = 16 // v3 per-file random sync length
+  private val FixedHeaderLen = 20 // id 8 + ts 8 + len 4 (after the sync)
 
   /** One block of a listed file with its replica hosts (from the located
     * listing — no extra namenode RPC per file).
@@ -190,24 +198,62 @@ object FrameTokenSource {
     */
   def frameFileName(frameId: Long, ts: Long): String = f"frame_$frameId%012d_$ts.bin"
 
-  def writeFrameFile(dir: String, frameId: Long, ts: Long, bytes: Array[Byte]): Unit = {
+  /** Hadoop conf for the writer helpers: the SESSION conf when a session
+    * exists (so staging to s3a://hdfs:// sees configured credentials and
+    * endpoints, same as the read path's SerializableHadoopConf), else a
+    * bare default — the helpers also run inside executor tasks where no
+    * session may be registered.
+    */
+  private def writerConf(): Configuration =
+    scala.util.Try(SparkSession.active.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
+
+  def writeFrameFile(dir: String, frameId: Long, ts: Long, bytes: Array[Byte],
+      conf: Configuration = null): Unit = {
     val p = new Path(dir, frameFileName(frameId, ts))
-    val out = p.getFileSystem(new Configuration()).create(p, true)
+    val out = p.getFileSystem(if (conf != null) conf else writerConf()).create(p, true)
     try out.write(bytes) finally out.close()
   }
 
-  /** Write a v2 (splittable) `.binpack` container: "GFP2" magic then
-    * sync-marked records ["GFRM"][frameId i64][ts i64][len i32][bytes],
-    * little-endian.
+  /** Write a v3 (splittable) `.binpack` container: "GFP3" magic, then the
+    * file's 16 random sync bytes, then sync-marked records
+    * [sync16][frameId i64][ts i64][len i32][bytes], little-endian.
     */
   def writeFramePack(dir: String, name: String,
-      frames: Iterator[(Long, Long, Array[Byte])]): Unit = {
+      frames: Iterator[(Long, Long, Array[Byte])],
+      conf: Configuration = null): Unit = {
     val p = new Path(dir, s"$name.binpack")
     val out = new java.io.BufferedOutputStream(
-      p.getFileSystem(new Configuration()).create(p, true), 1 << 20)
+      p.getFileSystem(if (conf != null) conf else writerConf()).create(p, true), 1 << 20)
+    try {
+      val sync = new Array[Byte](SyncLen)
+      new java.security.SecureRandom().nextBytes(sync)
+      out.write(PackMagicV3)
+      out.write(sync)
+      val hdr = java.nio.ByteBuffer.allocate(FixedHeaderLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      frames.foreach { case (id, ts, bytes) =>
+        hdr.clear()
+        hdr.putLong(id).putLong(ts).putInt(bytes.length)
+        out.write(sync)
+        out.write(hdr.array())
+        out.write(bytes)
+      }
+    } finally out.close()
+  }
+
+  /** v2 container writer (constant "GFRM" sync) — kept ONLY so tests can
+    * pin backward compatibility of the reader with v2 containers.
+    */
+  private[graft] def writeFramePackV2(dir: String, name: String,
+      frames: Iterator[(Long, Long, Array[Byte])],
+      conf: Configuration = null): Unit = {
+    val p = new Path(dir, s"$name.binpack")
+    val out = new java.io.BufferedOutputStream(
+      p.getFileSystem(if (conf != null) conf else writerConf()).create(p, true), 1 << 20)
     try {
       out.write(PackMagicV2)
-      val hdr = java.nio.ByteBuffer.allocate(RecordHeaderLen)
+      val hdr = java.nio.ByteBuffer.allocate(4 + FixedHeaderLen)
         .order(java.nio.ByteOrder.LITTLE_ENDIAN)
       frames.foreach { case (id, ts, bytes) =>
         hdr.clear()
@@ -222,13 +268,14 @@ object FrameTokenSource {
     * compatibility of the reader with pre-split-era containers.
     */
   private[graft] def writeFramePackV1(dir: String, name: String,
-      frames: Iterator[(Long, Long, Array[Byte])]): Unit = {
+      frames: Iterator[(Long, Long, Array[Byte])],
+      conf: Configuration = null): Unit = {
     val p = new Path(dir, s"$name.binpack")
     val out = new java.io.BufferedOutputStream(
-      p.getFileSystem(new Configuration()).create(p, true), 1 << 20)
+      p.getFileSystem(if (conf != null) conf else writerConf()).create(p, true), 1 << 20)
     try {
       out.write(PackMagicV1)
-      val hdr = java.nio.ByteBuffer.allocate(20).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val hdr = java.nio.ByteBuffer.allocate(FixedHeaderLen).order(java.nio.ByteOrder.LITTLE_ENDIAN)
       frames.foreach { case (id, ts, bytes) =>
         hdr.clear()
         hdr.putLong(id).putLong(ts).putInt(bytes.length)
@@ -328,7 +375,15 @@ object FrameTokenSource {
           register(in)
           val magic = new Array[Byte](4)
           in.readFully(0L, magic)
-          if (magic.sameElements(PackMagicV2)) new PackSliceIterator(in, slice)
+          if (magic.sameElements(PackMagicV3)) {
+            // per-file random sync lives in the header: learn it first
+            require(fileLen >= 4L + SyncLen, s"truncated GFP3 header: $path")
+            val sync = new Array[Byte](SyncLen)
+            in.readFully(4L, sync)
+            new PackSliceIterator(in, slice, sync, dataStart = 4L + SyncLen)
+          }
+          else if (magic.sameElements(PackMagicV2))
+            new PackSliceIterator(in, slice, RecordMarker, dataStart = 4L)
           else if (magic.sameElements(PackMagicV1)) {
             // legacy, no sync markers: only the slice owning byte 0 reads
             // (whole file, sequential); other slices of the same file are
@@ -370,67 +425,115 @@ object FrameTokenSource {
     }
   }
 
-  /** v2 byte-range record iterator: finds the first valid "GFRM" marker
+  /** v2/v3 byte-range record iterator: finds the first valid sync marker
     * at or after `start` (chained-header validation kills payload bytes
-    * that merely look like a marker), then follows the record chain until
-    * a record starts at or past `end`. Positioned reads only — no seek
-    * state, safe over any FSDataInputStream.
+    * that merely look like a marker — and in v3 the marker itself is 16
+    * per-file random bytes, so payload collisions are 2^-128), then
+    * follows the record chain until a record starts at or past `end`.
+    *
+    * All steady-state reads go through a multi-MB read-ahead window and
+    * advance strictly forward, so a slice costs O(bytes / window) large
+    * positioned reads — NOT three tiny preads per record, which on a
+    * checksummed FileSystem (LocalFileSystem, HDFS) turns into a syscall
+    * storm (the r4 bench measured q36 at 15.4 s from exactly that; the
+    * windowed reader returns it to ~1 s). Positioned reads only — no
+    * seek state, safe over any FSDataInputStream.
     */
-  private final class PackSliceIterator(in: FSDataInputStream, slice: PackSlice)
+  private final class PackSliceIterator(in: FSDataInputStream, slice: PackSlice,
+      sync: Array[Byte], dataStart: Long)
       extends Iterator[(Long, Long, Array[Byte])] {
+    private val syncLen = sync.length
+    private val hdrLen = syncLen + FixedHeaderLen
     private val end = slice.end
     private val fileLen = slice.fileLen
-    private var nextMarker = findFirstMarker(math.max(slice.start, 4L))
-    private var closed = false
 
-    private def closeIn(): Unit = if (!closed) { closed = true; in.close() }
+    // ---- read-ahead window: [winStart, winStart+winLen) of the file ----
+    private val WindowSize = 4 << 20
+    private var winStart = 0L
+    private var winLen = 0
+    private var win = Array.emptyByteArray
 
-    private def isMarker(b: Array[Byte], i: Int): Boolean =
-      b(i) == 'G' && b(i + 1) == 'F' && b(i + 2) == 'R' && b(i + 3) == 'M'
-
-    /** Header at `m` if the marker + declared length are coherent AND the
-      * chain continues (next marker or exact EOF) — depth-2 validation:
-      * a payload needs ~2^64 luck to fake marker, sane length, and a
-      * second marker at the implied offset.
+    /** Ensure [pos, pos+n) is buffered; return `pos`'s offset into `win`.
+      * Refills read up to WindowSize bytes forward from `pos` (growing
+      * past WindowSize only for an over-sized payload).
       */
-    private def headerAt(m: Long, chain: Boolean): Option[(Long, Long, Int)] = {
-      if (m + RecordHeaderLen > fileLen) return None
-      val hdr = new Array[Byte](RecordHeaderLen)
-      in.readFully(m, hdr)
-      if (!isMarker(hdr, 0)) return None
-      val bb = java.nio.ByteBuffer.wrap(hdr).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      bb.position(4)
-      val id = bb.getLong(); val ts = bb.getLong(); val len = bb.getInt()
-      if (len < 0 || m + RecordHeaderLen + len > fileLen) return None
-      val nxt = m + RecordHeaderLen + len
-      if (!chain || nxt == fileLen) Some((id, ts, len))
+    private def ensure(pos: Long, n: Int): Int = {
+      if (pos >= winStart && pos + n <= winStart + winLen)
+        (pos - winStart).toInt
       else {
-        val peek = new Array[Byte](4)
-        in.readFully(nxt, peek)
-        if (isMarker(peek, 0)) Some((id, ts, len)) else None
+        require(pos + n <= fileLen,
+          s"read past EOF in ${slice.path}: [$pos, ${pos + n}) of $fileLen")
+        val want = math.max(WindowSize, n)
+        val avail = math.min(want.toLong, fileLen - pos).toInt
+        if (win.length < avail) win = new Array[Byte](avail)
+        in.readFully(pos, win, 0, avail)
+        winStart = pos
+        winLen = avail
+        0
       }
     }
 
-    /** Chunked forward scan for the first validated marker in [from, end). */
+    private def syncAtWin(off: Int): Boolean = {
+      var i = 0
+      while (i < syncLen) { if (win(off + i) != sync(i)) return false; i += 1 }
+      true
+    }
+    private def longLE(off: Int): Long = {
+      var v = 0L
+      var i = 7
+      while (i >= 0) { v = (v << 8) | (win(off + i) & 0xffL); i -= 1 }
+      v
+    }
+    private def intLE(off: Int): Int =
+      (win(off) & 0xff) | ((win(off + 1) & 0xff) << 8) |
+        ((win(off + 2) & 0xff) << 16) | ((win(off + 3) & 0xff) << 24)
+
+    /** Depth-2 validation of a candidate sync position via DIRECT small
+      * preads (so the scan window stays intact): marker + sane declared
+      * length + the chain continuing (next sync or exact EOF). Only runs
+      * on scan-time candidates — never in the steady-state record loop.
+      */
+    private def validHeaderAt(m: Long): Boolean = {
+      if (m + hdrLen > fileLen) return false
+      val hdr = new Array[Byte](hdrLen)
+      in.readFully(m, hdr)
+      var i = 0
+      while (i < syncLen) { if (hdr(i) != sync(i)) return false; i += 1 }
+      val bb = java.nio.ByteBuffer.wrap(hdr).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val len = bb.getInt(syncLen + 16)
+      if (len < 0 || m + hdrLen + len > fileLen) return false
+      val nxt = m + hdrLen + len
+      if (nxt == fileLen) true
+      else if (nxt + syncLen > fileLen) false
+      else {
+        val peek = new Array[Byte](syncLen)
+        in.readFully(nxt, peek)
+        java.util.Arrays.equals(peek, sync)
+      }
+    }
+
+    /** Windowed forward scan for the first validated sync in [from, end). */
     private def findFirstMarker(from: Long): Long = {
-      val ChunkSize = 1 << 18
-      val scanEnd = math.min(end + 3, fileLen) // marker may straddle `end`… but must START before it
-      var base = from
-      while (base + 4 <= scanEnd) {
-        val n = (math.min(base + ChunkSize, scanEnd) - base).toInt
-        val buf = new Array[Byte](n)
-        in.readFully(base, buf)
-        var i = 0
-        while (i + 4 <= n) {
-          if (isMarker(buf, i) && base + i < end && headerAt(base + i, chain = true).isDefined)
-            return base + i
+      var pos = from
+      while (pos < end && pos + hdrLen <= fileLen) {
+        val off = ensure(pos, hdrLen)
+        val lastOff = winLen - hdrLen // last in-window offset with a full header
+        var i = off
+        while (i <= lastOff && winStart + i < end) {
+          if (syncAtWin(i) && validHeaderAt(winStart + i)) return winStart + i
           i += 1
         }
-        if (base + n >= scanEnd) return -1L
-        base += n - 3 // re-scan the 3-byte overlap for straddling markers
+        val next = winStart + i
+        if (next >= end || next + hdrLen > fileLen) return -1L
+        pos = next // header straddles the window edge: refill from here
       }
       -1L
     }
+
+    private var nextMarker = findFirstMarker(math.max(slice.start, dataStart))
+    private var closed = false
+
+    private def closeIn(): Unit = if (!closed) { closed = true; in.close() }
 
     override def hasNext: Boolean = {
       val has = nextMarker >= 0 && nextMarker < end
@@ -438,15 +541,29 @@ object FrameTokenSource {
       has
     }
 
+    private def corrupt(m: Long): Nothing = throw new IllegalStateException(
+      s"corrupt container chain in ${slice.path} at offset $m")
+
     override def next(): (Long, Long, Array[Byte]) = {
       if (!hasNext) throw new NoSuchElementException
       val m = nextMarker
-      val (id, ts, len) = headerAt(m, chain = true).getOrElse(
-        throw new IllegalStateException(
-          s"corrupt GFP2 chain in ${slice.path} at offset $m"))
+      // header (sync already validated at m by the scan or the previous
+      // record's chain check) — all window accesses move strictly forward
+      var off = ensure(m, hdrLen)
+      val id = longLE(off + syncLen)
+      val ts = longLE(off + syncLen + 8)
+      val len = intLE(off + syncLen + 16)
+      if (len < 0 || m + hdrLen + len > fileLen) corrupt(m)
       val bytes = new Array[Byte](len)
-      in.readFully(m + RecordHeaderLen, bytes)
-      val nxt = m + RecordHeaderLen + len
+      off = ensure(m + hdrLen, len)
+      System.arraycopy(win, off, bytes, 0, len)
+      val nxt = m + hdrLen + len
+      if (nxt < fileLen) {
+        // chain check: the next record's sync must follow immediately
+        if (nxt + syncLen > fileLen) corrupt(nxt)
+        off = ensure(nxt, syncLen)
+        if (!syncAtWin(off)) corrupt(nxt)
+      }
       nextMarker = if (nxt >= fileLen) -1L else nxt
       (id, ts, bytes)
     }

@@ -1,7 +1,7 @@
 package graft
 
 import graft.sources.Connectivity._
-import graft.sources.{Connectivity, ConnectivityConf, FrameTokenMicroBatchStream, FrameTokenSource}
+import graft.sources.{Connectivity, ConnectivityConf, FrameTokenMicroBatchStream, FrameTokenSource, SerializableHadoopConf}
 import graft.queries.DecodePack
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -180,6 +180,8 @@ class ConnectivitySpec extends AnyFunSuite {
     (0 until 3).foreach(c =>
       FrameTokenSource.writeFrameFile(dir, c.toLong, 1700000000L, DecodePack.deepFrame(c.toLong)))
     val stream = new FrameTokenMicroBatchStream(dir, partitions = 2,
+      FrameTokenSource.DefaultMaxSplitBytes,
+      new SerializableHadoopConf(new org.apache.hadoop.conf.Configuration()),
       FrameTokenSource.fullSchema, Array.empty, None, ConnectivityConf(1000.0, 3, 0.001))
     assert(stream.latestOffset().json() == """{"files":3}""")
   }

@@ -134,6 +134,79 @@ class SourceSpec extends AnyFunSuite {
     assert(packed == singles)
   }
 
+  // --- splittable-container coverage: the reader's hardest logic is the
+  // mid-file sync resynchronization + slice-boundary ownership, so force
+  // MANY slices (maxsplitbytes far below one record) and require output
+  // identical to the unsplit read for every container generation -------
+
+  private def packDirOf(write: String => Unit): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_src_split").toString
+    write(dir)
+    dir
+  }
+
+  private def readPack(dir: String, maxSplitBytes: Option[Long]): Seq[Seq[Any]] = {
+    val r = spark.read.format("graft-tokens")
+    maxSplitBytes.foreach(b => r.option("maxsplitbytes", b.toString))
+    r.load(dir).orderBy(col("frame_id")).collect().map(_.toSeq).toSeq
+  }
+
+  test("v3 container under a tiny split size: many slices, identical output") {
+    val dir = packDirOf(d => FrameTokenSource.writeFramePack(d, "pack_000000",
+      (0 until NFrames).iterator.map(c => (c.toLong, Ts, DecodePack.deepFrame(c.toLong)))))
+    // slice boundaries land inside record payloads AND headers
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val files = FrameTokenSource.listFrameFiles(dir, conf)
+    val slices = FrameTokenSource.planSlices(files, 256L)
+    assert(slices.length > 50, s"expected many slices, got ${slices.length}")
+    val split = readPack(dir, Some(256L))
+    val unsplit = readPack(dir, None)
+    assert(split == unsplit)
+    assert(split.size == sourceDf.count())
+  }
+
+  test("v2 container (constant GFRM sync) still reads, split and unsplit") {
+    val dir = packDirOf(d => FrameTokenSource.writeFramePackV2(d, "pack_000000",
+      (0 until NFrames).iterator.map(c => (c.toLong, Ts, DecodePack.deepFrame(c.toLong)))))
+    val split = readPack(dir, Some(256L))
+    val unsplit = readPack(dir, None)
+    assert(split == unsplit)
+    assert(split == sourceDf.orderBy(col("frame_id")).collect().map(_.toSeq).toSeq)
+  }
+
+  test("v1 legacy container under a multi-slice plan: head slice reads all") {
+    val dir = packDirOf(d => FrameTokenSource.writeFramePackV1(d, "pack_000000",
+      (0 until NFrames).iterator.map(c => (c.toLong, Ts, DecodePack.deepFrame(c.toLong)))))
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val slices = FrameTokenSource.planSlices(
+      FrameTokenSource.listFrameFiles(dir, conf), 256L)
+    assert(slices.length > 50, "v1 file must still be PLANNED as multiple slices")
+    val split = readPack(dir, Some(256L)) // only the head slice emits rows
+    val unsplit = readPack(dir, None)
+    assert(split == unsplit)
+    assert(split == sourceDf.orderBy(col("frame_id")).collect().map(_.toSeq).toSeq)
+  }
+
+  test("v3 survives payloads that embed a v2 'GFRM' marker (random sync immune)") {
+    // a frame whose payload contains the v2 constant marker + a plausible
+    // header — a v2 split reader could resync on it; v3's per-file random
+    // sync cannot collide with it
+    val poison = ("AAAA".getBytes ++ "GFRM".getBytes ++
+      Array.fill[Byte](20)(7) ++ "BBBB".getBytes)
+    val frames = (0 until 20).map { c =>
+      (c.toLong, Ts, if (c % 3 == 0) poison else DecodePack.deepFrame(c.toLong))
+    }
+    val dir = packDirOf(d =>
+      FrameTokenSource.writeFramePack(d, "pack_000000", frames.iterator))
+    // poison frames decode to no tokens; real frames must all survive a
+    // split read at slice sizes that start inside the poison payloads
+    val split = readPack(dir, Some(64L))
+    val unsplit = readPack(dir, None)
+    assert(split == unsplit)
+    val expected = frames.count(f => f._3.length > 100) // deep frames only
+    assert(split.map(_.head.asInstanceOf[Long]).distinct.size >= expected)
+  }
+
   test("micro-batch stream replays the same rows as the batch read") {
     val q = spark.readStream.format("graft-tokens").load(framesDir)
       .writeStream.format("memory").queryName("src_stream")
