@@ -74,9 +74,107 @@ object SinkPack {
       .orderBy(c)
   }
 
+  /** O7-O11 export value math, oracle-gated (models.py:463-662) — the
+    * five API-shaped exporters' DERIVED VALUES as columns, so DuckDB can
+    * recompute every formula the serializers embed:
+    *   - Binance klines (O8): open/close time ms (+60 000 1-minute
+    *     close), %.8f price/volume strings, taker volume = 0.6·v,
+    *     trades-falsy → 1;
+    *   - CoinGecko (O9): rank = enumerate-index+1 (of the ORIGINAL list
+    *     position — the skip happens after enumerate), ath = price·1.2,
+    *     name fallback chain, skip-if-no-price;
+    *   - PancakeSwap (O10): price_BNB = price·0.002, address-keyed map
+    *     with empty-address/priceless skip;
+    *   - TradingView (O7): the columnar transpose — per-series ordered
+    *     t/c arrays rendered as csv strings (windowed ordered agg);
+    *   - Excel (O11): the full csv.writer row via [[Sinks.excelCsvLineCol]]
+    *     (minimal quoting, falsy → "", Python-repr doubles).
+    * Planted values use q46's repr-closed-form families (x.5 halves and
+    * integer-valued doubles) so DuckDB can spell the Python reprs; the
+    * double-math columns (ath, price_BNB, taker) compare BITWISE.
+    * row_number/window run at gate scale; a production export would
+    * carry a precomputed rank column instead of a global window.
+    */
+  def exportValueMath(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = col("c_custkey")
+    val iW = Window.orderBy(c)
+    val tvW = Window.partitionBy(c % 10).orderBy(c)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+
+    val base = Tables.customer(spark, dir).select(
+      c,
+      (row_number().over(iW) - 1).cast("long").as("i"),
+      concat(lit("TK"), c.cast("string")).as("symbol"),
+      when(c % 11 === 0, lit(null).cast("string"))
+        .when(c % 5 === 0, concat(lit("Tok, "), c.cast("string")))
+        .otherwise(concat(lit("Tok "), c.cast("string"))).as("name"),
+      when(c % 4 === 1, (c % 90).cast("double") + 0.5)
+        .when(c % 4 === 3, (c % 500 + 1).cast("double"))
+        .when(c % 4 === 0, lit(0.0))
+        .otherwise(lit(null).cast("double")).as("price"),
+      ((c % 1000 + 1).cast("double") * 1024.0).as("volume"),
+      ((c % 700 + 1).cast("double") * 4096.0).as("mcap"),
+      (c % 1500 + 1).cast("int").as("txns"),
+      (c % 300).cast("int").as("makers"),
+      ((c % 32 + 128).cast("double") * 256.0).as("liquidity"),
+      when(c % 7 === 0, -((c % 20).cast("double") + 0.5))
+        .otherwise((c % 20).cast("double") + 0.5).as("change"),
+      when(c % 3 === 0, lit("")).otherwise(concat(lit("ADDR"), c.cast("string")))
+        .as("address"),
+      when(c % 2 === 0, concat(lit("https://x.test/"), c.cast("string")))
+        .otherwise(lit("")).as("website"),
+      when(c % 6 === 0, concat(lit("@tk"), c.cast("string")))
+        .otherwise(lit("")).as("twitter"),
+      (lit(1700000000L) + c % 3600).as("ts"),
+      // ODD numerator: open = odd/2^11 has exponent -11, so neither it
+      // nor its 1.5x/0.5x/1.25x multiples can equal odd/(2*10^8) — the
+      // only values where Java (HALF_UP) and C (HALF_EVEN) %.8f diverge.
+      // An even numerator CAN tie (e.g. 180/2048*1.25 = 0.087890625).
+      (((c % 32) * 2 + 129).cast("double") / 2048.0).as("open"))
+
+    val hasPrice = col("price").isNotNull && col("price") =!= 0.0
+    val psOk = col("address") =!= "" && hasPrice
+    base.select(
+      c,
+      // O8 Binance klines
+      (col("ts") * 1000).as("k_open_ms"),
+      (col("ts") * 1000 + 60000).as("k_close_ms"),
+      format_string("%.8f", col("open")).as("k_open"),
+      format_string("%.8f", col("open") * 1.5).as("k_high"),
+      format_string("%.8f", col("open") * 0.5).as("k_low"),
+      format_string("%.8f", col("open") * 1.25).as("k_close"),
+      format_string("%.8f", col("volume")).as("k_vol"),
+      format_string("%.8f", col("volume") * 0.6).as("k_taker"),
+      when(c % 2 === 0, col("txns")).otherwise(lit(1)).as("k_trades"),
+      // O9 CoinGecko
+      when(hasPrice, concat(lit("token-"), col("i").cast("string"))).as("cg_id"),
+      when(hasPrice, coalesce(col("name"), col("symbol"))).as("cg_name"),
+      when(hasPrice, col("i") + 1).as("cg_rank"),
+      when(hasPrice, col("price") * 1.2).as("cg_ath"),
+      when(hasPrice, date_format(timestamp_seconds(col("ts")),
+        "yyyy-MM-dd'T'HH:mm:ss")).as("cg_last_updated"),
+      // O10 PancakeSwap
+      when(psOk, col("address")).as("ps_key"),
+      when(psOk, col("price") * 0.002).as("ps_price_bnb"),
+      when(psOk, col("ts")).as("ps_updated"),
+      // O7 TradingView columnar transpose (per-series ordered arrays)
+      array_join(collect_list(col("ts").cast("string")).over(tvW), ",")
+        .as("tv_t_csv"),
+      array_join(collect_list(format_string("%.8f", col("open") * 1.25)).over(tvW), ",")
+        .as("tv_c_csv"),
+      // O11 Excel CSV row
+      Sinks.excelCsvLineCol(col("symbol"), col("name"), col("price"),
+        col("volume"), col("mcap"), col("txns"), col("makers"),
+        col("liquidity"), col("change"), lit(0.95),
+        col("website"), col("twitter"), col("ts")).as("excel_line"))
+      .orderBy(c)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q35_sink_formats" -> sinkFormats _,
-    "q46_prometheus_lines" -> prometheusLines _)
+    "q46_prometheus_lines" -> prometheusLines _,
+    "q49_export_formats" -> exportValueMath _)
 
   private val ohlcCte =
     s"""bars AS (
@@ -90,6 +188,83 @@ object SinkPack {
        |  FROM events GROUP BY 1, 2)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q49_export_formats" ->
+      """WITH t AS (
+        |  SELECT c_custkey AS c,
+        |    row_number() OVER (ORDER BY c_custkey) - 1 AS i,
+        |    'TK' || c_custkey AS symbol,
+        |    CASE WHEN c_custkey % 11 = 0 THEN NULL
+        |         WHEN c_custkey % 5 = 0 THEN 'Tok, ' || c_custkey
+        |         ELSE 'Tok ' || c_custkey END AS name,
+        |    CASE WHEN c_custkey % 4 = 1 THEN (c_custkey % 90) + 0.5
+        |         WHEN c_custkey % 4 = 3 THEN (c_custkey % 500 + 1)::double
+        |         WHEN c_custkey % 4 = 0 THEN 0.0
+        |         ELSE NULL END AS price,
+        |    (c_custkey % 1000 + 1) * 1024.0 AS volume,
+        |    (c_custkey % 1500 + 1)::int AS txns,
+        |    (c_custkey % 300)::int AS makers,
+        |    CASE WHEN c_custkey % 3 = 0 THEN ''
+        |         ELSE 'ADDR' || c_custkey END AS address,
+        |    CASE WHEN c_custkey % 2 = 0 THEN 'https://x.test/' || c_custkey
+        |         ELSE '' END AS website,
+        |    CASE WHEN c_custkey % 6 = 0 THEN '@tk' || c_custkey
+        |         ELSE '' END AS twitter,
+        |    1700000000 + c_custkey % 3600 AS ts,
+        |    ((c_custkey % 32) * 2 + 129) / 2048.0 AS open
+        |  FROM customer)
+        |SELECT c AS c_custkey,
+        |  ts * 1000 AS k_open_ms,
+        |  ts * 1000 + 60000 AS k_close_ms,
+        |  printf('%.8f', open) AS k_open,
+        |  printf('%.8f', open * 1.5) AS k_high,
+        |  printf('%.8f', open * 0.5) AS k_low,
+        |  printf('%.8f', open * 1.25) AS k_close,
+        |  printf('%.8f', volume) AS k_vol,
+        |  printf('%.8f', volume * 0.6) AS k_taker,
+        |  CASE WHEN c % 2 = 0 THEN txns ELSE 1 END AS k_trades,
+        |  CASE WHEN price IS NOT NULL AND price <> 0.0
+        |       THEN 'token-' || i END AS cg_id,
+        |  CASE WHEN price IS NOT NULL AND price <> 0.0
+        |       THEN coalesce(name, symbol) END AS cg_name,
+        |  CASE WHEN price IS NOT NULL AND price <> 0.0
+        |       THEN i + 1 END AS cg_rank,
+        |  CASE WHEN price IS NOT NULL AND price <> 0.0
+        |       THEN price * 1.2 END AS cg_ath,
+        |  CASE WHEN price IS NOT NULL AND price <> 0.0
+        |       THEN strftime(make_timestamp(ts * 1000000),
+        |                     '%Y-%m-%dT%H:%M:%S') END AS cg_last_updated,
+        |  CASE WHEN address <> '' AND price IS NOT NULL AND price <> 0.0
+        |       THEN address END AS ps_key,
+        |  CASE WHEN address <> '' AND price IS NOT NULL AND price <> 0.0
+        |       THEN price * 0.002 END AS ps_price_bnb,
+        |  CASE WHEN address <> '' AND price IS NOT NULL AND price <> 0.0
+        |       THEN ts END AS ps_updated,
+        |  string_agg(ts::varchar, ',')
+        |    OVER (PARTITION BY c % 10 ORDER BY c
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |    AS tv_t_csv,
+        |  string_agg(printf('%.8f', open * 1.25), ',')
+        |    OVER (PARTITION BY c % 10 ORDER BY c
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |    AS tv_c_csv,
+        |  symbol || ',' ||
+        |    CASE WHEN name IS NULL THEN ''
+        |         WHEN name LIKE '%,%' THEN '"' || name || '"'
+        |         ELSE name END || ',' ||
+        |    CASE WHEN c % 4 = 1 THEN (c % 90) || '.5'
+        |         WHEN c % 4 = 3 THEN (c % 500 + 1) || '.0'
+        |         ELSE '' END || ',' ||
+        |    (c % 1000 + 1) * 1024 || '.0,' ||
+        |    (c % 700 + 1) * 4096 || '.0,' ||
+        |    txns || ',' ||
+        |    CASE WHEN makers = 0 THEN '' ELSE makers::varchar END || ',' ||
+        |    (c % 32 + 128) * 256 || '.0,' ||
+        |    CASE WHEN c % 7 = 0 THEN '-' ELSE '' END || (c % 20) || '.5,' ||
+        |    '0.95,' ||
+        |    website || ',' || twitter || ',' ||
+        |    strftime(make_timestamp(ts * 1000000), '%Y-%m-%d %H:%M:%S')
+        |    AS excel_line
+        |FROM t ORDER BY c_custkey""".stripMargin,
     "q46_prometheus_lines" ->
       """SELECT c_custkey,
         |  CASE

@@ -77,6 +77,38 @@ object Sinks {
         concat(lit("$"), format_string("%.0f", bround(num / 1000d, 0)), lit("K")))
       .otherwise(concat(lit("$"), format_string("%.0f", bround(num, 0))))
 
+  /** O11 Excel CSV row as a Column (models.py:603-662): csv.writer
+    * minimal-quoting semantics (quote only fields containing , " CR LF,
+    * doubling embedded quotes), Python falsy → empty field ("" strings,
+    * 0/0.0 numerics, None), doubles via Python repr (the PyRepr codegen
+    * expression), confidence always rendered, timestamp as
+    * `YYYY-MM-DD HH:MM:SS` (format_timestamp, models.py:755-761). One
+    * row's line without terminator — `df.write.text` + the header is the
+    * distributed export; [[formatExcelCsv]] stays the bounded serializer.
+    */
+  def excelCsvLineCol(symbol: Column, name: Column, price: Column,
+      volume: Column, marketCap: Column, txns: Column, makers: Column,
+      liquidity: Column, change: Column, confidence: Column,
+      website: Column, twitter: Column, tsSec: Column): Column = {
+    def quoted(c: Column): Column = {
+      val s = coalesce(c, lit(""))
+      when(s.rlike("[,\"\n\r]"),
+        concat(lit("\""), regexp_replace(s, "\"", "\"\""), lit("\""))).otherwise(s)
+    }
+    def numD(c: Column): Column =
+      when(c.isNotNull && c =!= 0.0, graft.functions.PyRepr(c)).otherwise(lit(""))
+    def numI(c: Column): Column =
+      when(c.isNotNull && c =!= 0, c.cast("string")).otherwise(lit(""))
+    concat_ws(",",
+      quoted(symbol), quoted(name),
+      numD(price), numD(volume), numD(marketCap),
+      numI(txns), numI(makers), numD(liquidity), numD(change),
+      graft.functions.PyRepr(confidence),
+      quoted(website), quoted(twitter),
+      coalesce(date_format(timestamp_seconds(tsSec), "yyyy-MM-dd HH:mm:ss"),
+        lit("")))
+  }
+
   /** O5 MT5 line: `YYYY.MM.DD HH:MM:SS,O,H,L,C,int(V)` at %.8f. */
   def mt5Lines(ohlc: DataFrame): DataFrame =
     ohlc.select(mt5LineCol(timestamp_seconds(col("timestamp")),
