@@ -11,6 +11,12 @@ import scala.collection.mutable
 /** EP3 end-to-end: frame replay through decode → top-K → envelope, and
   * batch/stream equivalence of the windowed OHLC aggregate.
   */
+object StreamingSpec {
+  /** Event-time tick for the watermark tests (encoder-derivable). */
+  final case class Tick(ts: java.sql.Timestamp, symbol: String,
+      price: Double, volume: Double, event_id: Long)
+}
+
 class StreamingSpec extends AnyFunSuite {
 
   lazy val spark = SparkTestSession.spark
@@ -82,6 +88,78 @@ class StreamingSpec extends AnyFunSuite {
         .collect().sortBy(_.key).toSeq
       assert(rows == Seq(FirstSeen("a", "a-first", 10L),
         FirstSeen("b", "b-first", 11L), FirstSeen("c", "c-first", 21L)))
+    } finally q.stop()
+  }
+
+  // --- ST5 event-time semantics: the stream≡batch proof must not depend
+  // on in-order arrival. At scale the frame stream WILL deliver late
+  // data; the watermark defines exactly which of it still counts. ------
+
+  private val HourZero = 1700002800L // hour-aligned UTC epoch
+
+  private def tick(h: Int, m: Int, symbol: String, price: Double,
+      id: Long): StreamingSpec.Tick =
+    StreamingSpec.Tick(new java.sql.Timestamp((HourZero + h * 3600L + m * 60L) * 1000L),
+      symbol, price, price * 10.0, id)
+
+  test("append-mode OHLC: out-of-order arrival within the watermark equals batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[StreamingSpec.Tick]
+    val bars = Streaming.ohlcStream(input.toDF(), "1 hour", "30 minutes")
+    val q = bars.writeStream.outputMode("append")
+      .format("memory").queryName("ohlc_append").start()
+    try {
+      // every batch delivers out of order; late rows stay ABOVE watermark
+      input.addData(tick(0, 5, "A", 1.0, 1), tick(1, 10, "A", 3.0, 2),
+        tick(0, 50, "A", 2.0, 3), tick(1, 5, "B", 5.0, 4))
+      q.processAllAvailable() // watermark now 00:40
+      input.addData(tick(0, 55, "A", 2.5, 5), tick(2, 20, "A", 7.0, 6))
+      q.processAllAvailable() // 00:55 beats the 00:40 watermark → counted
+      input.addData(tick(3, 40, "A", 9.0, 7))
+      q.processAllAvailable()
+      input.addData(tick(9, 0, "Z", 1.0, 8)) // sentinel: closes hours 0-3
+      q.processAllAvailable()
+
+      val streamed = spark.table("ohlc_append")
+        .orderBy(col("bar_start"), col("symbol")).collect().map(_.toSeq).toSeq
+      // batch truth over the SAME ticks minus the sentinel (whose own
+      // window never closes, so append mode never emits it)
+      val all = Seq(tick(0, 5, "A", 1.0, 1), tick(1, 10, "A", 3.0, 2),
+        tick(0, 50, "A", 2.0, 3), tick(1, 5, "B", 5.0, 4),
+        tick(0, 55, "A", 2.5, 5), tick(2, 20, "A", 7.0, 6),
+        tick(3, 40, "A", 9.0, 7))
+      val batch = OhlcOps.timeBucketed(all.toDF(), "1 hour", seqCol = null)
+        .orderBy(col("bar_start"), col("symbol")).collect().map(_.toSeq).toSeq
+      assert(streamed == batch)
+      // the out-of-order 00:55 tick is IN the hour-0 bar (close 2.5)
+      assert(streamed.head(6) == 2.5)
+    } finally q.stop()
+  }
+
+  test("append-mode OHLC: a row later than the watermark is dropped, bar stays final") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[StreamingSpec.Tick]
+    val bars = Streaming.ohlcStream(input.toDF(), "1 hour", "30 minutes")
+    val q = bars.writeStream.outputMode("append")
+      .format("memory").queryName("ohlc_late").start()
+    try {
+      input.addData(tick(0, 10, "A", 1.0, 1), tick(3, 0, "A", 5.0, 2))
+      q.processAllAvailable() // watermark 02:30 — hour 0 is closed
+      input.addData(tick(4, 0, "A", 6.0, 3))
+      q.processAllAvailable() // hour-0 bar emitted (single 1.0 trade)
+      // 00:50 is now BELOW the watermark: dropped before aggregation,
+      // the already-emitted hour-0 bar must not change or re-emit
+      input.addData(tick(0, 50, "A", 99.0, 4), tick(9, 0, "Z", 1.0, 5))
+      q.processAllAvailable()
+
+      val rows = spark.table("ohlc_late").collect()
+      val hour0 = rows.filter(_.getTimestamp(0).getTime == HourZero * 1000L)
+      assert(hour0.length == 1, "late row must not re-open the closed bar")
+      assert(hour0.head.getDouble(6) == 1.0) // close untouched by the 99.0
+      assert(hour0.head.getLong(8) == 1L) // trades: the late row is NOT counted
+      assert(!rows.exists(_.getDouble(4) == 99.0)) // high: dropped everywhere
     } finally q.stop()
   }
 
