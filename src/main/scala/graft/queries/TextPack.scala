@@ -128,6 +128,32 @@ object TextPack {
   def lshCandidatePairs(spark: SparkSession, dir: String): DataFrame =
     lshCandidatePairsFrom(Tables.documents(spark, dir))
 
+  private val PlantedClusterText =
+    "salted skew cluster alpha beta gamma delta epsilon zeta eta theta"
+
+  /** q50: the salted banded join gated END TO END on a corpus with real
+    * skew. Every tenth doc becomes one exact-duplicate cluster (identical
+    * signature → identical key in EVERY band: at sf0.1 that is a 500-dup
+    * cluster putting 500 rows on each of 16 hot keys — the worst case
+    * [[graft.operators.Skew.saltedJoin]] exists for). The query runs the
+    * candidate join BOTH ways — salts=1 and salts=4 — and full-outer
+    * joins the results, so one extra, missing, or differing pair on
+    * either side breaks the row count or the hash. The oracle computes
+    * the single ground truth and emits it as both columns.
+    */
+  def lshSaltedSkew(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"),
+      when(col("doc_id") % 10 === 0, lit(PlantedClusterText))
+        .otherwise(col("text")).as("text"))
+    val s1 = lshCandidatePairsFrom(docs, salts = 1)
+      .withColumnRenamed("n_shared_bands", "n_unsalted")
+    val s4 = lshCandidatePairsFrom(docs, salts = 4)
+      .withColumnRenamed("n_shared_bands", "n_salted")
+    s1.join(s4, Seq("doc1", "doc2"), "full_outer")
+      .select(col("doc1"), col("doc2"), col("n_unsalted"), col("n_salted"))
+      .orderBy(col("doc1"), col("doc2"))
+  }
+
   private val VerifyJaccard = 0.5
 
   /** The COMPLETE classic near-dup detection pipeline: LSH banding
@@ -281,6 +307,7 @@ object TextPack {
     "q16_ngram_jaccard" -> ngramJaccard _,
     "q17_minhash_signatures" -> minhashSignatures _,
     "q18_lsh_candidate_pairs" -> lshCandidatePairs _,
+    "q50_salted_banded_join" -> lshSaltedSkew _,
     "q19_simhash" -> simhashes _,
     "q20_language_id" -> languageId _,
     "q47_lsh_jaccard_verify" -> lshJaccardVerify _)
@@ -428,6 +455,27 @@ object TextPack {
          |SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_shared_bands
          |FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
          |GROUP BY 1, 2 ORDER BY doc1, doc2""".stripMargin,
+    "q50_salted_banded_join" ->
+      s"""WITH pdocs AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 10 = 0 THEN '$PlantedClusterText'
+         |         ELSE text END AS text
+         |  FROM documents),
+         |sh AS (
+         |  SELECT doc_id, $shinglesSql AS sh
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM pdocs)),
+         |sig AS (SELECT doc_id, $sigSql AS sig FROM sh),
+         |bands AS (
+         |  SELECT doc_id, b,
+         |    b || ':' || array_to_string(sig[b*$R+1:b*$R+$R], ',') AS band_key
+         |  FROM sig CROSS JOIN (SELECT unnest(range($Bands)) AS b)),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n
+         |  FROM bands a JOIN bands b
+         |    ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc1, doc2, n AS n_unsalted, n AS n_salted
+         |FROM pairs ORDER BY doc1, doc2""".stripMargin,
     "q47_lsh_jaccard_verify" ->
       s"""WITH shtok AS (
          |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
