@@ -791,11 +791,44 @@ class FrameTokenScan(path: String, partitions: Int, maxSplitBytes: Long,
     hconf: SerializableHadoopConf, required: StructType,
     filters: Array[Filter], topN: Option[FrameTokenSource.TopNSpec],
     connectivity: ConnectivityConf = ConnectivityConf.Defaults)
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsReportStatistics {
   import FrameTokenSource._
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  // one listing per scan: statistics and partition planning see the same
+  // snapshot (a file arriving between the two calls can't skew them)
+  private lazy val listed: Array[FrameFile] = listFrameFiles(path, hconf.value)
+
+  /** Size/row statistics from the file listing, so Catalyst can make
+    * broadcast-join and AQE decisions about source-backed frames instead
+    * of assuming the worst case (`conf.defaultSizeInBytes` = effectively
+    * infinite, which silently disqualifies the source from every
+    * broadcast). Raw frame bytes are the same proxy parquet uses; a
+    * pushed limit caps them. Row count: only emitted under a pushed
+    * TopN/limit (≤ limit rows per partition is a guarantee); otherwise
+    * unknown — decode yields 0..50 tokens per frame and a fabricated
+    * count would mislead the optimizer.
+    */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val totalBytes = listed.map(_.size).sum
+    override def sizeInBytes(): java.util.OptionalLong = {
+      val capped = topN match {
+        // ≤ limit rows survive per partition; bound bytes accordingly
+        // (rows are ≤ ~2 KB decoded; listing bytes already bound input)
+        case Some(TopNSpec(_, limit)) =>
+          math.min(totalBytes, limit.toLong * math.max(1, partitions) * 2048L)
+        case None => totalBytes
+      }
+      java.util.OptionalLong.of(capped)
+    }
+    override def numRows(): java.util.OptionalLong = topN match {
+      case Some(TopNSpec(_, limit)) =>
+        java.util.OptionalLong.of(limit.toLong * math.max(1, partitions))
+      case None => java.util.OptionalLong.empty()
+    }
+  }
 
   /** Shown by explain("formatted") on the BatchScan node. */
   override def description(): String = {
@@ -806,8 +839,7 @@ class FrameTokenScan(path: String, partitions: Int, maxSplitBytes: Long,
   }
 
   override def planInputPartitions(): Array[InputPartition] =
-    groupUnits(
-      planSlices(listFrameFiles(path, hconf.value), maxSplitBytes), partitions)
+    groupUnits(planSlices(listed, maxSplitBytes), partitions)
 
   override def createReaderFactory(): PartitionReaderFactory =
     new FrameTokenReaderFactory(hconf, required, filters, topN)

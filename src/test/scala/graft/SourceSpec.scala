@@ -207,6 +207,35 @@ class SourceSpec extends AnyFunSuite {
     assert(split.map(_.head.asInstanceOf[Long]).distinct.size >= expected)
   }
 
+  test("scan reports statistics; a pushed-TopN source side broadcasts without a hint") {
+    // raw listing bytes flow into Catalyst
+    val stats = scanOf(sourceDf).estimateStatistics()
+    val expected = new java.io.File(framesDir).listFiles()
+      .filter(f => f.getName.endsWith(".bin") || f.getName.endsWith(".binpack"))
+      .map(_.length()).sum // not the .crc sidecars the local FS writes
+    assert(stats.sizeInBytes().getAsLong == expected)
+
+    // a pushed TopN caps both rows and bytes → the planner broadcasts
+    // this side on its own (no broadcast() hint anywhere); without
+    // reported statistics a DSv2 relation defaults to an effectively
+    // infinite size and is never broadcast-eligible
+    val dim = sourceDf.filter(col("liquidity") >= 35000.0)
+      .orderBy(col("liquidity").desc).limit(20)
+      .select(col("frame_id"), col("symbol"))
+    val fact = spark.range(10000).toDF("frame_id")
+    val joined = fact.join(dim, "frame_id")
+    assert(joined.count() == 20)
+    // a join has exchanges → AQE wraps it; the final plan is inside
+    val plan = joined.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val hasBroadcast = plan.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec])
+    assert(hasBroadcast, "pushed-TopN source side should broadcast from its stats")
+  }
+
   test("micro-batch stream replays the same rows as the batch read") {
     val q = spark.readStream.format("graft-tokens").load(framesDir)
       .writeStream.format("memory").queryName("src_stream")
