@@ -71,6 +71,37 @@ object TextOps {
   /** 60-bit variant for SimHash bit sampling. */
   def hash60(s: Column): Column = conv(substring(md5(s), 1, 15), 16, 10).cast("long")
 
+  /** Deterministic stratified sampling for training-data curation
+    * (corpus mixing: "p% of each (lang, source), at most `quota` docs
+    * per stratum"). No RNG anywhere — membership is a pure function of
+    * the data, so the sample is reproducible across runs, engines, and
+    * partitionings (the property `df.sample()` cannot give):
+    *
+    *   1. Bernoulli cut: keep a doc when its salted md5 bucket
+    *      (`hash32("sample:"+id) % 100`) falls below `pct` — uniform
+    *      regardless of id clustering.
+    *   2. Stratum quota: of the survivors, take the `quota`
+    *      hash-smallest per stratum (row_number over (hash, id)) — a
+    *      uniform fixed-size reservoir per stratum.
+    *
+    * Scale shape: the window sorts only within strata and only AFTER
+    * the Bernoulli cut; stratum count is data-bounded (languages ×
+    * sources), so no single reducer sees more than the largest
+    * stratum's survivors. 100 TB posture: the filter is a narrow map,
+    * and skew equals corpus skew — a pathologically hot stratum can
+    * pre-aggregate with a two-phase (salted) top-quota if ever needed.
+    */
+  def stratifiedSample(docs: DataFrame, strata: Seq[String], pct: Int,
+      quota: Int, idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = hash32(concat(lit("sample:"), col(idCol).cast("string")))
+    val w = Window.partitionBy(strata.map(col): _*).orderBy(col("h"), col(idCol))
+    docs.withColumn("h", h)
+      .filter(col("h") % 100 < pct)
+      .withColumn("strat_rank", row_number().over(w).cast("long"))
+      .filter(col("strat_rank") <= quota)
+  }
+
   /** MinHash parameters: k universal-hash functions (a*h+b) mod p with
     * odd multipliers below 2^31 (products stay inside int64).
     */

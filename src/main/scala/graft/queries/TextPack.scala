@@ -128,6 +128,23 @@ object TextPack {
   def lshCandidatePairs(spark: SparkSession, dir: String): DataFrame =
     lshCandidatePairsFrom(Tables.documents(spark, dir))
 
+  private val SamplePct = 60
+  private val SampleQuota = 5
+
+  /** q51: deterministic stratified corpus sampling (training-data
+    * mixing) — 60% Bernoulli by salted hash bucket, then at most 5 docs
+    * per (lang, source) stratum by hash order. Both mechanisms bind on
+    * the fixture corpus (the largest strata have >5 survivors). See
+    * [[TextOps.stratifiedSample]] for the no-RNG reproducibility
+    * contract.
+    */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    TextOps.stratifiedSample(Tables.documents(spark, dir),
+      Seq("lang", "source"), SamplePct, SampleQuota)
+      .select(col("doc_id"), col("lang"), col("source"), col("h"),
+        col("strat_rank"))
+      .orderBy(col("doc_id"))
+
   private val PlantedClusterText =
     "salted skew cluster alpha beta gamma delta epsilon zeta eta theta"
 
@@ -308,6 +325,7 @@ object TextPack {
     "q17_minhash_signatures" -> minhashSignatures _,
     "q18_lsh_candidate_pairs" -> lshCandidatePairs _,
     "q50_salted_banded_join" -> lshSaltedSkew _,
+    "q51_stratified_sample" -> stratifiedSample _,
     "q19_simhash" -> simhashes _,
     "q20_language_id" -> languageId _,
     "q47_lsh_jaccard_verify" -> lshJaccardVerify _)
@@ -455,6 +473,18 @@ object TextPack {
          |SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_shared_bands
          |FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
          |GROUP BY 1, 2 ORDER BY doc1, doc2""".stripMargin,
+    "q51_stratified_sample" ->
+      s"""WITH s AS (
+         |  SELECT doc_id, lang, source,
+         |    ('0x' || substr(md5('sample:' || doc_id), 1, 8))::bigint AS h
+         |  FROM documents),
+         |k AS (SELECT * FROM s WHERE h % 100 < $SamplePct),
+         |r AS (
+         |  SELECT *, row_number()
+         |    OVER (PARTITION BY lang, source ORDER BY h, doc_id) AS strat_rank
+         |  FROM k)
+         |SELECT doc_id, lang, source, h, strat_rank
+         |FROM r WHERE strat_rank <= $SampleQuota ORDER BY doc_id""".stripMargin,
     "q50_salted_banded_join" ->
       s"""WITH pdocs AS (
          |  SELECT doc_id,

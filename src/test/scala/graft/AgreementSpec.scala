@@ -18,6 +18,27 @@ import org.scalatest.funsuite.AnyFunSuite
 class AgreementSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
 
+  test("stratifiedSample: partition-invariant membership, quota + Bernoulli bind") {
+    import graft.ext.TextOps
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val a = ids(TextOps.stratifiedSample(docs, Seq("lang", "source"), 60, 5))
+    // membership is a pure function of the data — any partitioning,
+    // same sample (the reproducibility df.sample() cannot give)
+    val b = ids(TextOps.stratifiedSample(
+      docs.repartition(13, col("text")), Seq("lang", "source"), 60, 5))
+    assert(a == b && a.nonEmpty)
+    // pct=100 + unbounded quota keeps everything (no off-by-one at the gate)
+    assert(TextOps.stratifiedSample(docs, Seq("lang", "source"), 100,
+      Int.MaxValue).count() == docs.count())
+    // no stratum ever exceeds its quota, and at least one hits it
+    val perStratum = TextOps.stratifiedSample(docs, Seq("lang", "source"), 60, 5)
+      .groupBy("lang", "source").count()
+    assert(perStratum.filter(col("count") > 5).count() == 0)
+    assert(perStratum.filter(col("count") === 5).count() > 0)
+  }
+
   test("column classifyValue agrees with ClusterExtractor on dense sweep + boundaries") {
     import spark.implicits._
     val boundaries = Seq(
