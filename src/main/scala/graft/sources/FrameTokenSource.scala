@@ -547,6 +547,9 @@ object FrameTokenSource {
     override def next(): (Long, Long, Array[Byte]) = {
       if (!hasNext) throw new NoSuchElementException
       val m = nextMarker
+      // the previous chain check only proved syncLen bytes fit at m — a
+      // truncated final header must fail as corrupt, not as a raw EOF
+      if (m + hdrLen > fileLen) corrupt(m)
       // header (sync already validated at m by the scan or the previous
       // record's chain check) — all window accesses move strictly forward
       var off = ensure(m, hdrLen)

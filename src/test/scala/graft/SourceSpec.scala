@@ -207,6 +207,25 @@ class SourceSpec extends AnyFunSuite {
     assert(split.map(_.head.asInstanceOf[Long]).distinct.size >= expected)
   }
 
+  test("truncated v3 container fails as a corrupt chain, not a raw EOF") {
+    val dir = packDirOf(d => FrameTokenSource.writeFramePack(d, "pack_000000",
+      (0 until 5).iterator.map(c => (c.toLong, Ts, DecodePack.deepFrame(c.toLong)))))
+    val f = new java.io.File(dir).listFiles()
+      .find(_.getName.endsWith(".binpack")).get
+    val raf = new java.io.RandomAccessFile(f, "rw")
+    try raf.setLength(f.length() - 10) finally raf.close() // kill the tail record
+    // the local FS checksum sidecar no longer matches the shortened file
+    new java.io.File(dir).listFiles().filter(_.getName.endsWith(".crc"))
+      .foreach(_.delete())
+    val ex = intercept[Exception] {
+      spark.read.format("graft-tokens").load(dir).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("corrupt container chain")),
+      s"expected a corrupt-chain failure, got: ${messages(ex).mkString(" | ")}")
+  }
+
   test("scan reports statistics; a pushed-TopN source side broadcasts without a hint") {
     // raw listing bytes flow into Catalyst
     val stats = scanOf(sourceDf).estimateStatistics()
