@@ -105,16 +105,22 @@ object TextPack {
     * (the fixture corpora are not skewed); at 100 TB size `salts` to the
     * observed hot-cluster ratio.
     */
-  def lshCandidatePairsFrom(docs: DataFrame, salts: Int = 1): DataFrame = {
-    // The md5-shingle + minhash subtree is the expensive part; persist the
-    // (doc_id, sig) result (16 longs/doc) so the band self-join doesn't
-    // evaluate it once per side.
-    val d = graft.Caches.persisted(signaturesFrom(docs))
+  def lshCandidatePairsFrom(docs: DataFrame, salts: Int = 1): DataFrame =
+    pairsFromBanded(bandedKeys(docs), salts)
+
+  /** (doc_id, band_key) rows — the expensive md5-shingle + minhash
+    * subtree, persisted so the band self-join (and any second consumer,
+    * q50) reads the cache instead of recomputing.
+    */
+  private def bandedKeys(docs: DataFrame): DataFrame =
+    graft.Caches.persisted(signaturesFrom(docs))
       .select(col("doc_id"), posexplode(TextOps.lshBandKeys(col("sig"), Bands, R))
         .as(Seq("band", "key")))
       .select(col("doc_id"), concat(col("band").cast("string"), lit(":"), col("key")).as("band_key"))
-    val a = d.select(col("doc_id").as("doc1"), col("band_key"))
-    val b = d.select(col("doc_id").as("doc2"), col("band_key"))
+
+  private def pairsFromBanded(banded: DataFrame, salts: Int): DataFrame = {
+    val a = banded.select(col("doc_id").as("doc1"), col("band_key"))
+    val b = banded.select(col("doc_id").as("doc2"), col("band_key"))
     val joined =
       if (salts <= 1) a.join(b, "band_key")
       else graft.operators.Skew.saltedJoin(a, b, Seq("band_key"), salts)
@@ -162,9 +168,11 @@ object TextPack {
     val docs = Tables.documents(spark, dir).select(col("doc_id"),
       when(col("doc_id") % 10 === 0, lit(PlantedClusterText))
         .otherwise(col("text")).as("text"))
-    val s1 = lshCandidatePairsFrom(docs, salts = 1)
+    // ONE banded-keys pass (the minhash subtree) feeds both join variants
+    val banded = bandedKeys(docs)
+    val s1 = pairsFromBanded(banded, salts = 1)
       .withColumnRenamed("n_shared_bands", "n_unsalted")
-    val s4 = lshCandidatePairsFrom(docs, salts = 4)
+    val s4 = pairsFromBanded(banded, salts = 4)
       .withColumnRenamed("n_shared_bands", "n_salted")
     s1.join(s4, Seq("doc1", "doc2"), "full_outer")
       .select(col("doc1"), col("doc2"), col("n_unsalted"), col("n_salted"))

@@ -37,6 +37,14 @@ class AgreementSpec extends AnyFunSuite {
       .groupBy("lang", "source").count()
     assert(perStratum.filter(col("count") > 5).count() == 0)
     assert(perStratum.filter(col("count") === 5).count() > 0)
+    // scale claim, plan-asserted: the sampler never reads `text` — the
+    // parquet scan's ReadSchema carries only the id + strata columns
+    val explained = graft.queries.TextPack.stratifiedSample(
+      spark, "/root/testdata/sf0.01").queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val readSchemas = explained.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(readSchemas.nonEmpty && readSchemas.forall(!_.contains("text")),
+      s"sampler must not scan text:\n${readSchemas.mkString("\n")}")
   }
 
   test("column classifyValue agrees with ClusterExtractor on dense sweep + boundaries") {
