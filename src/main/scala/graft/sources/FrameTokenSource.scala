@@ -11,7 +11,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{NamedReference, NullOrdering, SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -942,7 +942,8 @@ class FrameTokenMicroBatchStream(path: String, partitions: Int,
     maxSplitBytes: Long, hconf: SerializableHadoopConf,
     required: StructType, filters: Array[Filter],
     topN: Option[FrameTokenSource.TopNSpec],
-    connectivity: ConnectivityConf = ConnectivityConf.Defaults) extends MicroBatchStream {
+    connectivity: ConnectivityConf = ConnectivityConf.Defaults)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
   import FrameTokenSource._
 
   /** Per-stream governor (ST3/ST4): paces the listing polls at the
@@ -958,14 +959,34 @@ class FrameTokenMicroBatchStream(path: String, partitions: Int,
   }
   private val N = """\{"files":(\d+)\}""".r
 
-  override def initialOffset(): Offset = FilesOffset(0)
-  override def latestOffset(): Offset = {
-    val n = governor.connect { _ =>
+  private def governedCount(): Int =
+    governor.connect { _ =>
       scala.util.Try(listFrameFiles(path, hconf.value).length).toOption
     }.getOrElse(throw new IllegalStateException(
       s"frame listing failed after ${governor.maxRetries} attempts: $path"))
-    FilesOffset(n)
+
+  override def initialOffset(): Offset = FilesOffset(0)
+  override def latestOffset(): Offset = FilesOffset(governedCount())
+
+  // ---- Trigger.AvailableNow (backfill) support: pin the end offset at
+  // query start so "process everything present, then stop" is exact —
+  // files dropped AFTER the prepare call belong to the next run. Without
+  // this Spark logs a fallback to one unbounded batch whose end moves
+  // with the listing.
+  private var availableNowCap: Option[Int] = None
+
+  override def prepareForTriggerAvailableNow(): Unit = {
+    availableNowCap = Some(governedCount())
   }
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val n = governedCount()
+    FilesOffset(availableNowCap.fold(n)(math.min(n, _)))
+  }
+
+  override def reportLatestOffset(): Offset = FilesOffset(governedCount())
   override def deserializeOffset(json: String): Offset = json match {
     case N(n) => FilesOffset(n.toInt)
     case _ => throw new IllegalArgumentException(s"bad offset: $json")

@@ -184,6 +184,15 @@ class ConnectivitySpec extends AnyFunSuite {
       new SerializableHadoopConf(new org.apache.hadoop.conf.Configuration()),
       FrameTokenSource.fullSchema, Array.empty, None, ConnectivityConf(1000.0, 3, 0.001))
     assert(stream.latestOffset().json() == """{"files":3}""")
+
+    // Trigger.AvailableNow pins the end offset at prepare time: files
+    // arriving after it belong to the NEXT run, so a backfill is exact
+    stream.prepareForTriggerAvailableNow()
+    (3 until 5).foreach(c =>
+      FrameTokenSource.writeFrameFile(dir, c.toLong, 1700000000L, DecodePack.deepFrame(c.toLong)))
+    assert(stream.latestOffset(stream.initialOffset(),
+      stream.getDefaultReadLimit).json() == """{"files":3}""")
+    assert(stream.reportLatestOffset().json() == """{"files":5}""")
   }
 
   test("ConnectionGovernor: per-instance state, headers rotate across connects") {
