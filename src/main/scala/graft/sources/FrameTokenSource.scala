@@ -735,16 +735,19 @@ class FrameTokenTable(path: String) extends Table with SupportsRead {
 }
 
 /** Connection-policy knobs, reference defaults (scraper.py:44-47):
-  * 4 polls/s, 5 attempts, 1 s backoff base.
+  * 4 polls/s, 5 attempts, 1 s backoff base. `maxFilesPerTrigger` bounds
+  * micro-batch admission (streaming flow control; None = all available).
   */
-final case class ConnectivityConf(rateLimit: Double, maxRetries: Int, backoffBase: Double)
+final case class ConnectivityConf(rateLimit: Double, maxRetries: Int,
+    backoffBase: Double, maxFilesPerTrigger: Option[Int] = None)
 
 object ConnectivityConf {
   val Defaults: ConnectivityConf = ConnectivityConf(4.0, 5, 1.0)
   def fromOptions(options: CaseInsensitiveStringMap): ConnectivityConf = ConnectivityConf(
     Option(options.get("ratelimit")).map(_.toDouble).getOrElse(Defaults.rateLimit),
     Option(options.get("maxretries")).map(_.toInt).getOrElse(Defaults.maxRetries),
-    Option(options.get("backoffbase")).map(_.toDouble).getOrElse(Defaults.backoffBase))
+    Option(options.get("backoffbase")).map(_.toDouble).getOrElse(Defaults.backoffBase),
+    Option(options.get("maxfilespertrigger")).map(_.toInt))
 }
 
 class FrameTokenScanBuilder(path: String, partitions: Int, maxSplitBytes: Long,
@@ -979,11 +982,24 @@ class FrameTokenMicroBatchStream(path: String, partitions: Int,
     availableNowCap = Some(governedCount())
   }
 
-  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  override def getDefaultReadLimit: ReadLimit =
+    connectivity.maxFilesPerTrigger match {
+      case Some(m) => ReadLimit.maxFiles(m)
+      case None => ReadLimit.allAvailable()
+    }
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val n = governedCount()
-    FilesOffset(availableNowCap.fold(n)(math.min(n, _)))
+    val capped = availableNowCap.fold(n)(math.min(n, _))
+    val admitted = limit match {
+      // flow control: a huge backlog drains in bounded batches instead
+      // of one giant catch-up batch (AvailableNow composes — Spark loops
+      // batches until the pinned cap is reached)
+      case l: org.apache.spark.sql.connector.read.streaming.ReadMaxFiles =>
+        math.min(capped, start.asInstanceOf[FilesOffset].n + l.maxFiles())
+      case _ => capped
+    }
+    FilesOffset(admitted)
   }
 
   override def reportLatestOffset(): Offset = FilesOffset(governedCount())

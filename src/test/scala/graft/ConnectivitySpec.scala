@@ -193,6 +193,16 @@ class ConnectivitySpec extends AnyFunSuite {
     assert(stream.latestOffset(stream.initialOffset(),
       stream.getDefaultReadLimit).json() == """{"files":3}""")
     assert(stream.reportLatestOffset().json() == """{"files":5}""")
+
+    // flow control: maxFilesPerTrigger bounds each batch's admission,
+    // composing with the AvailableNow cap (2 admitted of the pinned 3)
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    assert(stream.latestOffset(stream.initialOffset(),
+      ReadLimit.maxFiles(2)).json() == """{"files":2}""")
+    val conf = ConnectivityConf.fromOptions(
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of("maxFilesPerTrigger", "7")))
+    assert(conf.maxFilesPerTrigger.contains(7))
   }
 
   test("ConnectionGovernor: per-instance state, headers rotate across connects") {
