@@ -264,4 +264,59 @@ object TextOps {
       when(s === best && s > 0, lit(lang)).otherwise(acc)
     }
   }
+
+  /** GPT-style sequence packing: assign every document its starting
+    * offset in the global concatenated token stream (ordered by `idCol`),
+    * from which the training-shard bin (`offset div budget`) and the
+    * position inside that bin follow arithmetically.
+    *
+    * Scale shape: the textbook formulation — `sum(n) OVER (ORDER BY id)`
+    * — collapses to a SINGLE partition in Spark (empty window partition
+    * spec ⇒ one task sorts the whole corpus), the exact plan that dies at
+    * 100 TB. This operator computes the same prefix sum in two passes
+    * over a range-partitioned sort: (1) reduce each partition to ONE
+    * `(partitionId, tokenSum)` pair — `numParts` longs on the driver, not
+    * data; (2) broadcast the cumulative per-partition offsets back and
+    * stream each partition once, adding its base offset to a running
+    * local sum. Parallelism stays `numParts` end to end and the only
+    * shuffle is the range repartition.
+    *
+    * Determinism: range-partition boundaries come from sampling and can
+    * vary run to run, but any boundary split of a sorted sequence yields
+    * identical global prefix sums — output is independent of the split.
+    *
+    * RDD justification (brief: "RDDs only for genuine per-partition
+    * imperative logic"): a running sum that must resume from a
+    * per-partition base is exactly that; no Catalyst expression or
+    * non-degenerate window can express it.
+    */
+  def packOffsets(docs: DataFrame, idCol: String, nCol: String,
+      numParts: Int): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val spark = docs.sparkSession
+    val sorted = graft.Caches.persisted(
+      docs.select(col(idCol).cast("long").as("id"), col(nCol).cast("long").as("n"))
+        .repartitionByRange(numParts, col("id"))
+        .sortWithinPartitions("id"))
+    val perPart = sorted.rdd
+      .mapPartitionsWithIndex((pid, it) =>
+        Iterator((pid, it.foldLeft(0L)(_ + _.getLong(1)))))
+      .collect()
+      .sortBy(_._1)
+    val bases = perPart.map(_._2).scanLeft(0L)(_ + _) // bases(pid) = tokens before pid
+    val bBases = spark.sparkContext.broadcast(bases)
+    val rows = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var running = bBases.value(pid)
+      it.map { r =>
+        val start = running
+        running += r.getLong(1)
+        Row(r.getLong(0), r.getLong(1), start)
+      }
+    }
+    spark.createDataFrame(rows, StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("n", LongType, nullable = false),
+      StructField("start_offset", LongType, nullable = false))))
+  }
 }

@@ -321,7 +321,30 @@ object TextPack {
     fps.select(col("doc_id"), col("roll_fp")).orderBy(col("doc_id"))
   }
 
+  private[graft] val PackBudget = 512L
+  private val PackParts = 8
+
+  /** Sequence packing for LLM training shards: every document's start
+    * offset in the global concatenated BPE-token stream (doc_id order),
+    * its bin (`offset div budget`) and position within the bin. Computed
+    * with the two-pass distributed prefix sum ([[TextOps.packOffsets]]) —
+    * NOT the single-partition global window the oracle uses; the spec
+    * (SeqPackSpec) proves the two formulations identical and that this
+    * one keeps multi-partition parallelism.
+    */
+  def sequencePack(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextOps.bpeTokenCount(col("text")).as("n_tokens"))
+    TextOps.packOffsets(counts, "doc_id", "n_tokens", PackParts)
+      .select(col("id").as("doc_id"), col("n").as("n_tokens"),
+        col("start_offset"),
+        expr(s"start_offset div $PackBudget").as("bin"),
+        expr(s"start_offset % $PackBudget").as("bin_offset"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q52_sequence_pack" -> sequencePack _,
     "q31_corpus_clean" -> corpusClean _,
     "q32_simhash_neardup" -> simhashNearDup _,
     "q33_bpe_token_count" -> bpeTokenCounts _,
@@ -378,6 +401,24 @@ object TextPack {
       |  FROM bits GROUP BY doc_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // The oracle uses the very global window the engine refuses to run
+    // (fine in DuckDB at sf0.01; fatal as a Spark plan at 100 TB) — a
+    // deliberately different formulation of the same prefix sum.
+    "q52_sequence_pack" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, cast(len(regexp_extract_all(text,
+         |    '${TextOps.BpePattern.replace("'", "''")}')) AS bigint) AS n_tokens
+         |  FROM documents),
+         |o AS (
+         |  SELECT doc_id, n_tokens,
+         |    cast(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bigint)
+         |      AS start_offset
+         |  FROM t)
+         |SELECT doc_id, n_tokens, start_offset,
+         |  start_offset // $PackBudget AS bin,
+         |  start_offset % $PackBudget AS bin_offset
+         |FROM o ORDER BY doc_id""".stripMargin,
     "q33_bpe_token_count" ->
       s"""SELECT doc_id,
          |  len(text) - len(replace(text, ' ', '')) + 1 AS n_ws_tokens,
