@@ -294,7 +294,38 @@ object Relational {
       .orderBy(col("bar_ts"), col("event_type"))
   }
 
+  /** As-of join inside the event stream: every `purchase` event picks up
+    * the latest `view` event by the same user at or before its timestamp
+    * (null columns when the user never viewed before buying). One
+    * union+window pass — see [[graft.operators.AsofJoin]] for why this
+    * beats a range theta-join at scale; the oracle uses DuckDB's native
+    * ASOF LEFT JOIN, a deliberately different formulation.
+    */
+  def asofPurchaseView(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"), col("value").as("purchase_value"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"),
+        col("event_id").as("view_id"), col("ts").as("view_ts"),
+        col("value").as("view_value"))
+    graft.operators.AsofJoin.asofJoin(
+        purchases, views,
+        leftKey = "user_id", rightKey = "user_id",
+        leftTs = "purchase_ts", rightTs = "ts",
+        payload = Seq("view_id", "view_ts", "view_value"), tiebreak = "event_id")
+      .select(col("purchase_id"), col("user_id"),
+        unix_micros(col("purchase_ts")).as("purchase_ts_us"),
+        col("purchase_value"),
+        col("view_id"),
+        unix_micros(col("view_ts")).as("view_ts_us"),
+        col("view_value"))
+      .orderBy(col("purchase_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q53_asof_join" -> asofPurchaseView _,
     "q01_pricing_summary" -> pricingSummary _,
     "q02_filter_ranges" -> filterRanges _,
     "q03_membership" -> membership _,
@@ -310,6 +341,27 @@ object Relational {
     "q45_output_gate" -> outputGate _)
 
   val oracles: Map[String, String] = Map(
+    // DuckDB's native ASOF LEFT JOIN (greatest e.ts <= p.ts, inclusive)
+    // vs the engine's union+window pass: two independent formulations of
+    // the same semantics. The dedup CTE pins equal-timestamp ties to the
+    // highest event_id exactly like the operator's tiebreak.
+    "q53_asof_join" ->
+      """WITH v AS (
+        |  SELECT user_id, ts, event_id AS view_id, value AS view_value FROM (
+        |    SELECT user_id, ts, event_id, value,
+        |      row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        |    FROM events WHERE event_type = 'view') WHERE rn = 1),
+        |p AS (
+        |  SELECT event_id AS purchase_id, user_id, ts AS pts, value AS purchase_value
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT p.purchase_id, p.user_id,
+        |  epoch_us(p.pts) AS purchase_ts_us,
+        |  p.purchase_value,
+        |  v.view_id,
+        |  epoch_us(v.ts) AS view_ts_us,
+        |  v.view_value
+        |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.pts >= v.ts
+        |ORDER BY p.purchase_id""".stripMargin,
     "q45_output_gate" ->
       """WITH sel AS (
         |  SELECT c_custkey AS c FROM customer
