@@ -30,6 +30,24 @@ object VectorOps {
     */
   def dotInt(a: Column, b: Column): Column = graft.functions.DotLong(a, b)
 
+  /** Per-vector symmetric int8 quantization of an integer-scaled vector:
+    * `q_i = round(v_i * 127 / max|v|)`, range [-127, 127] — the memory
+    * lever for ANN at 100 TB (an int8 corpus is 8× smaller than the int64
+    * working form, so 8× more of the index fits in executor memory or a
+    * broadcast). Rounding is half-up on the magnitude, computed as
+    * `(|v|*254 + m) div (2m)` so the oracle's integer `//` reproduces it
+    * exactly; the engine's `floor(a/b)` on doubles is exact here because
+    * consecutive candidate quotients differ by ≥ 1/(2m) ≫ the 1e-14
+    * division ulp (a,b ≤ 2^31 ≪ 2^53). Zero vectors quantize to zeros.
+    */
+  def int8Quantize(vec: Column): Column = {
+    val m = array_max(transform(vec, v => abs(v)))
+    when(m === 0, transform(vec, _ => lit(0L)))
+      .otherwise(transform(vec, v =>
+        when(v < 0, -floor(((-v) * 254 + m) / (m * 2)))
+          .otherwise(floor((v * 254 + m) / (m * 2))).cast("long")))
+  }
+
   /** Cosine from quantized vectors: one deterministic IEEE expression. */
   def cosineInt(a: Column, b: Column): Column =
     dotInt(a, b).cast("double") /

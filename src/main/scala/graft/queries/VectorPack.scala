@@ -131,7 +131,32 @@ object VectorPack {
       .select(col("vec_id"), col("label"))
       .orderBy(col("vec_id"))
 
+  /** Int8-quantized ANN with a recall gate: brute-force cosine top-k over
+    * per-vector symmetric int8 vectors ([[VectorOps.int8Quantize]] — the
+    * 8×-smaller index that makes broadcast/memory-resident ANN viable at
+    * scale), each hit flagged 1/0 for membership in the full-precision
+    * top-k — so the gate pins BOTH the quantized arithmetic and the
+    * measured recall of the compression.
+    */
+  def int8Ann(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = graft.Caches.persisted(quantized(spark, dir)
+      .select(col("vec_id"), col("qvec"),
+        VectorOps.int8Quantize(col("qvec")).as("q8")))
+    val top8 = VectorOps.bruteForceTopK(
+      vecs.filter(col("vec_id") < 10).select(col("vec_id").as("q_id"), col("q8").as("q_vec")),
+      vecs.select(col("vec_id").as("c_id"), col("q8").as("c_vec")), TopK)
+    val exact = VectorOps.bruteForceTopK(
+      vecs.filter(col("vec_id") < 10).select(col("vec_id").as("q_id"), col("qvec").as("q_vec")),
+      vecs.select(col("vec_id").as("c_id"), col("qvec").as("c_vec")), TopK)
+    top8.join(exact.select(col("q_id"), col("c_id"), lit(1L).as("_hit")),
+        Seq("q_id", "c_id"), "left")
+      .select(col("q_id"), col("rank").cast("long").as("rank"), col("c_id"),
+        col("cosine"), coalesce(col("_hit"), lit(0L)).as("in_exact_topk"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q54_int8_ann" -> int8Ann _,
     "q21_ann_topk" -> annTopK _,
     "q22_cosine_pairs" -> cosinePairs _,
     "q23_lsh_ann" -> lshAnn _,
@@ -200,6 +225,45 @@ object VectorPack {
        |${kmUpdateCte("cb2", "a2")}""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // int8 quantization re-derived with integer `//` (the engine proves
+    // its floor(double) form identical — see VectorOps.int8Quantize)
+    "q54_int8_ann" ->
+      s"""WITH v AS (SELECT vec_id, $qv AS qvec FROM embeddings),
+         |mx AS (SELECT vec_id, qvec,
+         |  list_max(list_transform(qvec, x -> abs(x))) AS m FROM v),
+         |v8 AS (SELECT vec_id, qvec,
+         |  CASE WHEN m = 0 THEN list_transform(qvec, x -> 0::bigint)
+         |    ELSE list_transform(qvec, x -> CASE WHEN x < 0
+         |      THEN -(((-x) * 254 + m) // (2 * m))
+         |      ELSE (x * 254 + m) // (2 * m) END) END AS q8 FROM mx),
+         |s8 AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         |    cast(${dot("q.q8", "c.q8")} AS double) /
+         |      (sqrt(cast(${dot("q.q8", "q.q8")} AS double)) *
+         |       sqrt(cast(${dot("c.q8", "c.q8")} AS double))) AS cosine
+         |  FROM v8 q CROSS JOIN v8 c
+         |  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+         |r8 AS (
+         |  SELECT q_id, c_id, cosine,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS rank
+         |  FROM s8),
+         |se AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         |    cast(${dot("q.qvec", "c.qvec")} AS double) /
+         |      (sqrt(cast(${dot("q.qvec", "q.qvec")} AS double)) *
+         |       sqrt(cast(${dot("c.qvec", "c.qvec")} AS double))) AS cosine
+         |  FROM v8 q CROSS JOIN v8 c
+         |  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+         |re AS (
+         |  SELECT q_id, c_id,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS rank
+         |  FROM se)
+         |SELECT r8.q_id, r8.rank, r8.c_id, r8.cosine,
+         |  CASE WHEN e.q_id IS NOT NULL THEN 1 ELSE 0 END::bigint AS in_exact_topk
+         |FROM r8 LEFT JOIN (SELECT q_id, c_id FROM re WHERE rank <= $TopK) e
+         |  ON r8.q_id = e.q_id AND r8.c_id = e.c_id
+         |WHERE r8.rank <= $TopK
+         |ORDER BY r8.q_id, r8.rank""".stripMargin,
     "q21_ann_topk" ->
       s"""WITH q AS (SELECT vec_id AS q_id, $qv AS qvec FROM embeddings WHERE vec_id < 10),
          |c AS (SELECT vec_id AS c_id, $qv AS cvec FROM embeddings),

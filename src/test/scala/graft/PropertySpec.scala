@@ -71,6 +71,32 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("int8Quantize: range bound, max-magnitude hits ±127, zero vector, exact-int agreement") {
+    import org.apache.spark.sql.functions.col
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val vecs = (0 until 200).map { i =>
+      (i.toLong, Seq.fill(16)(rnd.nextInt(4001) - 2000L))
+    } :+ (200L, Seq.fill(16)(0L))
+    val got = vecs.toDF("id", "v")
+      .select(col("id"), col("v"), graft.ext.VectorOps.int8Quantize(col("v")).as("q8"))
+      .collect()
+    got.foreach { r =>
+      val v = r.getSeq[Long](1)
+      val q = r.getSeq[Long](2)
+      assert(q.forall(x => x >= -127 && x <= 127), s"out of int8 range: $q")
+      val m = v.map(math.abs).max
+      if (m == 0) assert(q.forall(_ == 0L))
+      else {
+        // the engine's floor(double) must equal exact integer arithmetic
+        val want = v.map(x =>
+          if (x < 0) -((-x * 254 + m) / (2 * m)) else (x * 254 + m) / (2 * m))
+        assert(q == want, s"v=$v m=$m")
+        assert(q.map(math.abs).max == 127, "max-magnitude dim must quantize to ±127")
+      }
+    }
+  }
+
   test("pyFloatRepr round-trips doubles across magnitudes") {
     val edge = Seq(0.0, -0.0, 1e-320, 123456.789, 0.1, 2e16, 1e16 - 2.0,
       9.999999999999999e15, 1e-4, 9.5e-5, Double.MinPositiveValue)
