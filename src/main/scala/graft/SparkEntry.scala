@@ -18,6 +18,7 @@ object SparkEntry {
       (_root_.graft.queries.VectorPack.queries, _root_.graft.queries.VectorPack.oracles),
       (_root_.graft.queries.MediaPack.queries, _root_.graft.queries.MediaPack.oracles),
       (_root_.graft.queries.SinkPack.queries, _root_.graft.queries.SinkPack.oracles),
+      (_root_.graft.queries.CurationPack.queries, _root_.graft.queries.CurationPack.oracles),
       (_root_.graft.queries.SourcePack.queries, _root_.graft.queries.SourcePack.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

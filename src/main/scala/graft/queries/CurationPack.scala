@@ -1,0 +1,368 @@
+package graft.queries
+
+import graft.Tables
+import graft.ext.{GraphOps, TextOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data curation pack — the pipeline stages that sit BETWEEN
+  * the near-dup primitives (TextPack) and an actual 100 TB pretraining
+  * corpus build: pair→group component collapse (q55), repetition
+  * quality gates (q56), lexical retrieval over an inverted-postings
+  * layout (q57), sublinear domain rebalancing (q58), and a PII
+  * redaction pass (q59). The reference scrapes and formats market rows
+  * (`/root/reference/dexscraper/dexscraper/scraper.py`); none of these
+  * stages exist there — they are the brief's "operations a large-scale
+  * training-data pipeline would need", built Spark-first.
+  *
+  * Every numeric is exact-integer fixed point (floor of a double
+  * division of exact int64s — IEEE division is correctly rounded, so
+  * any engine reproduces the value bit-for-bit) and every query has a
+  * DuckDB oracle that derives the same integers independently.
+  */
+object CurationPack {
+
+  // ---------------------------------------------------------------- q55
+
+  private val CliqueText =
+    "planted duplicate cluster alpha beta gamma delta epsilon zeta eta"
+
+  /** q55: near-dup GROUPS, not pairs — connected components over the
+    * union of (a) banded LSH candidate pairs on a corpus with a planted
+    * exact-dup clique (`doc_id % 25 == 0`, a diameter-1 near-complete
+    * component: 200 docs / 19 900 pairs at sf0.1) and (b) an explicit
+    * link table forming bounded CHAINS (`doc_id % 10 == 3` links to
+    * `doc_id + 10`, broken every 8th hop so chain diameter stays ≤ 7 at
+    * EVERY scale factor — the multi-round propagation case a clique
+    * never exercises). Output is the full (node, component) labeling;
+    * the oracle computes the identical graph and resolves components
+    * with a recursive-CTE transitive closure — a formulation that is
+    * fine at sf0.01 and would be quadratic suicide at 100 TB, which is
+    * exactly why the engine side iterates min-label rounds instead
+    * ([[graft.ext.GraphOps.connectedComponents]]).
+    */
+  def dedupComponents(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"),
+      when(col("doc_id") % 25 === 0, lit(CliqueText))
+        .otherwise(col("text")).as("text"))
+    val lshEdges = TextPack.lshCandidatePairsFrom(docs)
+      .select(col("doc1").as("src"), col("doc2").as("dst"))
+    val ids = docs.select(col("doc_id"))
+    // d % 10 == 3 chains to d+10; the % 80 == 73 hop is cut so chains
+    // never exceed 8 nodes however large the corpus grows.
+    val chain = ids
+      .filter(col("doc_id") % 10 === 3 && col("doc_id") % 80 =!= 73)
+      .select(col("doc_id").as("src"), (col("doc_id") + 10).as("dst"))
+      .join(ids.select(col("doc_id").as("dst")), Seq("dst"), "left_semi")
+    GraphOps.connectedComponents(lshEdges.union(chain), "src", "dst")
+      .orderBy(col("node"))
+  }
+
+  // ---------------------------------------------------------------- q56
+
+  private val FracScale = 1000000L
+  private val MaxDupWordFp = 300000L // drop if >30% of words are repeats
+  private val MaxTopBigramFp = 200000L // drop if top bigram covers >20%
+
+  /** q56: Gopher-style repetition gates (Rae et al. 2021 §A1.1 use
+    * duplicate-line and top-n-gram fractions; the synthetic corpus has
+    * no newlines, so the word-level analogues bind instead): duplicate
+    * -word fraction and most-frequent-bigram coverage, both as exact
+    * ppm fixed point, plus the keep/drop decision. Tie-break for the
+    * top bigram is (count desc, bigram asc) via a single min(struct)
+    * aggregate — no window over the bigram counts.
+    */
+  def repetitionFilter(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val base = t.select(col("doc_id"),
+      size(col("toks")).cast("long").as("n_words"),
+      size(array_distinct(col("toks"))).cast("long").as("n_distinct_words"))
+    // Counting bigrams (NOT distinct — TextOps.wordShingles dedups, a
+    // repetition score must not), exploded then counted map-side.
+    val bigrams = t.select(col("doc_id"),
+      explode(transform(sequence(lit(1), size(col("toks")) - 1),
+        i => concat_ws(" ", slice(col("toks"), i, lit(2))))).as("bg"))
+    val top = bigrams.groupBy(col("doc_id"), col("bg"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"))
+      .agg(min(struct((-col("n")).as("neg"), col("bg"))).as("m"))
+      .select(col("doc_id"), (-col("m.neg")).as("top_bigram_n"),
+        col("m.bg").as("top_bigram"))
+    val dupFp = floor(lit(FracScale) * (col("n_words") - col("n_distinct_words"))
+      / col("n_words")).cast("long")
+    val topFp = floor(lit(FracScale) * lit(2L) * col("top_bigram_n")
+      / col("n_words")).cast("long")
+    base.join(top, "doc_id")
+      .withColumn("dup_word_frac_fp", dupFp)
+      .withColumn("top_bigram_frac_fp", topFp)
+      .withColumn("keep",
+        when(col("dup_word_frac_fp") < MaxDupWordFp &&
+          col("top_bigram_frac_fp") < MaxTopBigramFp, lit(1L)).otherwise(lit(0L)))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---------------------------------------------------------------- q57
+
+  private val Bm25TopK = 10
+  // k1 = 1.2, b = 0.75 at fixed-point scale 1000; (k1+1) at 2200.
+  private val K1Fp = 1200L
+  private val BFp = 750L
+
+  /** q57: lexical retrieval over the distributed inverted-index layout —
+    * postings (term, doc, tf) from one explode+groupBy, df per term,
+    * doc length + corpus stats, then a BM25-family score and a bounded
+    * per-query top-k window. Query set: every `doc_id % 100 == 0` doc,
+    * terms at token positions 1/3/5 (so the query fan-out is known and
+    * the query side broadcasts).
+    *
+    * The scalar is BM25 with an exact-integer idf surrogate:
+    * `idf_fp = floor(1e6·(2N−2df+1)/(2df+1))` — the Robertson–Sparck
+    * Jones odds WITHOUT the log, so every value stays reproducible
+    * integer math across engines (the established pack-wide contract;
+    * swapping `ln` in is a one-line change where approximate-replay
+    * oracles are acceptable). tf normalization is standard BM25:
+    * `tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))`, all at fixed point:
+    * products stay < 2^53 so the doubles are exact. Scale shape: the
+    * postings/df join shuffles on term (both sides partition by term),
+    * doc-length join on doc_id, corpus stats is a 1-row broadcast, and
+    * the top-k is a per-query window over candidate rows only.
+    */
+  def bm25TopK(spark: SparkSession, dir: String): DataFrame = {
+    val t = graft.Caches.persisted(Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks")))
+    val postings = t.select(col("doc_id"), explode(col("toks")).as("term"))
+      .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+    val dfPerTerm = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val dl = t.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val queries = t.filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("q_id"),
+        explode(array(element_at(col("toks"), 1), element_at(col("toks"), 3),
+          element_at(col("toks"), 5))).as("term"))
+      .distinct()
+    val idfFp = floor(lit(FracScale) * (lit(2L) * col("n_docs") - lit(2L) * col("df") + 1L)
+      / (lit(2L) * col("df") + 1L)).cast("long")
+    val normFp = (lit(250L) +
+      floor(lit(BFp) * col("dl") * col("n_docs") / col("sum_dl")).cast("long"))
+    val denomFp = col("tf") * 1000L +
+      floor(lit(K1Fp) * normFp / lit(1000L)).cast("long")
+    val termScoreFp = floor(idfFp * col("tf") * lit(K1Fp + 1000L) / denomFp).cast("long")
+    val scored = broadcast(queries).join(postings, "term")
+      .join(dfPerTerm, "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("s", termScoreFp)
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(sum(col("s")).as("score_fp"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score_fp").desc, col("doc_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= Bm25TopK)
+      .select(col("q_id"), col("rank"), col("doc_id"), col("score_fp"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  // ---------------------------------------------------------------- q58
+
+  /** q58: sublinear domain rebalancing — the CCNet/RefinedWeb-style cap
+    * that stops a handful of giant domains dominating the corpus: each
+    * `source` keeps only its first `floor(sqrt(n_source))` docs in
+    * deterministic salted-hash order (sqrt of an exact int64 is
+    * correctly rounded IEEE, so the quota reproduces everywhere). One
+    * count agg + one per-source window; the hash order makes the kept
+    * subset stable under re-runs and independent of input order —
+    * [[graft.ext.TextOps.stratifiedSample]]'s contract, with a
+    * per-group DERIVED quota instead of q51's fixed one.
+    */
+  def domainRebalance(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("source"),
+      TextOps.hash32(concat(lit("cap:"), col("doc_id").cast("string"))).as("h"))
+    val quotas = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_source"))
+      .withColumn("quota", floor(sqrt(col("n_source"))).cast("long"))
+    val w = Window.partitionBy(col("source")).orderBy(col("h").asc, col("doc_id").asc)
+    docs.withColumn("cap_rank", row_number().over(w).cast("long"))
+      .join(quotas, "source")
+      .filter(col("cap_rank") <= col("quota"))
+      .select(col("doc_id"), col("source"), col("n_source"), col("quota"),
+        col("h"), col("cap_rank"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---------------------------------------------------------------- q59
+
+  private[queries] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[queries] val PhoneRe = "\\+1-[0-9]{3}-[0-9]{4}"
+
+  /** q59: PII redaction pass — the scrub stage every web-scale corpus
+    * runs before training. The synthetic corpus contains no PII, so the
+    * query PLANTS deterministic emails (`doc_id % 7 == 0`) and phone
+    * numbers (`doc_id % 11 == 0`) the same way in both engines, then
+    * counts and redacts with RE2-compatible patterns (no backrefs, no
+    * lookaround — portable across Java regex / RE2 / DuckDB). Gated on
+    * match counts, redacted length AND the md5 of the redacted text, so
+    * a single byte of divergence in either engine's regex engine breaks
+    * the hash.
+    */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val planted = Tables.documents(spark, dir).select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@mail.example.com now"))).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          concat(lit(" call +1-555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+            lit(" today"))).otherwise(lit(""))).as("text"))
+    val redacted = regexp_replace(
+      regexp_replace(col("text"), lit(EmailRe), lit("<EMAIL>")),
+      lit(PhoneRe), lit("<PHONE>"))
+    planted.select(col("doc_id"),
+      regexp_count(col("text"), lit(EmailRe)).cast("long").as("n_emails"),
+      regexp_count(col("text"), lit(PhoneRe)).cast("long").as("n_phones"),
+      length(redacted).cast("long").as("n_chars_redacted"),
+      md5(redacted).as("redacted_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ------------------------------------------------------------ registry
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q55_dedup_components" -> dedupComponents _,
+    "q56_repetition_filter" -> repetitionFilter _,
+    "q57_bm25_topk" -> bm25TopK _,
+    "q58_domain_rebalance" -> domainRebalance _,
+    "q59_pii_redact" -> piiRedact _)
+
+  val oracles: Map[String, String] = Map(
+    "q55_dedup_components" ->
+      s"""WITH RECURSIVE pdocs AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 25 = 0 THEN '$CliqueText' ELSE text END AS text
+         |  FROM documents),
+         |sh AS (
+         |  SELECT doc_id, ${TextPack.shinglesSql} AS sh
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM pdocs)),
+         |sig AS (SELECT doc_id, ${TextPack.sigSql} AS sig FROM sh),
+         |bands AS (
+         |  SELECT doc_id, b,
+         |    b || ':' || array_to_string(sig[b*${TextPack.R}+1:b*${TextPack.R}+${TextPack.R}], ',') AS band_key
+         |  FROM sig CROSS JOIN (SELECT unnest(range(${TextPack.Bands})) AS b)),
+         |lsh AS (
+         |  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+         |  FROM bands a JOIN bands b
+         |    ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |chain AS (
+         |  SELECT a.doc_id AS src, a.doc_id + 10 AS dst
+         |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 10
+         |  WHERE a.doc_id % 10 = 3 AND a.doc_id % 80 != 73),
+         |edges AS (SELECT src, dst FROM lsh UNION SELECT src, dst FROM chain),
+         |sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+         |reach(a, b) AS (
+         |  SELECT src, dst FROM sym
+         |  UNION
+         |  SELECT r.a, s.dst FROM reach r JOIN sym s ON s.src = r.b)
+         |SELECT a AS node, least(a, min(b)) AS comp
+         |FROM reach GROUP BY a ORDER BY node""".stripMargin,
+    "q56_repetition_filter" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |base AS (
+         |  SELECT doc_id, len(toks)::bigint AS n_words,
+         |    len(list_distinct(toks))::bigint AS n_distinct_words
+         |  FROM t),
+         |bg AS (
+         |  SELECT doc_id,
+         |    unnest([array_to_string(toks[i:i+1], ' ')
+         |            for i in range(1, len(toks))]) AS bg
+         |  FROM t WHERE len(toks) >= 2),
+         |bgc AS (SELECT doc_id, bg, count(*)::bigint AS n FROM bg GROUP BY 1, 2),
+         |top AS (
+         |  SELECT doc_id, n AS top_bigram_n, bg AS top_bigram
+         |  FROM (SELECT doc_id, bg, n,
+         |          row_number() OVER (PARTITION BY doc_id
+         |            ORDER BY n DESC, bg ASC) AS rk
+         |        FROM bgc) WHERE rk = 1)
+         |SELECT base.doc_id, n_words, n_distinct_words, top_bigram_n, top_bigram,
+         |  floor($FracScale * (n_words - n_distinct_words) / n_words)::bigint
+         |    AS dup_word_frac_fp,
+         |  floor($FracScale * 2 * top_bigram_n / n_words)::bigint
+         |    AS top_bigram_frac_fp,
+         |  CASE WHEN floor($FracScale * (n_words - n_distinct_words) / n_words)::bigint < $MaxDupWordFp
+         |        AND floor($FracScale * 2 * top_bigram_n / n_words)::bigint < $MaxTopBigramFp
+         |       THEN 1::bigint ELSE 0::bigint END AS keep
+         |FROM base JOIN top ON top.doc_id = base.doc_id
+         |ORDER BY base.doc_id""".stripMargin,
+    "q57_bm25_topk" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |post AS (
+         |  SELECT term, doc_id, count(*)::bigint AS tf
+         |  FROM (SELECT doc_id, unnest(toks) AS term FROM t) GROUP BY 1, 2),
+         |dfv AS (SELECT term, count(*)::bigint AS df FROM post GROUP BY 1),
+         |dl AS (SELECT doc_id, len(toks)::bigint AS dl FROM t),
+         |st AS (SELECT count(*)::bigint AS n_docs, sum(dl)::bigint AS sum_dl FROM dl),
+         |q AS (
+         |  SELECT DISTINCT doc_id AS q_id, term
+         |  FROM (SELECT doc_id, unnest([toks[1], toks[3], toks[5]]) AS term
+         |        FROM t WHERE doc_id % 100 = 0)),
+         |scored AS (
+         |  SELECT q.q_id, post.doc_id,
+         |    floor(floor($FracScale * (2 * st.n_docs - 2 * dfv.df + 1)
+         |                / (2 * dfv.df + 1))
+         |          * post.tf * ${K1Fp + 1000L}
+         |          / (post.tf * 1000
+         |             + floor($K1Fp * (250 + floor($BFp * dl.dl * st.n_docs
+         |                                          / st.sum_dl)) / 1000)))::bigint AS s
+         |  FROM q JOIN post USING (term) JOIN dfv USING (term)
+         |    JOIN dl ON dl.doc_id = post.doc_id CROSS JOIN st),
+         |totals AS (
+         |  SELECT q_id, doc_id, sum(s)::bigint AS score_fp
+         |  FROM scored GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT q_id, doc_id, score_fp,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY score_fp DESC, doc_id ASC)::bigint AS rank
+         |  FROM totals)
+         |SELECT q_id, rank, doc_id, score_fp FROM ranked
+         |WHERE rank <= $Bm25TopK ORDER BY q_id, rank""".stripMargin,
+    "q58_domain_rebalance" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    ('0x' || substr(md5('cap:' || doc_id), 1, 8))::bigint AS h
+        |  FROM documents),
+        |quotas AS (
+        |  SELECT source, count(*)::bigint AS n_source,
+        |    floor(sqrt(count(*)))::bigint AS quota
+        |  FROM d GROUP BY source),
+        |ranked AS (
+        |  SELECT doc_id, source, h,
+        |    row_number() OVER (PARTITION BY source ORDER BY h, doc_id)::bigint
+        |      AS cap_rank
+        |  FROM d)
+        |SELECT doc_id, ranked.source, n_source, quota, h, cap_rank
+        |FROM ranked JOIN quotas ON quotas.source = ranked.source
+        |WHERE cap_rank <= quota ORDER BY doc_id""".stripMargin,
+    "q59_pii_redact" ->
+      s"""WITH planted AS (
+         |  SELECT doc_id, text ||
+         |    CASE WHEN doc_id % 7 = 0
+         |         THEN ' contact user' || doc_id || '@mail.example.com now'
+         |         ELSE '' END ||
+         |    CASE WHEN doc_id % 11 = 0
+         |         THEN ' call +1-555-' || lpad((doc_id % 10000)::varchar, 4, '0')
+         |              || ' today'
+         |         ELSE '' END AS text
+         |  FROM documents),
+         |red AS (
+         |  SELECT doc_id, text,
+         |    regexp_replace(regexp_replace(text,
+         |      '$EmailRe', '<EMAIL>', 'g'), '$PhoneRe', '<PHONE>', 'g') AS redacted
+         |  FROM planted)
+         |SELECT doc_id,
+         |  len(regexp_extract_all(text, '$EmailRe'))::bigint AS n_emails,
+         |  len(regexp_extract_all(text, '$PhoneRe'))::bigint AS n_phones,
+         |  len(redacted)::bigint AS n_chars_redacted,
+         |  md5(redacted) AS redacted_fp
+         |FROM red ORDER BY doc_id""".stripMargin)
+}

@@ -14,8 +14,8 @@ import org.apache.spark.sql.functions._
 object TextPack {
 
   private val K = 16 // minhash functions
-  private val Bands = 4
-  private val R = 4
+  private[queries] val Bands = 4
+  private[queries] val R = 4
 
   def textStats(spark: SparkSession, dir: String): DataFrame = {
     // Count once, derive everything from the materialized ints — the
@@ -379,10 +379,10 @@ object TextPack {
        |    cast($nStopSql AS double) / cast($nTokensSql AS double) * 2.0
        |    + CASE WHEN ($avgWordSql) BETWEEN 3.0 AND 8.0
        |           THEN 0.5 ELSE 0.0 END)""".stripMargin
-  private val shinglesSql =
+  private[queries] val shinglesSql =
     """list_distinct([array_to_string(toks[i:i+2], ' ')
       |               for i in range(1, len(toks) - 1)])""".stripMargin
-  private val sigSql =
+  private[queries] val sigSql =
     s"""[list_min(list_transform(sh, s ->
        |    ((('0x' || substr(md5(s), 1, 8))::bigint * ($aList)[j+1] + ($bList)[j+1]) % $P)))
        |  for j in range($K)]""".stripMargin

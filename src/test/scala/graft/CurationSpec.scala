@@ -1,0 +1,86 @@
+package graft
+
+import graft.ext.GraphOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit semantics for the curation pack's building blocks — the oracle
+  * gates (q55–q59) prove end-to-end parity; these pin the component
+  * contracts on adversarial micro-graphs the fixture corpus can't
+  * plant.
+  */
+class CurationSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def components(edges: Seq[(Long, Long)], maxIters: Int = 20): Map[Long, Long] = {
+    import spark.implicits._
+    Caches.scoped {
+      GraphOps.connectedComponents(edges.toDF("src", "dst"), "src", "dst", maxIters)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+  }
+
+  test("connectedComponents: clique, chain, isolated pair, self-loop") {
+    val clique = for (i <- 10L to 13L; j <- (i + 1) to 13L) yield (i, j)
+    val chain = Seq((20L, 21L), (21L, 22L), (22L, 23L), (23L, 24L))
+    val pair = Seq((30L, 31L))
+    val loop = Seq((40L, 40L))
+    val got = components(clique ++ chain ++ pair ++ loop)
+    assert((10L to 13L).forall(got(_) == 10L))
+    assert((20L to 24L).forall(got(_) == 20L))
+    assert(got(30L) == 30L && got(31L) == 30L)
+    assert(got(40L) == 40L)
+    assert(got.size == 12)
+  }
+
+  test("connectedComponents: min label flows AGAINST edge direction too") {
+    // edges only point high→low reachable via symmetric closure; a
+    // directed implementation would leave 5 labeled 5
+    val got = components(Seq((5L, 9L), (9L, 1L)))
+    assert(got == Map(5L -> 1L, 9L -> 1L, 1L -> 1L))
+  }
+
+  test("connectedComponents: duplicate + reversed edges collapse to one graph") {
+    val got = components(Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("connectedComponents: diameter beyond maxIters fails loudly, not wrongly") {
+    val path = (0L until 12L).map(i => (i, i + 1))
+    val e = intercept[IllegalArgumentException](components(path, maxIters = 3))
+    assert(e.getMessage.contains("did not converge"))
+    assert(components(path).forall(_._2 == 0L)) // default bound converges
+  }
+
+  test("repetition filter: top-bigram tie-break is (count desc, bigram asc)") {
+    // "b c" and "a b" both occur twice — the reported top bigram must be
+    // the lexicographically smaller one, in any partitioning
+    import spark.implicits._
+    val doc = Seq((1L, "a b c a b c x")).toDF("doc_id", "text")
+    val toks = split(col("text"), " ")
+    val bg = doc.select(col("doc_id"),
+      explode(transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", slice(toks, i, lit(2))))).as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"))
+      .agg(min(struct((-col("n")).as("neg"), col("bg"))).as("m"))
+      .select(col("m.bg"), (-col("m.neg")).as("n")).head()
+    assert(bg.getString(0) == "a b" && bg.getLong(1) == 2L)
+  }
+
+  test("q57 fixed-point BM25 scalar: exact closed-form on known inputs") {
+    // one term, df=2, N=4, sum_dl=40, dl=10, tf=3:
+    //   idf_fp   = floor(1e6 * (2*4-2*2+1) / (2*2+1)) = 1_000_000
+    //   norm_fp  = 250 + floor(750*10*4/40)            = 1000
+    //   denom_fp = 3*1000 + floor(1200*1000/1000)      = 4200
+    //   score    = floor(1e6 * 3 * 2200 / 4200)        = 1_571_428
+    import spark.implicits._
+    val row = Seq((3L, 2L, 10L, 4L, 40L)).toDF("tf", "df", "dl", "n_docs", "sum_dl")
+    val idfFp = floor(lit(1000000L) * (lit(2L) * col("n_docs") - lit(2L) * col("df") + 1L)
+      / (lit(2L) * col("df") + 1L)).cast("long")
+    val normFp = lit(250L) + floor(lit(750L) * col("dl") * col("n_docs") / col("sum_dl")).cast("long")
+    val denomFp = col("tf") * 1000L + floor(lit(1200L) * normFp / lit(1000L)).cast("long")
+    val s = row.select(floor(idfFp * col("tf") * lit(2200L) / denomFp).cast("long")).head().getLong(0)
+    assert(s == 1571428L)
+  }
+}
