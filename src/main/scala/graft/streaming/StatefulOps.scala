@@ -20,6 +20,23 @@ object StatefulOps {
   final case class SeenState(firstTs: Long, duplicates: Long)
   final case class FirstSeen[V](key: String, value: V, firstTs: Long)
 
+  /** Watermark-scoped streaming dedup: [[firstSeenDedup]] suppresses a
+    * key FOREVER but its state grows with distinct keys forever too —
+    * untenable on an unbounded 100 TB ingest. This variant bounds state
+    * by time instead: duplicates whose event times fall within `delay`
+    * of each other collapse to the first arrival, and once the
+    * watermark passes a key's last-seen time + `delay` its state is
+    * EVICTED — a later replay of the same key is re-emitted. That is
+    * the correct contract for continuous ingestion where duplicates
+    * are bursty (retries, at-least-once upstreams) rather than eternal:
+    * state size is O(keys per watermark window), not O(keys ever).
+    * Built on Structured Streaming's `dropDuplicatesWithinWatermark`
+    * so eviction rides the engine's state-store watermark machinery.
+    */
+  def dedupWithinWatermark(df: org.apache.spark.sql.DataFrame,
+      keyCols: Seq[String], tsCol: String, delay: String): org.apache.spark.sql.DataFrame =
+    df.withWatermark(tsCol, delay).dropDuplicatesWithinWatermark(keyCols)
+
   /** Cross-batch first-seen dedup: the first row per key (in stream
     * arrival order) is emitted; later rows only bump a duplicate counter
     * in state. The streaming analog of the exact-dedup operator for

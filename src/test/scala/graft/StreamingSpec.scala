@@ -137,6 +137,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dedup within watermark: bursty dups collapse, expired keys re-emit") {
+    import graft.streaming.StatefulOps
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[StreamingSpec.Tick]
+    val deduped = StatefulOps.dedupWithinWatermark(
+      input.toDF(), Seq("symbol"), "ts", "10 minutes")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("wm_dedup").start()
+    try {
+      // burst: A then a retry-duplicate of A one minute later
+      input.addData(tick(0, 0, "A", 1.0, 1), tick(0, 1, "A", 1.0, 2))
+      q.processAllAvailable()
+      // advance the watermark past A's last-seen + 10 min → A's state evicts
+      input.addData(tick(1, 0, "Z", 9.0, 3))
+      q.processAllAvailable()
+      // replay of A AFTER eviction: re-emitted (bounded state, not
+      // firstSeenDedup's forever-suppression)
+      input.addData(tick(1, 5, "A", 2.0, 4))
+      q.processAllAvailable()
+      val got = spark.table("wm_dedup").select("event_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(got == Set(1L, 3L, 4L)) // the in-burst dup (2) is the only drop
+    } finally q.stop()
+  }
+
   test("append-mode OHLC: a row later than the watermark is dropped, bar stays final") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
