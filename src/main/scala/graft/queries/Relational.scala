@@ -324,7 +324,51 @@ object Relational {
       .orderBy(col("purchase_id"))
   }
 
+  private val SessionGapUs = 30L * 60 * 1000000 // 30-minute inactivity gap
+
+  /** q60: gap-based sessionization of the event stream — the canonical
+    * behavioral-analytics window the reference's snapshot model never
+    * needs but any event pipeline does. One window pass per user
+    * (lag → new-session flag → running sum), one aggregate per
+    * session; both shuffles key on user_id, so skew equals user skew.
+    * The (ts, event_id) order is total, making the session numbering
+    * deterministic under equal timestamps.
+    */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val prevTs = lag(col("ts"), 1).over(w)
+    val isNew = when(prevTs.isNull ||
+      unix_micros(col("ts")) - unix_micros(prevTs) > SessionGapUs, 1L)
+      .otherwise(0L)
+    events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .withColumn("new_sess", isNew)
+      .withColumn("session_seq", sum(col("new_sess")).over(w))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(min(unix_micros(col("ts"))).as("session_start_us"),
+        max(unix_micros(col("ts"))).as("session_end_us"),
+        count(lit(1)).as("n_events"),
+        min(col("event_id")).as("first_event_id"))
+      .orderBy(col("user_id"), col("session_seq"))
+  }
+
+  private val QuantilePs = Seq(1, 25, 50, 75, 99)
+
+  /** q61: exact percentiles of lineitem price via the two-pass
+    * distributed prefix sum ([[graft.ext.StatOps.exactQuantiles]]) —
+    * the oracle uses the global cumulative window the engine
+    * deliberately avoids (fine in DuckDB at sf0.01; a one-partition
+    * sort as a Spark plan at 100 TB).
+    */
+  def exactQuantiles(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.StatOps.exactQuantiles(
+      lineitem(spark, dir), "l_extendedprice", QuantilePs)
+      .orderBy(col("p"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q60_sessionize" -> sessionize _,
+    "q61_exact_quantiles" -> exactQuantiles _,
     "q53_asof_join" -> asofPurchaseView _,
     "q01_pricing_summary" -> pricingSummary _,
     "q02_filter_ranges" -> filterRanges _,
@@ -341,6 +385,44 @@ object Relational {
     "q45_output_gate" -> outputGate _)
 
   val oracles: Map[String, String] = Map(
+    "q60_sessionize" ->
+      s"""WITH o AS (
+         |  SELECT user_id, event_id, ts,
+         |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+         |  FROM events),
+         |m AS (
+         |  SELECT user_id, event_id, ts,
+         |    CASE WHEN prev_ts IS NULL
+         |           OR epoch_us(ts) - epoch_us(prev_ts) > ${30L * 60 * 1000000}
+         |         THEN 1 ELSE 0 END AS new_sess
+         |  FROM o),
+         |s AS (
+         |  SELECT user_id, event_id, ts,
+         |    sum(new_sess) OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id)::bigint AS session_seq
+         |  FROM m)
+         |SELECT user_id, session_seq,
+         |  min(epoch_us(ts))::bigint AS session_start_us,
+         |  max(epoch_us(ts))::bigint AS session_end_us,
+         |  count(*)::bigint AS n_events,
+         |  min(event_id)::bigint AS first_event_id
+         |FROM s GROUP BY 1, 2 ORDER BY user_id, session_seq""".stripMargin,
+    // Deliberately different formulation: the global cumulative window
+    // the engine's two-pass prefix sum exists to avoid.
+    "q61_exact_quantiles" ->
+      """WITH c AS (
+        |  SELECT l_extendedprice AS v, count(*)::bigint AS c
+        |  FROM lineitem GROUP BY 1),
+        |o AS (SELECT v, c, sum(c) OVER (ORDER BY v)::bigint AS cum_end FROM c),
+        |n AS (SELECT sum(c)::bigint AS n FROM c),
+        |r AS (
+        |  SELECT p::bigint AS p,
+        |    (floor((n.n - 1) * p / 100) + 1)::bigint AS target_rank
+        |  FROM (SELECT unnest([1, 25, 50, 75, 99]) AS p) CROSS JOIN n)
+        |SELECT r.p, r.target_rank, min(o.v) AS value
+        |FROM r JOIN o
+        |  ON o.cum_end >= r.target_rank AND o.cum_end - o.c < r.target_rank
+        |GROUP BY 1, 2 ORDER BY p""".stripMargin,
     // DuckDB's native ASOF LEFT JOIN (greatest e.ts <= p.ts, inclusive)
     // vs the engine's union+window pass: two independent formulations of
     // the same semantics. The dedup CTE pins equal-timestamp ties to the

@@ -68,6 +68,25 @@ class CurationSpec extends AnyFunSuite {
     assert(bg.getString(0) == "a b" && bg.getLong(1) == 2L)
   }
 
+  test("exactQuantiles: equals sort-and-index truth, partition-invariant") {
+    import spark.implicits._
+    import graft.ext.StatOps
+    // duplicates + negative values + a scrambled insertion order
+    val vals: Seq[Double] = (0 until 500).map(i => ((i * 7919) % 100 - 50).toDouble)
+    val ps = Seq(0, 1, 37, 50, 99, 100)
+    val sortedVals = vals.sorted
+    val expect = ps.map { p =>
+      val rank = (vals.size - 1).toLong * p / 100 + 1
+      (p.toLong, rank, sortedVals((rank - 1).toInt))
+    }.toSet
+    def got(numParts: Int) = Caches.scoped {
+      StatOps.exactQuantiles(vals.toDF("x").repartition(numParts), "x", ps)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    }
+    assert(got(1) == expect)
+    assert(got(13) == expect) // partitioning must not change the answer
+  }
+
   test("q57 fixed-point BM25 scalar: exact closed-form on known inputs") {
     // one term, df=2, N=4, sum_dl=40, dl=10, tf=3:
     //   idf_fp   = floor(1e6 * (2*4-2*2+1) / (2*2+1)) = 1_000_000
