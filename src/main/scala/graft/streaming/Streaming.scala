@@ -114,4 +114,23 @@ object Streaming {
       keyCols: Seq[String] = Seq("symbol")): DataFrame =
     OhlcOps.timeBucketed(ticks.withWatermark("ts", watermark), duration,
       keyCols = keyCols, seqCol = null)
+
+  /** Streaming analog of q60's gap sessionization: `session_window`
+    * merges events within `gap` of each other into one growing window
+    * per key; with a watermark, append mode emits a session only once
+    * it can no longer grow (watermark past last event + gap) — so the
+    * emitted rows are CLOSED sessions, identical to the batch
+    * formulation over the same events. State per key is the set of
+    * open sessions only; closed sessions leave the store on emission.
+    */
+  def sessionStream(events: DataFrame, gap: String, watermark: String,
+      keyCols: Seq[String] = Seq("symbol")): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(keyCols.map(org.apache.spark.sql.functions.col) :+
+        session_window(org.apache.spark.sql.functions.col("ts"), gap): _*)
+      .agg(count(lit(1)).as("n_events"), min(col("event_id")).as("first_event_id"))
+      .select(keyCols.map(org.apache.spark.sql.functions.col) ++ Seq(
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("first_event_id")): _*)
 }

@@ -163,6 +163,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("session windows: stream emits exactly the closed batch sessions") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[StreamingSpec.Tick]
+    val sessions = Streaming.sessionStream(input.toDF(), "30 minutes", "10 minutes")
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sess_stream").start()
+    try {
+      // A: two events 10 min apart (one session), then a 90-min gap (new
+      // session); B: one event. The hour-9 sentinel closes everything.
+      val live = Seq(tick(0, 0, "A", 1.0, 1), tick(0, 5, "B", 5.0, 4),
+        tick(0, 10, "A", 1.1, 2), tick(1, 40, "A", 2.0, 3))
+      live.foreach { t => input.addData(t); q.processAllAvailable() }
+      input.addData(tick(9, 0, "Z", 0.0, 9))
+      q.processAllAvailable()
+      val streamed = spark.table("sess_stream")
+        .orderBy(col("symbol"), col("session_start")).collect().map(_.toSeq).toSeq
+      val batch = Streaming.sessionStream(live.toDF(), "30 minutes", "10 minutes")
+        .orderBy(col("symbol"), col("session_start")).collect().map(_.toSeq).toSeq
+      assert(streamed == batch)
+      assert(streamed.count(_.head == "A") == 2) // the 90-min gap split A
+    } finally q.stop()
+  }
+
   test("append-mode OHLC: a row later than the watermark is dropped, bar stays final") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
