@@ -72,7 +72,88 @@ object GraphOps {
     }
     require(converged, s"connectedComponents did not converge in $maxIters rounds " +
       "(graph diameter exceeds the bound — raise maxIters or switch to " +
-      "the large-star/small-star contraction)")
+      "starComponents, the large-star/small-star contraction)")
     labels
+  }
+
+  /** The deep-diameter scale path: alternating large-star / small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond", 2014). Where [[connectedComponents]] needs
+    * diameter-many rounds (a 10⁶-node path = 10⁶ rounds), this
+    * converges in O(log² n) rounds on ANY graph, because each round
+    * rewires whole neighborhoods at their minimum instead of moving
+    * labels one hop:
+    *
+    *   - large-star(u): every neighbor v > u re-attaches to
+    *     m = min(Γ(u) ∪ {u});
+    *   - small-star(u): every neighbor v ≤ u (they're all smaller once
+    *     edges are oriented big→small) re-attaches to the minimum
+    *     smaller neighbor, and u attaches there too.
+    *
+    * Each half-round is one groupBy-min plus one equi-join on node id —
+    * the same shuffle shape as a label-propagation round, so the win is
+    * purely in ROUND COUNT. At fixpoint the edge set is a star forest:
+    * every edge points (node → component minimum) directly.
+    *
+    * Both phases and the fixpoint test are driver-paced with
+    * localCheckpoint truncation like the Lloyd loop in
+    * [[VectorOps.kmeansCodebook]]; the fixpoint test compares the
+    * canonical (big, small) edge set across rounds with two anti-joins
+    * (empty ⇒ stable), which costs another pair of node-id shuffles —
+    * worth it only when diameter is genuinely unknown; dedup-shaped
+    * graphs should stay on [[connectedComponents]].
+    * GraphSpec proves the two algorithms label-identical on cliques,
+    * deep paths, stars, forests and pseudo-random graphs.
+    */
+  def starComponents(edges: DataFrame, srcCol: String, dstCol: String,
+      maxIters: Int = 50): DataFrame = {
+    val e0 = edges.select(col(srcCol).cast("long").as("u"),
+      col(dstCol).cast("long").as("v"))
+    // isolated self-loop nodes drop out of the contraction (no real
+    // edge); remember every node so the final labeling covers them
+    val nodes = graft.Caches.persisted(
+      e0.select(col("u").as("node"))
+        .union(e0.select(col("v").as("node"))).distinct())
+
+    def canonical(e: DataFrame): DataFrame =
+      e.filter(col("u") =!= col("v"))
+        .select(greatest(col("u"), col("v")).as("u"),
+          least(col("u"), col("v")).as("v"))
+        .distinct()
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+        .filter(col("u") =!= col("v")).distinct()
+      val mins = sym.groupBy(col("u"))
+        .agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      sym.join(mins, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+    }
+
+    def smallStar(e: DataFrame): DataFrame = {
+      val o = canonical(e) // (u, v) with v < u: v is a smaller neighbor
+      val mins = o.groupBy(col("u")).agg(min(col("v")).as("m"))
+      o.join(mins, "u").filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(mins.select(col("u"), col("m").as("v")))
+    }
+
+    var cur = canonical(e0).localCheckpoint(eager = true)
+    var iter = 0
+    var stable = false
+    while (iter < maxIters && !stable) {
+      val next = canonical(smallStar(largeStar(cur))).localCheckpoint(eager = true)
+      val grew = next.join(cur, Seq("u", "v"), "left_anti").isEmpty
+      val shrank = cur.join(next, Seq("u", "v"), "left_anti").isEmpty
+      stable = grew && shrank
+      cur = next
+      iter += 1
+    }
+    require(stable, s"starComponents did not converge in $maxIters rounds")
+    // star forest: (u, v) = (node, component min); minima + isolated
+    // nodes label themselves
+    nodes.join(cur.select(col("u").as("node"), col("v").as("c")), Seq("node"), "left")
+      .select(col("node"), coalesce(col("c"), col("node")).as("comp"))
   }
 }

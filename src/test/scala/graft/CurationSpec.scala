@@ -52,6 +52,41 @@ class CurationSpec extends AnyFunSuite {
     assert(components(path).forall(_._2 == 0L)) // default bound converges
   }
 
+  private def starComponents(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    Caches.scoped {
+      GraphOps.starComponents(edges.toDF("src", "dst"), "src", "dst")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+  }
+
+  test("starComponents ≡ label propagation on cliques, paths, stars, random graphs") {
+    val clique = for (i <- 0L to 9L; j <- (i + 1) to 9L) yield (i, j)
+    val path = (100L until 140L).map(i => (i + 1, i)) // deep chain, reversed edges
+    val star = (200L to 220L).map(i => (210L, i)) // includes a self-loop
+    // deterministic pseudo-random multigraph with dups + self-loops
+    val rand = (0 until 300).map { i =>
+      val h = i * 2654435761L
+      (300L + math.floorMod(h, 97), 300L + math.floorMod(h >> 7, 97))
+    }
+    for (g <- Seq(clique, path, star, rand, clique ++ path ++ star ++ rand)) {
+      assert(starComponents(g) == components(g, maxIters = 60),
+        s"divergence on graph with ${g.size} edges")
+    }
+  }
+
+  test("starComponents: a 40-hop path converges well inside the round bound") {
+    // label propagation needs 40 rounds here; the contraction's round
+    // budget of 12 only closes if neighborhoods rewire super-linearly
+    val path = (0L until 40L).map(i => (i, i + 1))
+    import spark.implicits._
+    val got = Caches.scoped {
+      GraphOps.starComponents(path.toDF("src", "dst"), "src", "dst", maxIters = 12)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    assert(got.size == 41 && got.values.forall(_ == 0L))
+  }
+
   test("repetition filter: top-bigram tie-break is (count desc, bigram asc)") {
     // "b c" and "a b" both occur twice — the reported top bigram must be
     // the lexicographically smaller one, in any partitioning
