@@ -366,7 +366,23 @@ object Relational {
       lineitem(spark, dir), "l_extendedprice", QuantilePs)
       .orderBy(col("p"))
 
+  /** q62: the HLL-shape distinct sketch ([[graft.ext.SketchOps]]) gated
+    * register-for-register: per event_type the full 64-register state
+    * collapses to (nonzero count, zero count, exact-integer harmonic
+    * Z) plus the estimate, joined against the true distinct count the
+    * sketch approximates — so the oracle re-derives the sketch AND the
+    * ground truth it should be within ~13% of (m=64 → ±1.04/√64).
+    */
+  def hllDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir).select(col("event_type"), col("user_id"))
+    val sketch = graft.ext.SketchOps.hllDistinct(ev, Seq("event_type"), "user_id")
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_distinct"))
+    sketch.join(exact, "event_type").orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q62_hll_distinct" -> hllDistinct _,
     "q60_sessionize" -> sessionize _,
     "q61_exact_quantiles" -> exactQuantiles _,
     "q53_asof_join" -> asofPurchaseView _,
@@ -385,6 +401,38 @@ object Relational {
     "q45_output_gate" -> outputGate _)
 
   val oracles: Map[String, String] = Map(
+    "q62_hll_distinct" ->
+      """WITH h AS (
+        |  SELECT event_type,
+        |    ('0x' || substr(md5('hll:' || user_id), 1, 15))::bigint AS h
+        |  FROM events),
+        |obs AS (
+        |  SELECT event_type, h % 64 AS bucket,
+        |    CASE WHEN h // 64 = 0 THEN 55
+        |         ELSE instr(lpad(bin(h // 64), 54, '0'), '1') END AS rho
+        |  FROM h),
+        |regs0 AS (SELECT event_type, bucket, max(rho)::bigint AS r
+        |          FROM obs GROUP BY 1, 2),
+        |frame AS (SELECT DISTINCT event_type, b AS bucket
+        |          FROM h CROSS JOIN (SELECT unnest(range(64)) AS b)),
+        |regs AS (
+        |  SELECT frame.event_type, frame.bucket, coalesce(r, 0)::bigint AS r
+        |  FROM frame LEFT JOIN regs0
+        |    ON regs0.event_type = frame.event_type AND regs0.bucket = frame.bucket),
+        |agg AS (
+        |  SELECT event_type,
+        |    sum(CASE WHEN r > 0 THEN 1 ELSE 0 END)::bigint AS n_nonzero_buckets,
+        |    sum(CASE WHEN r = 0 THEN 1 ELSE 0 END)::bigint AS n_zero_buckets,
+        |    sum(1::bigint << cast(55 - r AS int))::bigint AS z
+        |  FROM regs GROUP BY 1),
+        |ex AS (SELECT event_type, count(DISTINCT user_id)::bigint AS exact_distinct
+        |       FROM events GROUP BY 1)
+        |SELECT agg.event_type, n_nonzero_buckets, n_zero_buckets, z,
+        |  floor(2905575424.0::double * 36028797018963968.0::double
+        |        / 1000000.0::double / z::double)::bigint AS estimate,
+        |  exact_distinct
+        |FROM agg JOIN ex ON ex.event_type = agg.event_type
+        |ORDER BY agg.event_type""".stripMargin,
     "q60_sessionize" ->
       s"""WITH o AS (
          |  SELECT user_id, event_id, ts,

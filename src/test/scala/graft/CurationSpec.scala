@@ -122,6 +122,19 @@ class CurationSpec extends AnyFunSuite {
     assert(got(13) == expect) // partitioning must not change the answer
   }
 
+  test("hll sketch: estimate lands within 2 sigma across cardinality decades") {
+    import spark.implicits._
+    import graft.ext.SketchOps
+    for (n <- Seq(500, 5000, 50000)) {
+      val df = (0 until n).map(i => (1, i * 31L + 7)).toDF("g", "v")
+      val est = Caches.scoped {
+        SketchOps.hllDistinct(df, Seq("g"), "v").head().getAs[Long]("estimate")
+      }
+      val err = math.abs(est - n).toDouble / n
+      assert(err < 0.26, s"n=$n estimate=$est err=$err") // 2 * 1.04/sqrt(64)
+    }
+  }
+
   test("q57 fixed-point BM25 scalar: exact closed-form on known inputs") {
     // one term, df=2, N=4, sum_dl=40, dl=10, tf=3:
     //   idf_fp   = floor(1e6 * (2*4-2*2+1) / (2*2+1)) = 1_000_000
