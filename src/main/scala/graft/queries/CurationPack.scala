@@ -227,6 +227,30 @@ object CurationPack {
       .orderBy(col("doc_id"))
   }
 
+  // ---------------------------------------------------------------- q64
+
+  /** q64: incremental corpus refresh — diff two snapshots and emit only
+    * moved keys ([[graft.ext.DiffOps.snapshotDiff]]). The second
+    * snapshot is a deterministic evolution of the first, planted the
+    * same way in both engines: every 13th doc edited, every 17th
+    * dropped, every 19th doc spawning a new id — so all three status
+    * branches (and the removed-beats-changed precedence on ids
+    * divisible by both 13 and 17) are exercised and hash-gated.
+    */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+    val v1 = base.select(col("doc_id"), md5(col("text")).as("fp"))
+    val v2 = base.filter(col("doc_id") % 17 =!= 0)
+      .select(col("doc_id"),
+        md5(when(col("doc_id") % 13 === 0, concat(col("text"), lit(" [rev2]")))
+          .otherwise(col("text"))).as("fp"))
+      .union(base.filter(col("doc_id") % 19 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          md5(concat(lit("new:"), col("text"))).as("fp")))
+    graft.ext.DiffOps.snapshotDiff(v1, v2, "doc_id", "fp")
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -234,9 +258,27 @@ object CurationPack {
     "q56_repetition_filter" -> repetitionFilter _,
     "q57_bm25_topk" -> bm25TopK _,
     "q58_domain_rebalance" -> domainRebalance _,
-    "q59_pii_redact" -> piiRedact _)
+    "q59_pii_redact" -> piiRedact _,
+    "q64_snapshot_diff" -> snapshotDiff _)
 
   val oracles: Map[String, String] = Map(
+    "q64_snapshot_diff" ->
+      """WITH v1 AS (SELECT doc_id, md5(text) AS fp FROM documents),
+        |v2 AS (
+        |  SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 13 = 0 THEN text || ' [rev2]'
+        |             ELSE text END) AS fp
+        |  FROM documents WHERE doc_id % 17 != 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, md5('new:' || text) AS fp
+        |  FROM documents WHERE doc_id % 19 = 0)
+        |SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+        |  CASE WHEN v1.fp IS NULL THEN 'added'
+        |       WHEN v2.fp IS NULL THEN 'removed'
+        |       ELSE 'changed' END AS status
+        |FROM v1 FULL OUTER JOIN v2 ON v2.doc_id = v1.doc_id
+        |WHERE v1.fp IS NULL OR v2.fp IS NULL OR v1.fp != v2.fp
+        |ORDER BY doc_id""".stripMargin,
     "q55_dedup_components" ->
       s"""WITH RECURSIVE pdocs AS (
          |  SELECT doc_id,

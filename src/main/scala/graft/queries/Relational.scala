@@ -325,6 +325,7 @@ object Relational {
   }
 
   private val SessionGapUs = 30L * 60 * 1000000 // 30-minute inactivity gap
+  private val AttributionUs = 6L * 3600 * 1000000 // q63 post-view window
 
   /** q60: gap-based sessionization of the event stream — the canonical
     * behavioral-analytics window the reference's snapshot model never
@@ -334,15 +335,14 @@ object Relational {
     * The (ts, event_id) order is total, making the session numbering
     * deterministic under equal timestamps.
     */
-  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+  private def sessionsOf(ev: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts").asc, col("event_id").asc)
     val prevTs = lag(col("ts"), 1).over(w)
     val isNew = when(prevTs.isNull ||
       unix_micros(col("ts")) - unix_micros(prevTs) > SessionGapUs, 1L)
       .otherwise(0L)
-    events(spark, dir)
-      .select(col("user_id"), col("event_id"), col("ts"))
+    ev.select(col("user_id"), col("event_id"), col("ts"))
       .withColumn("new_sess", isNew)
       .withColumn("session_seq", sum(col("new_sess")).over(w))
       .groupBy(col("user_id"), col("session_seq"))
@@ -350,7 +350,35 @@ object Relational {
         max(unix_micros(col("ts"))).as("session_end_us"),
         count(lit(1)).as("n_events"),
         min(col("event_id")).as("first_event_id"))
+  }
+
+  def sessionize(spark: SparkSession, dir: String): DataFrame =
+    sessionsOf(events(spark, dir))
       .orderBy(col("user_id"), col("session_seq"))
+
+  /** q63: attribution as a point-in-interval join — purchases landing
+    * inside a view-session of the same user, via the bucketized
+    * equi-join ([[graft.operators.IntervalJoin]]) instead of the
+    * per-key-quadratic BETWEEN theta-join the oracle deliberately runs.
+    */
+  def intervalAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    // attribution window = the session plus 6 h after the last view
+    // ("bought within 6 h of browsing") — 6 one-hour buckets per
+    // interval, so the bucket replication path actually exercises
+    val sessions = sessionsOf(ev.filter(col("event_type") === "view"))
+      .select(col("user_id"), col("session_start_us"),
+        (col("session_end_us") + AttributionUs).as("session_end_us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        unix_micros(col("ts")).as("purchase_ts_us"))
+    graft.operators.IntervalJoin.pointInInterval(
+        purchases, sessions, "purchase_ts_us",
+        "session_start_us", "session_end_us",
+        keyCols = Seq("user_id"), bucketWidth = 3600000000L) // 1 h ≈ session scale
+      .select(col("purchase_id"), col("user_id"), col("purchase_ts_us"),
+        col("session_start_us"), col("session_end_us"))
+      .orderBy(col("purchase_id"))
   }
 
   private val QuantilePs = Seq(1, 25, 50, 75, 99)
@@ -382,6 +410,7 @@ object Relational {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q63_interval_join" -> intervalAttribution _,
     "q62_hll_distinct" -> hllDistinct _,
     "q60_sessionize" -> sessionize _,
     "q61_exact_quantiles" -> exactQuantiles _,
@@ -401,6 +430,40 @@ object Relational {
     "q45_output_gate" -> outputGate _)
 
   val oracles: Map[String, String] = Map(
+    // Deliberately the BETWEEN theta-join the engine's bucketized
+    // equi-join avoids.
+    "q63_interval_join" ->
+      s"""WITH v AS (
+         |  SELECT user_id, event_id, ts FROM events WHERE event_type = 'view'),
+         |o AS (
+         |  SELECT user_id, event_id, ts,
+         |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+         |  FROM v),
+         |m AS (
+         |  SELECT user_id, event_id, ts,
+         |    CASE WHEN prev_ts IS NULL
+         |           OR epoch_us(ts) - epoch_us(prev_ts) > ${30L * 60 * 1000000}
+         |         THEN 1 ELSE 0 END AS new_sess
+         |  FROM o),
+         |s AS (
+         |  SELECT user_id, ts,
+         |    sum(new_sess) OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id)::bigint AS session_seq
+         |  FROM m),
+         |sess AS (
+         |  SELECT user_id, session_seq,
+         |    min(epoch_us(ts))::bigint AS session_start_us,
+         |    max(epoch_us(ts))::bigint + ${6L * 3600 * 1000000} AS session_end_us
+         |  FROM s GROUP BY 1, 2),
+         |p AS (
+         |  SELECT user_id, event_id AS purchase_id,
+         |    epoch_us(ts)::bigint AS purchase_ts_us
+         |  FROM events WHERE event_type = 'purchase')
+         |SELECT p.purchase_id, p.user_id, p.purchase_ts_us,
+         |  sess.session_start_us, sess.session_end_us
+         |FROM p JOIN sess ON sess.user_id = p.user_id
+         |  AND p.purchase_ts_us BETWEEN sess.session_start_us AND sess.session_end_us
+         |ORDER BY purchase_id""".stripMargin,
     "q62_hll_distinct" ->
       """WITH h AS (
         |  SELECT event_type,

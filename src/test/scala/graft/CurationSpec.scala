@@ -122,6 +122,22 @@ class CurationSpec extends AnyFunSuite {
     assert(got(13) == expect) // partitioning must not change the answer
   }
 
+  test("interval join: inclusive bounds, bucket straddling, misses drop") {
+    import spark.implicits._
+    import graft.operators.IntervalJoin
+    // bucketWidth 10: interval [5, 27] covers buckets 0,1,2
+    val iv = Seq((1L, 5L, 27L), (2L, 40L, 41L)).toDF("k", "s", "e")
+    val pts = Seq(
+      (1L, 5L, "start-edge"), (1L, 27L, "end-edge"), (1L, 15L, "mid"),
+      (1L, 28L, "past-end"), (1L, 4L, "before"), (2L, 15L, "wrong-key"),
+      (2L, 40L, "k2-in")).toDF("k", "t", "tag")
+    val got = Caches.scoped {
+      IntervalJoin.pointInInterval(pts, iv, "t", "s", "e", Seq("k"), 10L)
+        .select("tag").collect().map(_.getString(0)).toSet
+    }
+    assert(got == Set("start-edge", "end-edge", "mid", "k2-in"))
+  }
+
   test("hll sketch: estimate lands within 2 sigma across cardinality decades") {
     import spark.implicits._
     import graft.ext.SketchOps
