@@ -61,9 +61,13 @@ object GraphOps {
       // neighbor labels: edge (src,dst) contributes label(src) to dst
       val nbr = sym.join(labels.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"), col("comp"))
+      // lazy checkpoint: the convergence count below is the round's ONE
+      // action — it materializes the checkpoint AND counts changed
+      // labels in the same job (an eager checkpoint would pay a second
+      // full pass per round)
       val next = nbr.union(labels)
         .groupBy(col("node")).agg(min(col("comp")).as("comp"))
-        .localCheckpoint(eager = true)
+        .localCheckpoint(eager = false)
       val changed = next.join(labels.withColumnRenamed("comp", "prev"), "node")
         .filter(col("comp") =!= col("prev")).count()
       labels = next

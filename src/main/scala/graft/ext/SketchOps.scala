@@ -57,6 +57,42 @@ object SketchOps {
       .withColumn("r", coalesce(col("r"), lit(0L)))
   }
 
+  // ---------------------------------------------------------- count-min
+
+  val CmsDepth = 4
+  val CmsWidth = 256
+
+  /** Count-min sketch (Cormode & Muthukrishnan 2005) counters over a
+    * value column: d×w integer counters, one per (row, hash bucket).
+    * Fully mergeable (counters add) and deterministic (md5-derived row
+    * hashes, pure integer sums) — the frequency-estimation sibling of
+    * the HLL registers above: heavy-hitter tracking over 100 TB in
+    * d·w = 1024 longs per group instead of a full frequency table.
+    * Point estimates ([[cmsEstimate]]) take the min over the d rows and
+    * are never below the true count; collisions only inflate.
+    */
+  def cmsCounters(df: DataFrame, valueCol: String): DataFrame = {
+    val hashes = array((0 until CmsDepth).map { i =>
+      TextOps.hash32(concat(lit(s"cms$i:"), col(valueCol).cast("string"))) % CmsWidth
+    }: _*)
+    df.select(posexplode(hashes).as(Seq("i", "j")))
+      .groupBy(col("i"), col("j")).agg(count(lit(1)).as("c"))
+  }
+
+  /** Point-query the sketch for each item: min over the d counters the
+    * item hashes to. `items` must have `valueCol`; other columns pass
+    * through.
+    */
+  def cmsEstimate(counters: DataFrame, items: DataFrame, valueCol: String): DataFrame = {
+    val hashes = array((0 until CmsDepth).map { i =>
+      TextOps.hash32(concat(lit(s"cms$i:"), col(valueCol).cast("string"))) % CmsWidth
+    }: _*)
+    val probes = items.select(col("*"), posexplode(hashes).as(Seq("i", "j")))
+    probes.join(broadcast(counters), Seq("i", "j"))
+      .groupBy(items.columns.map(col).toSeq: _*)
+      .agg(min(col("c")).as("cms_estimate"))
+  }
+
   /** Per group: register checksum + the cardinality estimate.
     * Columns: groupCols*, n_nonzero_buckets, n_zero_buckets, z, estimate.
     */

@@ -251,6 +251,26 @@ object CurationPack {
       .orderBy(col("doc_id"))
   }
 
+  // ---------------------------------------------------------------- q65
+
+  /** q65: count-min heavy hitters — the frequency sketch
+    * ([[graft.ext.SketchOps.cmsCounters]]) point-queried for the
+    * corpus's 20 most frequent tokens, alongside their exact counts.
+    * The oracle rebuilds the identical d×w counter matrix in SQL, so
+    * the gate pins the full sketch state (any counter diverging shifts
+    * some min), the estimate math, and the ≥-exact overestimate
+    * property on real data.
+    */
+  def cmsHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val toks = graft.Caches.persisted(Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("token")))
+    val counters = graft.ext.SketchOps.cmsCounters(toks, "token")
+    val top = toks.groupBy(col("token")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token")).limit(20)
+    graft.ext.SketchOps.cmsEstimate(counters, top, "token")
+      .orderBy(col("freq").desc, col("token"))
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -259,9 +279,28 @@ object CurationPack {
     "q57_bm25_topk" -> bm25TopK _,
     "q58_domain_rebalance" -> domainRebalance _,
     "q59_pii_redact" -> piiRedact _,
-    "q64_snapshot_diff" -> snapshotDiff _)
+    "q64_snapshot_diff" -> snapshotDiff _,
+    "q65_cms_heavy_hitters" -> cmsHeavyHitters _)
 
   val oracles: Map[String, String] = Map(
+    "q65_cms_heavy_hitters" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |h AS (
+        |  SELECT token, i,
+        |    ('0x' || substr(md5('cms' || i || ':' || token), 1, 8))::bigint % 256 AS j
+        |  FROM tok CROSS JOIN (SELECT unnest(range(4)) AS i)),
+        |counters AS (SELECT i, j, count(*)::bigint AS c FROM h GROUP BY 1, 2),
+        |top AS (
+        |  SELECT token, count(*)::bigint AS freq FROM tok
+        |  GROUP BY 1 ORDER BY freq DESC, token LIMIT 20),
+        |probes AS (
+        |  SELECT t.token, t.freq, i2 AS i,
+        |    ('0x' || substr(md5('cms' || i2 || ':' || t.token), 1, 8))::bigint % 256 AS j
+        |  FROM top t CROSS JOIN (SELECT unnest(range(4)) AS i2))
+        |SELECT p.token, p.freq, min(c.c) AS cms_estimate
+        |FROM probes p JOIN counters c ON c.i = p.i AND c.j = p.j
+        |GROUP BY 1, 2 ORDER BY freq DESC, token""".stripMargin,
     "q64_snapshot_diff" ->
       """WITH v1 AS (SELECT doc_id, md5(text) AS fp FROM documents),
         |v2 AS (

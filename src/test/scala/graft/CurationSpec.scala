@@ -151,6 +151,27 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("count-min: never underestimates, and split-merge equals one-shot") {
+    import spark.implicits._
+    import graft.ext.SketchOps
+    val vals = (0 until 2000).map(i => s"v${i % 97}")
+    val df = vals.toDF("v")
+    Caches.scoped {
+      val exact = vals.groupBy(identity).map { case (k, g) => k -> g.size.toLong }
+      val items = exact.keys.toSeq.toDF("v")
+      val est = SketchOps.cmsEstimate(SketchOps.cmsCounters(df, "v"), items, "v")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(exact.forall { case (k, n) => est(k) >= n }) // CMS guarantee
+      // mergeability: counters from two halves, summed, == one-shot
+      val (a, b) = vals.splitAt(900)
+      val merged = SketchOps.cmsCounters(a.toDF("v"), "v")
+        .union(SketchOps.cmsCounters(b.toDF("v"), "v"))
+        .groupBy("i", "j").agg(sum("c").as("c"))
+      val whole = SketchOps.cmsCounters(df, "v")
+      assert(merged.except(whole).isEmpty && whole.except(merged).isEmpty)
+    }
+  }
+
   test("q57 fixed-point BM25 scalar: exact closed-form on known inputs") {
     // one term, df=2, N=4, sum_dl=40, dl=10, tf=3:
     //   idf_fp   = floor(1e6 * (2*4-2*2+1) / (2*2+1)) = 1_000_000
