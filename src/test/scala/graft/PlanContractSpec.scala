@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.execution.exchange.BroadcastExchangeLike
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.execution.window.WindowGroupLimitExec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan contracts for the curation-pack operators: the scale
+  * claims in SCALE.md asserted against `executedPlan`, so a regression
+  * that silently degrades a broadcast to a shuffle or an equi-join to a
+  * nested loop fails CI, not a 100 TB run. (Same technique as
+  * BucketingSpec's zero-shuffle assertion.)
+  */
+class PlanContractSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def executed(q: String) = {
+    val df = SparkEntry.queries(q)(spark, dir)
+    df.collect() // AQE finalizes the plan only after execution
+    df.queryExecution.executedPlan
+  }
+
+  test("q57 BM25: small sides broadcast, top-k runs as WindowGroupLimit") {
+    Caches.scoped {
+      val plan = executed("q57_bm25_topk")
+      assert(collect(plan) { case b: BroadcastExchangeLike => b }.nonEmpty,
+        s"query/stats sides must broadcast:\n$plan")
+      assert(collect(plan) { case w: WindowGroupLimitExec => w }.nonEmpty,
+        s"rank <= k must push down as WindowGroupLimit:\n$plan")
+      assert(collect(plan) { case c: CartesianProductExec => c }.isEmpty,
+        s"no cartesian product allowed:\n$plan")
+    }
+  }
+
+  test("q63 interval join: pure equi-join — no nested loop, no cartesian") {
+    Caches.scoped {
+      val plan = executed("q63_interval_join")
+      assert(collect(plan) { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+        s"bucketized interval join must not plan a nested loop:\n$plan")
+      assert(collect(plan) { case c: CartesianProductExec => c }.isEmpty,
+        s"no cartesian product allowed:\n$plan")
+    }
+  }
+
+  test("q62 HLL: the only broadcast is the 64-bucket frame") {
+    Caches.scoped {
+      val plan = executed("q62_hll_distinct")
+      assert(collect(plan) { case c: CartesianProductExec => c }.isEmpty,
+        s"register frame must broadcast, not cross-join:\n$plan")
+    }
+  }
+}
