@@ -271,6 +271,78 @@ object CurationPack {
       .orderBy(col("freq").desc, col("token"))
   }
 
+  // ---------------------------------------------------------------- q66
+
+  private val LmThresholdFp = 30000L // keep docs averaging >= 3% transition prob
+
+  /** q66: language-model quality scoring, the perplexity-filter analog
+    * (CCNet/RefinedWeb gate docs on a KenLM score): train corpus
+    * bigram/unigram counts, then score each doc by its mean transition
+    * probability Σ floor(1e6·c(w1 w2)/c(w1)) / n_bigrams — the
+    * log-free exact-integer surrogate (same monotone-scoring contract
+    * as q57's idf). Two corpus-count shuffles (unigram, bigram) + one
+    * join of per-doc bigram occurrences against the bigram table;
+    * at 100 TB the count tables are vocabulary-sized, far below
+    * corpus-sized, and combine map-side.
+    */
+  def bigramLikelihood(spark: SparkSession, dir: String): DataFrame = {
+    val t = graft.Caches.persisted(Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks")))
+    val bigrams = graft.Caches.persisted(t.select(col("doc_id"),
+      explode(transform(sequence(lit(1), size(col("toks")) - 1),
+        i => struct(element_at(col("toks"), i).as("w1"),
+          concat_ws(" ", slice(col("toks"), i, lit(2))).as("bg")))).as("p"))
+      .select(col("doc_id"), col("p.w1"), col("p.bg")))
+    val uni = t.select(explode(col("toks")).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("cu"))
+    val bi = bigrams.groupBy(col("bg")).agg(count(lit(1)).as("cb"))
+    val scored = bigrams.join(bi, "bg").join(uni, "w1")
+      .withColumn("p_fp", floor(lit(FracScale) * col("cb") / col("cu")).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("p_fp")).as("sum_p_fp"))
+    scored
+      .withColumn("score_fp",
+        floor(col("sum_p_fp") / col("n_bigrams")).cast("long"))
+      .withColumn("keep",
+        when(col("score_fp") >= LmThresholdFp, lit(1L)).otherwise(lit(0L)))
+      .select(col("doc_id"), col("n_bigrams"), col("sum_p_fp"),
+        col("score_fp"), col("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---------------------------------------------------------------- q67
+
+  private val LeakPhrase = "leak alpha bravo charlie delta echo foxtrot golf"
+
+  /** q67: test-set decontamination — the curation stage that keeps
+    * benchmark text out of the training corpus: take the 8-gram shingle
+    * set of a benchmark subset (`doc_id % 101 == 0`) and flag every
+    * other doc sharing ANY 8-gram. Contamination is planted
+    * deterministically (an 8-token phrase appended to benchmark docs
+    * AND to `doc_id % 11` docs) so the gate has guaranteed hits; the
+    * natural corpus contributes whatever real overlaps exist,
+    * identically in both engines. Shape: distinct shingles both sides,
+    * one equi-join on the shingle, per-doc count — the benchmark side
+    * is vocabulary-sized and semi-join-shaped, never a broadcast of
+    * raw text.
+    */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val planted = graft.Caches.persisted(Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        when(col("doc_id") % 101 === 0 || col("doc_id") % 11 === 0,
+          concat(col("text"), lit(" " + LeakPhrase)))
+          .otherwise(col("text")).as("text")))
+    def shingled(df: DataFrame) = df.select(col("doc_id"),
+      explode(TextOps.wordShingles(col("text"), 8)).as("sh"))
+    val bench = shingled(planted.filter(col("doc_id") % 101 === 0))
+      .select(col("sh")).distinct()
+    val candidates = shingled(planted.filter(col("doc_id") % 101 =!= 0))
+    candidates.join(bench, "sh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_overlapping_shingles"))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -280,9 +352,49 @@ object CurationPack {
     "q58_domain_rebalance" -> domainRebalance _,
     "q59_pii_redact" -> piiRedact _,
     "q64_snapshot_diff" -> snapshotDiff _,
-    "q65_cms_heavy_hitters" -> cmsHeavyHitters _)
+    "q65_cms_heavy_hitters" -> cmsHeavyHitters _,
+    "q66_bigram_likelihood" -> bigramLikelihood _,
+    "q67_decontaminate" -> decontaminate _)
 
   val oracles: Map[String, String] = Map(
+    "q66_bigram_likelihood" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |bg AS (
+         |  SELECT doc_id,
+         |    unnest([toks[i] for i in range(1, len(toks))]) AS w1,
+         |    unnest([array_to_string(toks[i:i+1], ' ')
+         |            for i in range(1, len(toks))]) AS bg
+         |  FROM t WHERE len(toks) >= 2),
+         |uni AS (
+         |  SELECT w1, count(*)::bigint AS cu
+         |  FROM (SELECT unnest(toks) AS w1 FROM t) GROUP BY 1),
+         |bi AS (SELECT bg, count(*)::bigint AS cb FROM bg GROUP BY 1),
+         |sc AS (
+         |  SELECT doc_id, count(*)::bigint AS n_bigrams,
+         |    sum(floor($FracScale * cb / cu))::bigint AS sum_p_fp
+         |  FROM bg JOIN bi USING (bg) JOIN uni USING (w1)
+         |  GROUP BY 1)
+         |SELECT doc_id, n_bigrams, sum_p_fp,
+         |  floor(sum_p_fp / n_bigrams)::bigint AS score_fp,
+         |  CASE WHEN floor(sum_p_fp / n_bigrams)::bigint >= $LmThresholdFp
+         |       THEN 1::bigint ELSE 0::bigint END AS keep
+         |FROM sc ORDER BY doc_id""".stripMargin,
+    "q67_decontaminate" ->
+      s"""WITH planted AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 101 = 0 OR doc_id % 11 = 0
+         |         THEN text || ' $LeakPhrase' ELSE text END AS text
+         |  FROM documents),
+         |shing AS (
+         |  SELECT doc_id,
+         |    unnest(list_distinct([array_to_string(toks[i:i+7], ' ')
+         |                          for i in range(1, len(toks) - 6)])) AS sh
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM planted)),
+         |bench AS (SELECT DISTINCT sh FROM shing WHERE doc_id % 101 = 0),
+         |cand AS (SELECT doc_id, sh FROM shing WHERE doc_id % 101 != 0)
+         |SELECT doc_id, count(*)::bigint AS n_overlapping_shingles
+         |FROM cand JOIN bench USING (sh)
+         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "q65_cms_heavy_hitters" ->
       """WITH tok AS (
         |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
