@@ -10,8 +10,11 @@ import org.apache.spark.sql.functions._
   * the near-dup primitives (TextPack) and an actual 100 TB pretraining
   * corpus build: pair→group component collapse (q55), repetition
   * quality gates (q56), lexical retrieval over an inverted-postings
-  * layout (q57), sublinear domain rebalancing (q58), and a PII
-  * redaction pass (q59). The reference scrapes and formats market rows
+  * layout (q57), sublinear domain rebalancing (q58), a PII redaction
+  * pass (q59), snapshot CDC diff (q64), count-min heavy hitters (q65),
+  * LM-likelihood quality scoring (q66), benchmark decontamination
+  * (q67), and the whole thing composed as ONE gated corpus build
+  * (q68). The reference scrapes and formats market rows
   * (`/root/reference/dexscraper/dexscraper/scraper.py`); none of these
   * stages exist there — they are the brief's "operations a large-scale
   * training-data pipeline would need", built Spark-first.
@@ -343,6 +346,71 @@ object CurationPack {
       .orderBy(col("doc_id"))
   }
 
+  // ---------------------------------------------------------------- q68
+
+  /** q68: the corpus BUILD — every curation stage composed into one
+    * plan over the natural corpus (no planting): exact dedup keeps the
+    * min doc per md5; near-dup components over the banded LSH pairs
+    * keep only each component's min member (pair→group, q55's operator
+    * on real data); the repetition (q56) and LM-likelihood (q66) gates
+    * apply; docs `% 101 == 0` are held out as the eval split and every
+    * training doc sharing an 8-gram with them is decontaminated away
+    * (q67); finally each source keeps its floor(sqrt(n)) hash-ranked
+    * quota (q58) — counted AFTER the content gates so caps reflect the
+    * surviving distribution. One pass per stage, every join keyed —
+    * the plan a 100 TB corpus build would actually run, and the single
+    * hash gate that proves all the stage interfaces line up.
+    */
+  def corpusBuild(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Caches.persisted(Tables.documents(spark, dir))
+
+    // exact + near-dup survivors (keep = my id is the group/component min)
+    val exactKeep = docs.groupBy(md5(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
+    val comps = GraphOps.connectedComponents(
+      TextPack.lshCandidatePairsFrom(docs)
+        .select(col("doc1").as("src"), col("doc2").as("dst")),
+      "src", "dst")
+    val nearDupDrop = comps.filter(col("node") =!= col("comp"))
+      .select(col("node").as("doc_id"))
+
+    // content gates (reuse the q56/q66 formulations, natural corpus)
+    val repKeep = repetitionFilter(spark, dir)
+      .filter(col("keep") === 1L).select(col("doc_id"))
+    val lmKeep = bigramLikelihood(spark, dir)
+      .filter(col("keep") === 1L).select(col("doc_id"))
+
+    // eval holdout + decontamination (natural 8-gram overlap only)
+    val shingled = docs.select(col("doc_id"),
+      explode(TextOps.wordShingles(col("text"), 8)).as("sh"))
+    val benchSh = shingled.filter(col("doc_id") % 101 === 0)
+      .select(col("sh")).distinct()
+    val contaminated = shingled.filter(col("doc_id") % 101 =!= 0)
+      .join(benchSh, "sh").select(col("doc_id")).distinct()
+
+    val gated = docs
+      .filter(col("doc_id") % 101 =!= 0)
+      .join(exactKeep, "doc_id", "left_semi")
+      .join(nearDupDrop, Seq("doc_id"), "left_anti")
+      .join(repKeep, "doc_id", "left_semi")
+      .join(lmKeep, "doc_id", "left_semi")
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("source"),
+        TextOps.tokenCount(col("text")).as("n_tokens"),
+        TextOps.hash32(concat(lit("cap:"), col("doc_id").cast("string"))).as("h"))
+
+    val quotas = gated.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_source"))
+      .withColumn("quota", floor(sqrt(col("n_source"))).cast("long"))
+    val w = Window.partitionBy(col("source")).orderBy(col("h").asc, col("doc_id").asc)
+    gated.withColumn("cap_rank", row_number().over(w).cast("long"))
+      .join(quotas, "source")
+      .filter(col("cap_rank") <= col("quota"))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("cap_rank"),
+        col("quota"))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -354,9 +422,94 @@ object CurationPack {
     "q64_snapshot_diff" -> snapshotDiff _,
     "q65_cms_heavy_hitters" -> cmsHeavyHitters _,
     "q66_bigram_likelihood" -> bigramLikelihood _,
-    "q67_decontaminate" -> decontaminate _)
+    "q67_decontaminate" -> decontaminate _,
+    "q68_corpus_build" -> corpusBuild _)
 
   val oracles: Map[String, String] = Map(
+    "q68_corpus_build" ->
+      s"""WITH RECURSIVE
+         |sh AS (
+         |  SELECT doc_id, ${TextPack.shinglesSql} AS sh
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+         |sig AS (SELECT doc_id, ${TextPack.sigSql} AS sig FROM sh),
+         |bands AS (
+         |  SELECT doc_id, b,
+         |    b || ':' || array_to_string(sig[b*${TextPack.R}+1:b*${TextPack.R}+${TextPack.R}], ',') AS band_key
+         |  FROM sig CROSS JOIN (SELECT unnest(range(${TextPack.Bands})) AS b)),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS src, b2.doc_id AS dst
+         |  FROM bands a JOIN bands b2
+         |    ON a.band_key = b2.band_key AND a.doc_id < b2.doc_id),
+         |sym AS (SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT src, dst FROM sym
+         |  UNION
+         |  SELECT r.a, s.dst FROM reach r JOIN sym s ON s.src = r.b),
+         |neardrop AS (
+         |  SELECT a AS doc_id FROM reach GROUP BY a HAVING min(b) < a),
+         |exactkeep AS (
+         |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |base AS (
+         |  SELECT doc_id, len(toks)::bigint AS n_words,
+         |    len(list_distinct(toks))::bigint AS n_distinct_words
+         |  FROM t),
+         |bgr AS (
+         |  SELECT doc_id,
+         |    unnest([toks[i] for i in range(1, len(toks))]) AS w1,
+         |    unnest([array_to_string(toks[i:i+1], ' ')
+         |            for i in range(1, len(toks))]) AS bg
+         |  FROM t WHERE len(toks) >= 2),
+         |topb AS (
+         |  SELECT doc_id, max(n) AS top_n
+         |  FROM (SELECT doc_id, bg, count(*)::bigint AS n FROM bgr GROUP BY 1, 2)
+         |  GROUP BY 1),
+         |repkeep AS (
+         |  SELECT base.doc_id FROM base JOIN topb ON topb.doc_id = base.doc_id
+         |  WHERE floor($FracScale * (n_words - n_distinct_words) / n_words)::bigint
+         |          < $MaxDupWordFp
+         |    AND floor($FracScale * 2 * top_n / n_words)::bigint < $MaxTopBigramFp),
+         |uni AS (
+         |  SELECT w1, count(*)::bigint AS cu
+         |  FROM (SELECT unnest(toks) AS w1 FROM t) GROUP BY 1),
+         |bi AS (SELECT bg, count(*)::bigint AS cb FROM bgr GROUP BY 1),
+         |lm AS (
+         |  SELECT doc_id, count(*)::bigint AS nb,
+         |    sum(floor($FracScale * cb / cu))::bigint AS sp
+         |  FROM bgr JOIN bi USING (bg) JOIN uni USING (w1) GROUP BY 1),
+         |lmkeep AS (SELECT doc_id FROM lm WHERE floor(sp / nb)::bigint >= $LmThresholdFp),
+         |sh8 AS (
+         |  SELECT doc_id,
+         |    unnest(list_distinct([array_to_string(toks[i:i+7], ' ')
+         |                          for i in range(1, len(toks) - 6)])) AS s8
+         |  FROM t),
+         |bench AS (SELECT DISTINCT s8 FROM sh8 WHERE doc_id % 101 = 0),
+         |contam AS (
+         |  SELECT DISTINCT doc_id FROM sh8 JOIN bench USING (s8)
+         |  WHERE doc_id % 101 != 0),
+         |gated AS (
+         |  SELECT d.doc_id, d.source,
+         |    len(d.text) - len(replace(d.text, ' ', '')) + 1 AS n_tokens,
+         |    ('0x' || substr(md5('cap:' || d.doc_id), 1, 8))::bigint AS h
+         |  FROM documents d
+         |  WHERE d.doc_id % 101 != 0
+         |    AND d.doc_id IN (SELECT doc_id FROM exactkeep)
+         |    AND d.doc_id NOT IN (SELECT doc_id FROM neardrop)
+         |    AND d.doc_id IN (SELECT doc_id FROM repkeep)
+         |    AND d.doc_id IN (SELECT doc_id FROM lmkeep)
+         |    AND d.doc_id NOT IN (SELECT doc_id FROM contam)),
+         |quotas AS (
+         |  SELECT source, count(*)::bigint AS n_source,
+         |    floor(sqrt(count(*)))::bigint AS quota
+         |  FROM gated GROUP BY 1),
+         |ranked AS (
+         |  SELECT doc_id, source, n_tokens, h,
+         |    row_number() OVER (PARTITION BY source ORDER BY h, doc_id)::bigint
+         |      AS cap_rank
+         |  FROM gated)
+         |SELECT r.doc_id, r.source, r.n_tokens, cap_rank, quota
+         |FROM ranked r JOIN quotas q ON q.source = r.source
+         |WHERE cap_rank <= q.quota ORDER BY r.doc_id""".stripMargin,
     "q66_bigram_likelihood" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
          |bg AS (
