@@ -35,9 +35,9 @@ object SketchOps {
   val M = 64 // registers per group (b = 6 bucket bits)
   val WBits = 54 // payload bits: 60-bit hash minus 6 bucket bits
   val RhoEmpty = WBits + 1 // rho when the payload is all zeros
-  // alpha_64 = 0.7213/(1 + 1.079/64), in ppm, times m^2 — kept as two
-  // exact-in-double literals so the oracle can repeat the same text
-  val AlphaM2Num = 709369.0 * M * M // ppm * 4096
+  // alpha_64 = 0.7213/(1 + 1.079/64) = 0.709341 — in ppm, times m^2;
+  // kept as exact-in-double literals so the oracle repeats the same text
+  val AlphaM2Num = 709341.0 * M * M // ppm * 4096 = 2905460736
   val Pow55 = (1L << 55).toDouble
 
   /** (groupCols*, bucket, r) — ALL m buckets per group, missing = 0. */
@@ -51,7 +51,10 @@ object SketchOps {
       .withColumn("rho", rho)
       .groupBy(groupCols.map(col) :+ col("bucket"): _*)
       .agg(max(col("rho")).as("r"))
-    val frame = df.select(groupCols.map(col): _*).distinct()
+    // every group with any row appears in `observed`, so derive the
+    // all-buckets frame from the register-sized aggregate — NOT from a
+    // second full scan of the input
+    val frame = observed.select(groupCols.map(col): _*).distinct()
       .crossJoin(broadcast(df.sparkSession.range(M).select(col("id").as("bucket"))))
     frame.join(observed, groupCols :+ "bucket", "left")
       .withColumn("r", coalesce(col("r"), lit(0L)))
@@ -88,7 +91,11 @@ object SketchOps {
       TextOps.hash32(concat(lit(s"cms$i:"), col(valueCol).cast("string"))) % CmsWidth
     }: _*)
     val probes = items.select(col("*"), posexplode(hashes).as(Seq("i", "j")))
-    probes.join(broadcast(counters), Seq("i", "j"))
+    // LEFT join + coalesce 0: a probe hashing to a never-incremented
+    // cell must contribute counter 0 (CMS estimate of an unseen item is
+    // 0), not silently drop out of the min
+    probes.join(broadcast(counters), Seq("i", "j"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
       .groupBy(items.columns.map(col).toSeq: _*)
       .agg(min(col("c")).as("cms_estimate"))
   }

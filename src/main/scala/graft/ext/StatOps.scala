@@ -36,8 +36,11 @@ object StatOps {
     import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
     require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 100), s"bad percentiles $ps")
     val spark = df.sparkSession
+    // nulls carry no rank — drop them up front (SQL quantile semantics);
+    // without this the null group NPEs inside the prefix-sum pass
     val sorted = graft.Caches.persisted(
-      df.groupBy(col(valueCol).cast("double").as("v"))
+      df.filter(col(valueCol).isNotNull)
+        .groupBy(col(valueCol).cast("double").as("v"))
         .agg(count(lit(1)).as("c"))
         .repartitionByRange(numParts, col("v"))
         .sortWithinPartitions("v"))

@@ -76,18 +76,29 @@ object CurationPack {
     * top bigram is (count desc, bigram asc) via a single min(struct)
     * aggregate — no window over the bigram counts.
     */
-  def repetitionFilter(spark: SparkSession, dir: String): DataFrame = {
-    val t = Tables.documents(spark, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+  /** Counting bigram rows (NOT distinct — TextOps.wordShingles dedups,
+    * a repetition score must not), guarded like wordShingles: a
+    * 0/1-token doc yields no rows instead of a descending
+    * sequence(1, 0) blowing up slice() at runtime.
+    */
+  private def bigramRows(t: DataFrame): DataFrame =
+    t.select(col("doc_id"),
+      explode(when(size(col("toks")) >= 2,
+        transform(sequence(lit(1), size(col("toks")) - 1),
+          i => struct(element_at(col("toks"), i).as("w1"),
+            concat_ws(" ", slice(col("toks"), i, lit(2))).as("bg"))))
+        .otherwise(array().cast("array<struct<w1:string,bg:string>>"))).as("p"))
+      .select(col("doc_id"), col("p.w1"), col("p.bg"))
+
+  def repetitionFilter(spark: SparkSession, dir: String): DataFrame =
+    repetitionFilterFrom(Tables.documents(spark, dir))
+
+  private[graft] def repetitionFilterFrom(docs: DataFrame): DataFrame = {
+    val t = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
     val base = t.select(col("doc_id"),
       size(col("toks")).cast("long").as("n_words"),
       size(array_distinct(col("toks"))).cast("long").as("n_distinct_words"))
-    // Counting bigrams (NOT distinct — TextOps.wordShingles dedups, a
-    // repetition score must not), exploded then counted map-side.
-    val bigrams = t.select(col("doc_id"),
-      explode(transform(sequence(lit(1), size(col("toks")) - 1),
-        i => concat_ws(" ", slice(col("toks"), i, lit(2))))).as("bg"))
-    val top = bigrams.groupBy(col("doc_id"), col("bg"))
+    val top = bigramRows(t).groupBy(col("doc_id"), col("bg"))
       .agg(count(lit(1)).as("n"))
       .groupBy(col("doc_id"))
       .agg(min(struct((-col("n")).as("neg"), col("bg"))).as("m"))
@@ -179,20 +190,27 @@ object CurationPack {
     * [[graft.ext.TextOps.stratifiedSample]]'s contract, with a
     * per-group DERIVED quota instead of q51's fixed one.
     */
-  def domainRebalance(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("source"),
-      TextOps.hash32(concat(lit("cap:"), col("doc_id").cast("string"))).as("h"))
-    val quotas = docs.groupBy(col("source"))
+  /** sqrt-quota cap, the ONE definition q58 and q68 share: input needs
+    * (doc_id, source); adds h, n_source, quota, cap_rank and keeps only
+    * rows with cap_rank <= quota.
+    */
+  private def sqrtQuotaCap(docs: DataFrame): DataFrame = {
+    val hashed = docs.withColumn("h",
+      TextOps.hash32(concat(lit("cap:"), col("doc_id").cast("string"))))
+    val quotas = hashed.groupBy(col("source"))
       .agg(count(lit(1)).as("n_source"))
       .withColumn("quota", floor(sqrt(col("n_source"))).cast("long"))
     val w = Window.partitionBy(col("source")).orderBy(col("h").asc, col("doc_id").asc)
-    docs.withColumn("cap_rank", row_number().over(w).cast("long"))
+    hashed.withColumn("cap_rank", row_number().over(w).cast("long"))
       .join(quotas, "source")
       .filter(col("cap_rank") <= col("quota"))
+  }
+
+  def domainRebalance(spark: SparkSession, dir: String): DataFrame =
+    sqrtQuotaCap(Tables.documents(spark, dir).select(col("doc_id"), col("source")))
       .select(col("doc_id"), col("source"), col("n_source"), col("quota"),
         col("h"), col("cap_rank"))
       .orderBy(col("doc_id"))
-  }
 
   // ---------------------------------------------------------------- q59
 
@@ -288,14 +306,13 @@ object CurationPack {
     * at 100 TB the count tables are vocabulary-sized, far below
     * corpus-sized, and combine map-side.
     */
-  def bigramLikelihood(spark: SparkSession, dir: String): DataFrame = {
-    val t = graft.Caches.persisted(Tables.documents(spark, dir)
+  def bigramLikelihood(spark: SparkSession, dir: String): DataFrame =
+    bigramLikelihoodFrom(Tables.documents(spark, dir))
+
+  private[graft] def bigramLikelihoodFrom(docs: DataFrame): DataFrame = {
+    val t = graft.Caches.persisted(docs
       .select(col("doc_id"), split(col("text"), " ").as("toks")))
-    val bigrams = graft.Caches.persisted(t.select(col("doc_id"),
-      explode(transform(sequence(lit(1), size(col("toks")) - 1),
-        i => struct(element_at(col("toks"), i).as("w1"),
-          concat_ws(" ", slice(col("toks"), i, lit(2))).as("bg")))).as("p"))
-      .select(col("doc_id"), col("p.w1"), col("p.bg")))
+    val bigrams = graft.Caches.persisted(bigramRows(t))
     val uni = t.select(explode(col("toks")).as("w1"))
       .groupBy(col("w1")).agg(count(lit(1)).as("cu"))
     val bi = bigrams.groupBy(col("bg")).agg(count(lit(1)).as("cb"))
@@ -329,18 +346,25 @@ object CurationPack {
     * is vocabulary-sized and semi-join-shaped, never a broadcast of
     * raw text.
     */
+  /** (doc_id, sh) distinct-8-gram rows of candidates overlapping the
+    * `doc_id % 101 == 0` benchmark split — shared by q67 and q68 so the
+    * shingle width and bench predicate have one definition.
+    */
+  private def benchOverlaps(docs: DataFrame): DataFrame = {
+    val shingled = docs.select(col("doc_id"),
+      explode(TextOps.wordShingles(col("text"), 8)).as("sh"))
+    val bench = shingled.filter(col("doc_id") % 101 === 0)
+      .select(col("sh")).distinct()
+    shingled.filter(col("doc_id") % 101 =!= 0).join(bench, "sh")
+  }
+
   def decontaminate(spark: SparkSession, dir: String): DataFrame = {
     val planted = graft.Caches.persisted(Tables.documents(spark, dir)
       .select(col("doc_id"),
         when(col("doc_id") % 101 === 0 || col("doc_id") % 11 === 0,
           concat(col("text"), lit(" " + LeakPhrase)))
           .otherwise(col("text")).as("text")))
-    def shingled(df: DataFrame) = df.select(col("doc_id"),
-      explode(TextOps.wordShingles(col("text"), 8)).as("sh"))
-    val bench = shingled(planted.filter(col("doc_id") % 101 === 0))
-      .select(col("sh")).distinct()
-    val candidates = shingled(planted.filter(col("doc_id") % 101 =!= 0))
-    candidates.join(bench, "sh")
+    benchOverlaps(planted)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_overlapping_shingles"))
       .orderBy(col("doc_id"))
@@ -374,19 +398,15 @@ object CurationPack {
     val nearDupDrop = comps.filter(col("node") =!= col("comp"))
       .select(col("node").as("doc_id"))
 
-    // content gates (reuse the q56/q66 formulations, natural corpus)
-    val repKeep = repetitionFilter(spark, dir)
+    // content gates: the SAME code paths the individual q56/q66 gates
+    // verify, fed the one persisted docs relation
+    val repKeep = repetitionFilterFrom(docs)
       .filter(col("keep") === 1L).select(col("doc_id"))
-    val lmKeep = bigramLikelihood(spark, dir)
+    val lmKeep = bigramLikelihoodFrom(docs)
       .filter(col("keep") === 1L).select(col("doc_id"))
 
     // eval holdout + decontamination (natural 8-gram overlap only)
-    val shingled = docs.select(col("doc_id"),
-      explode(TextOps.wordShingles(col("text"), 8)).as("sh"))
-    val benchSh = shingled.filter(col("doc_id") % 101 === 0)
-      .select(col("sh")).distinct()
-    val contaminated = shingled.filter(col("doc_id") % 101 =!= 0)
-      .join(benchSh, "sh").select(col("doc_id")).distinct()
+    val contaminated = benchOverlaps(docs).select(col("doc_id")).distinct()
 
     val gated = docs
       .filter(col("doc_id") % 101 =!= 0)
@@ -396,16 +416,9 @@ object CurationPack {
       .join(lmKeep, "doc_id", "left_semi")
       .join(contaminated, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("source"),
-        TextOps.tokenCount(col("text")).as("n_tokens"),
-        TextOps.hash32(concat(lit("cap:"), col("doc_id").cast("string"))).as("h"))
+        TextOps.tokenCount(col("text")).as("n_tokens"))
 
-    val quotas = gated.groupBy(col("source"))
-      .agg(count(lit(1)).as("n_source"))
-      .withColumn("quota", floor(sqrt(col("n_source"))).cast("long"))
-    val w = Window.partitionBy(col("source")).orderBy(col("h").asc, col("doc_id").asc)
-    gated.withColumn("cap_rank", row_number().over(w).cast("long"))
-      .join(quotas, "source")
-      .filter(col("cap_rank") <= col("quota"))
+    sqrtQuotaCap(gated)
       .select(col("doc_id"), col("source"), col("n_tokens"), col("cap_rank"),
         col("quota"))
       .orderBy(col("doc_id"))

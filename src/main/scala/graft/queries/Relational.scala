@@ -491,7 +491,7 @@ object Relational {
         |ex AS (SELECT event_type, count(DISTINCT user_id)::bigint AS exact_distinct
         |       FROM events GROUP BY 1)
         |SELECT agg.event_type, n_nonzero_buckets, n_zero_buckets, z,
-        |  floor(2905575424.0::double * 36028797018963968.0::double
+        |  floor(2905460736.0::double * 36028797018963968.0::double
         |        / 1000000.0::double / z::double)::bigint AS estimate,
         |  exact_distinct
         |FROM agg JOIN ex ON ex.event_type = agg.event_type

@@ -169,6 +169,25 @@ class CurationSpec extends AnyFunSuite {
         .groupBy("i", "j").agg(sum("c").as("c"))
       val whole = SketchOps.cmsCounters(df, "v")
       assert(merged.except(whole).isEmpty && whole.except(merged).isEmpty)
+      // unseen item probing empty cells: estimate must be 0, and the
+      // row must not drop out of the result
+      val sparse = SketchOps.cmsCounters(Seq("only").toDF("v"), "v")
+      val unseen = SketchOps.cmsEstimate(sparse, Seq("never-inserted").toDF("v"), "v")
+        .collect()
+      assert(unseen.length == 1 && unseen.head.getLong(1) == 0L)
+    }
+  }
+
+  test("repetition/LM gates survive 0- and 1-token documents") {
+    import spark.implicits._
+    import graft.queries.CurationPack
+    val docs = Seq((1L, "single"), (2L, ""), (3L, "two words here")).toDF("doc_id", "text")
+    Caches.scoped {
+      // no bigrams → dropped from both gates, NOT a slice() crash
+      assert(CurationPack.repetitionFilterFrom(docs)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(3L))
+      assert(CurationPack.bigramLikelihoodFrom(docs)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(3L))
     }
   }
 
