@@ -156,8 +156,12 @@ object GraphOps {
     }
     require(stable, s"starComponents did not converge in $maxIters rounds")
     // star forest: (u, v) = (node, component min); minima + isolated
-    // nodes label themselves
-    nodes.join(cur.select(col("u").as("node"), col("v").as("c")), Seq("node"), "left")
+    // nodes label themselves. The groupBy-min is defensive: at a true
+    // fixpoint each leaf has exactly one parent, and collapsing keeps
+    // the left join from ever fanning out a row if that invariant is
+    // violated by a future edit.
+    val parents = cur.groupBy(col("u").as("node")).agg(min(col("v")).as("c"))
+    nodes.join(parents, Seq("node"), "left")
       .select(col("node"), coalesce(col("c"), col("node")).as("comp"))
   }
 }
