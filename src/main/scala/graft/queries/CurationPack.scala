@@ -424,6 +424,44 @@ object CurationPack {
       .orderBy(col("doc_id"))
   }
 
+  // ---------------------------------------------------------------- q69
+
+  private val MixBudgetTokens = 20000L
+
+  /** q69: the mixture DRAW — the step after q58's cap decides
+    * proportions: a global token budget B is split across sources
+    * proportionally to their sqrt share
+    * (`budget_s = floor(B · sqrt_s / Σ sqrt_t)`, all exact integers),
+    * then each source admits docs in deterministic salted-hash order
+    * while its running token total stays within budget. This is how a
+    * pretraining mixture is actually materialized: budgets in TOKENS
+    * (the unit training consumes), not doc counts, and a draw that is
+    * reproducible and order-independent. Two windows per source
+    * (rank + running sum) and one broadcast of the per-source budget
+    * table; B is fixture-independent so the gate binds at every SF.
+    */
+  def mixtureDraw(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("source"),
+      TextOps.tokenCount(col("text")).as("n_tokens"),
+      TextOps.hash32(concat(lit("mix:"), col("doc_id").cast("string"))).as("h"))
+    val sqrts = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_source"))
+      .withColumn("s", floor(sqrt(col("n_source"))).cast("long"))
+    val totalS = sqrts.agg(sum(col("s")).as("sum_s"))
+    val budgets = sqrts.crossJoin(broadcast(totalS))
+      .withColumn("budget_tokens",
+        floor(lit(MixBudgetTokens) * col("s") / col("sum_s")).cast("long"))
+      .select(col("source"), col("budget_tokens"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("h").asc, col("doc_id").asc)
+    docs.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .join(broadcast(budgets), "source")
+      .filter(col("cum_tokens") <= col("budget_tokens"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("cum_tokens"), col("budget_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -436,9 +474,33 @@ object CurationPack {
     "q65_cms_heavy_hitters" -> cmsHeavyHitters _,
     "q66_bigram_likelihood" -> bigramLikelihood _,
     "q67_decontaminate" -> decontaminate _,
-    "q68_corpus_build" -> corpusBuild _)
+    "q68_corpus_build" -> corpusBuild _,
+    "q69_mixture_draw" -> mixtureDraw _)
 
   val oracles: Map[String, String] = Map(
+    "q69_mixture_draw" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, source,
+         |    len(text) - len(replace(text, ' ', '')) + 1 AS n_tokens,
+         |    ('0x' || substr(md5('mix:' || doc_id), 1, 8))::bigint AS h
+         |  FROM documents),
+         |sq AS (
+         |  SELECT source, count(*)::bigint AS n_source,
+         |    floor(sqrt(count(*)))::bigint AS s
+         |  FROM d GROUP BY 1),
+         |ts AS (SELECT sum(s)::bigint AS sum_s FROM sq),
+         |budgets AS (
+         |  SELECT source,
+         |    floor($MixBudgetTokens * s / ts.sum_s)::bigint AS budget_tokens
+         |  FROM sq CROSS JOIN ts),
+         |r AS (
+         |  SELECT doc_id, source, n_tokens, h,
+         |    sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id)::bigint
+         |      AS cum_tokens
+         |  FROM d)
+         |SELECT doc_id, r.source, n_tokens, cum_tokens, budget_tokens
+         |FROM r JOIN budgets ON budgets.source = r.source
+         |WHERE cum_tokens <= budget_tokens ORDER BY doc_id""".stripMargin,
     "q68_corpus_build" ->
       s"""WITH RECURSIVE
          |sh AS (

@@ -163,6 +163,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming corpus ingest: gate + cross-batch fingerprint dedup equals batch") {
+    import graft.streaming.StatefulOps
+    import graft.streaming.StatefulOps.Keyed
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    // quality gate (stateless) BEFORE the stateful exact dedup — the
+    // incremental form of the q68 front half: docs stream in, only
+    // first-seen fingerprints that pass the gate join the corpus
+    val docs = input.toDF().toDF("doc_id", "text")
+    val keyed = docs.filter(size(split(col("text"), " ")) >= 3)
+      .select(md5(col("text")).as("key"), col("doc_id").as("ts"),
+        col("doc_id").as("value")).as[Keyed[Long]]
+    val q = StatefulOps.firstSeenDedup(keyed).writeStream
+      .format("memory").queryName("corpus_ingest").outputMode("append").start()
+    try {
+      input.addData((1L, "alpha beta gamma"), (2L, "too short"),
+        (3L, "alpha beta gamma")) // in-batch duplicate
+      q.processAllAvailable()
+      input.addData((4L, "alpha beta gamma"), // cross-batch duplicate
+        (5L, "delta epsilon zeta eta"))
+      q.processAllAvailable()
+      input.addData((6L, "delta epsilon zeta eta")) // dup of batch 2
+      q.processAllAvailable()
+      val streamed = spark.table("corpus_ingest")
+        .select("value").collect().map(_.getLong(0)).toSet
+      // batch truth over the same rows: gate, then min doc_id per md5
+      val all = Seq((1L, "alpha beta gamma"), (2L, "too short"),
+        (3L, "alpha beta gamma"), (4L, "alpha beta gamma"),
+        (5L, "delta epsilon zeta eta"), (6L, "delta epsilon zeta eta"))
+      val batch = all.toDF("doc_id", "text")
+        .filter(size(split(col("text"), " ")) >= 3)
+        .groupBy(md5(col("text"))).agg(min(col("doc_id")).as("keep"))
+        .select("keep").collect().map(_.getLong(0)).toSet
+      assert(streamed == batch && streamed == Set(1L, 5L))
+    } finally q.stop()
+  }
+
   test("session windows: stream emits exactly the closed batch sessions") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
