@@ -69,7 +69,18 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val firstRunTotal = results.map(_._3).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","repeats":$repeats,"first_run_total":$firstRunTotal}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","repeats":$repeats,"first_run_total":$firstRunTotal}"""
+    println(json)
+    // Also write the artifact to a file: stdout capture has truncated a
+    // round's per-query tail before; the file is never capture-limited.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json")
+    try {
+      val p = java.nio.file.Paths.get(outPath)
+      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.writeString(p, json + "\n")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

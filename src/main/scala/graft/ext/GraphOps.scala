@@ -37,6 +37,17 @@ import org.apache.spark.sql.functions._
   */
 object GraphOps {
 
+  /** Release a prior round's localCheckpoint blocks: the checkpoint
+    * lives as a persisted internal RDD behind a `LogicalRDD` leaf, and
+    * `Dataset.unpersist` does not reach it — without this, block-manager
+    * storage grows linearly with rounds (harmless at dedup diameters,
+    * wasteful on the deep graphs starComponents is advertised for).
+    */
+  private def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.logical.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }.foreach(_.unpersist(blocking = false))
+
   /** @param edges two integral columns `srcCol`/`dstCol`, undirected
     *              (one direction suffices; the symmetric closure is
     *              built internally), self-loops and duplicates fine
@@ -57,6 +68,9 @@ object GraphOps {
       .localCheckpoint(eager = true)
     var iter = 0
     var converged = false
+    // per-round changed-label counts: convergence observability for a
+    // 100 TB run (and the evidence in the failure message below)
+    val changedPerRound = scala.collection.mutable.ArrayBuffer.empty[Long]
     while (iter < maxIters && !converged) {
       // neighbor labels: edge (src,dst) contributes label(src) to dst
       val nbr = sym.join(labels.withColumnRenamed("node", "src"), "src")
@@ -70,12 +84,15 @@ object GraphOps {
         .localCheckpoint(eager = false)
       val changed = next.join(labels.withColumnRenamed("comp", "prev"), "node")
         .filter(col("comp") =!= col("prev")).count()
+      changedPerRound += changed
+      unpersistCheckpoint(labels) // next is materialized; free the old round
       labels = next
       converged = changed == 0
       iter += 1
     }
     require(converged, s"connectedComponents did not converge in $maxIters rounds " +
-      "(graph diameter exceeds the bound — raise maxIters or switch to " +
+      s"(changed labels per round: ${changedPerRound.mkString(", ")} — " +
+      "graph diameter exceeds the bound; raise maxIters or switch to " +
       "starComponents, the large-star/small-star contraction)")
     labels
   }
@@ -106,7 +123,7 @@ object GraphOps {
     * (empty ⇒ stable), which costs another pair of node-id shuffles —
     * worth it only when diameter is genuinely unknown; dedup-shaped
     * graphs should stay on [[connectedComponents]].
-    * GraphSpec proves the two algorithms label-identical on cliques,
+    * CurationSpec proves the two algorithms label-identical on cliques,
     * deep paths, stars, forests and pseudo-random graphs.
     */
   def starComponents(edges: DataFrame, srcCol: String, dstCol: String,
@@ -151,6 +168,7 @@ object GraphOps {
       val grew = next.join(cur, Seq("u", "v"), "left_anti").isEmpty
       val shrank = cur.join(next, Seq("u", "v"), "left_anti").isEmpty
       stable = grew && shrank
+      unpersistCheckpoint(cur) // fixpoint test done; free the old round
       cur = next
       iter += 1
     }

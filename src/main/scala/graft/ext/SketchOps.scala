@@ -90,14 +90,18 @@ object SketchOps {
     val hashes = array((0 until CmsDepth).map { i =>
       TextOps.hash32(concat(lit(s"cms$i:"), col(valueCol).cast("string"))) % CmsWidth
     }: _*)
-    val probes = items.select(col("*"), posexplode(hashes).as(Seq("i", "j")))
+    // collision-safe internal names: a caller's items frame may already
+    // carry i/j/c columns, and duplicate names would break the groupBy
+    val probes = items.select(col("*"), posexplode(hashes).as(Seq("__cms_i", "__cms_j")))
+    val ctr = counters.select(col("i").as("__cms_i"), col("j").as("__cms_j"),
+      col("c").as("__cms_c"))
     // LEFT join + coalesce 0: a probe hashing to a never-incremented
     // cell must contribute counter 0 (CMS estimate of an unseen item is
     // 0), not silently drop out of the min
-    probes.join(broadcast(counters), Seq("i", "j"), "left")
-      .withColumn("c", coalesce(col("c"), lit(0L)))
+    probes.join(broadcast(ctr), Seq("__cms_i", "__cms_j"), "left")
+      .withColumn("__cms_c", coalesce(col("__cms_c"), lit(0L)))
       .groupBy(items.columns.map(col).toSeq: _*)
-      .agg(min(col("c")).as("cms_estimate"))
+      .agg(min(col("__cms_c")).as("cms_estimate"))
   }
 
   /** Per group: register checksum + the cardinality estimate.

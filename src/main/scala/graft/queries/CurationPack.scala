@@ -137,8 +137,15 @@ object CurationPack {
     * integer math across engines (the established pack-wide contract;
     * swapping `ln` in is a one-line change where approximate-replay
     * oracles are acceptable). tf normalization is standard BM25:
-    * `tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))`, all at fixed point:
-    * products stay < 2^53 so the doubles are exact. Scale shape: the
+    * `tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))`, all at fixed point.
+    * Numeric contract: `idf_fp·tf·2200` is exact in INT64 (wrap-free
+    * while `N·tf·2.2e9 < 2^63`); with df=1 and large N it can exceed
+    * 2^53, where the final floor(x/denom) divides the SAME int64
+    * converted to double in both engines — correctly-rounded IEEE on
+    * identical inputs — so cross-engine parity holds even past 2^53.
+    * Past the int64 bound Spark's non-ANSI long multiply would wrap
+    * silently while DuckDB errors; that range is out of contract.
+    * Scale shape: the
     * postings/df join shuffles on term (both sides partition by term),
     * doc-length join on doc_id, corpus stats is a 1-row broadcast, and
     * the top-k is a per-query window over candidate rows only.
@@ -257,16 +264,22 @@ object CurationPack {
     * dropped, every 19th doc spawning a new id — so all three status
     * branches (and the removed-beats-changed precedence on ids
     * divisible by both 13 and 17) are exercised and hash-gated.
+    * New ids sit at a DERIVED offset `1000000·(1 + max(doc_id) div 1e6)`
+    * — always above every real doc_id, so a fixture past 1M docs can
+    * never collide planted ids with real ones (it equals the historic
+    * constant 1000000 at every current fixture, keeping hashes stable).
     */
   def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.documents(spark, dir)
+    val off = base.agg(max(col("doc_id")).as("mx"))
+      .select((lit(1000000L) * (lit(1L) + expr("mx div 1000000"))).as("off"))
     val v1 = base.select(col("doc_id"), md5(col("text")).as("fp"))
     val v2 = base.filter(col("doc_id") % 17 =!= 0)
       .select(col("doc_id"),
         md5(when(col("doc_id") % 13 === 0, concat(col("text"), lit(" [rev2]")))
           .otherwise(col("text"))).as("fp"))
-      .union(base.filter(col("doc_id") % 19 === 0)
-        .select((col("doc_id") + 1000000L).as("doc_id"),
+      .union(base.filter(col("doc_id") % 19 === 0).crossJoin(broadcast(off))
+        .select((col("doc_id") + col("off")).as("doc_id"),
           md5(concat(lit("new:"), col("text"))).as("fp")))
     graft.ext.DiffOps.snapshotDiff(v1, v2, "doc_id", "fp")
       .orderBy(col("doc_id"))
@@ -638,8 +651,8 @@ object CurationPack {
         |  SELECT t.token, t.freq, i2 AS i,
         |    ('0x' || substr(md5('cms' || i2 || ':' || t.token), 1, 8))::bigint % 256 AS j
         |  FROM top t CROSS JOIN (SELECT unnest(range(4)) AS i2))
-        |SELECT p.token, p.freq, min(c.c) AS cms_estimate
-        |FROM probes p JOIN counters c ON c.i = p.i AND c.j = p.j
+        |SELECT p.token, p.freq, min(coalesce(c.c, 0)) AS cms_estimate
+        |FROM probes p LEFT JOIN counters c ON c.i = p.i AND c.j = p.j
         |GROUP BY 1, 2 ORDER BY freq DESC, token""".stripMargin,
     "q64_snapshot_diff" ->
       """WITH v1 AS (SELECT doc_id, md5(text) AS fp FROM documents),
@@ -649,7 +662,9 @@ object CurationPack {
         |             ELSE text END) AS fp
         |  FROM documents WHERE doc_id % 17 != 0
         |  UNION ALL
-        |  SELECT doc_id + 1000000 AS doc_id, md5('new:' || text) AS fp
+        |  SELECT doc_id + (SELECT 1000000 * (1 + max(doc_id) // 1000000)
+        |                   FROM documents) AS doc_id,
+        |    md5('new:' || text) AS fp
         |  FROM documents WHERE doc_id % 19 = 0)
         |SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
         |  CASE WHEN v1.fp IS NULL THEN 'added'
