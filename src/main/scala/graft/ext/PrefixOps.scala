@@ -1,0 +1,127 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Scale-safe per-group rank and running sum — the window replacement
+  * for the curation pack's domain caps and mixture draws.
+  *
+  * `row_number().over(Window.partitionBy(g).orderBy(...))` (and the
+  * running-sum variant) hashes ALL rows of a group to ONE task and
+  * sorts them there. A real pretraining corpus has a handful of
+  * sources with one dominant — a web crawl at 60–80% of rows — so that
+  * window is a single-task serialization point: tens of TB through one
+  * core at 100 TB. This operator computes the identical numbers with
+  * the two-pass range-partitioned prefix-sum shape proven in
+  * [[TextOps.packOffsets]] and [[StatOps.exactQuantiles]], generalized
+  * to (group, order...) keys with arbitrary passthrough columns:
+  *
+  *   1. range-partition by (group, order...) and sort within
+  *      partitions by the same keys — a group larger than one
+  *      partition spans CONSECUTIVE partitions, each holding a
+  *      contiguous slice of the group's global order; parallelism is
+  *      numParts regardless of group skew;
+  *   2. reduce each partition to one (count, sum) subtotal PER GROUP
+  *      SLICE — at most (numParts + #groups) tiny tuples reach the
+  *      driver (each group appears in at most one partial slice per
+  *      partition, and slices are contiguous), never data;
+  *   3. broadcast the per-(partition, group) prefix bases back and
+  *      stream each partition once, resuming each group's rank/sum
+  *      from its base.
+  *
+  * Determinism: range-partition boundaries come from sampling and vary
+  * run to run, but any boundary split of a totally-ordered sequence
+  * yields identical prefix sums — output is independent of the split
+  * AND of numParts (PropertySpec proves both). `orderCols` must be a
+  * total order within each group (tie-break on a unique id) for the
+  * rank to be well-defined — the same contract `row_number` needs for
+  * deterministic output.
+  *
+  * RDD justification (brief: "RDDs only for genuine per-partition
+  * imperative logic"): a running aggregate resuming from a
+  * per-partition base is exactly that; no Catalyst expression or
+  * non-degenerate window expresses it.
+  */
+object PrefixOps {
+
+  /** Appends `rankName` (1-based per-group rank in `orderCols` order)
+    * and, when `sumCol` is set, `sumName` (per-group INCLUSIVE running
+    * sum of `sumCol`, which must be a non-null integral column).
+    *
+    * @param numParts range partitions; <= 0 means the session's
+    *                 spark.sql.shuffle.partitions
+    */
+  def groupedRunningAgg(df: DataFrame, groupCol: String,
+      orderCols: Seq[String], sumCol: Option[String] = None,
+      numParts: Int = 0, rankName: String = "rank",
+      sumName: String = "running_sum"): DataFrame = {
+    val spark = df.sparkSession
+    val parts =
+      if (numParts > 0) numParts
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val keys = (groupCol +: orderCols).map(col)
+    val sorted = graft.Caches.persisted(
+      df.repartitionByRange(parts, keys: _*)
+        .sortWithinPartitions(keys: _*))
+    val schema = sorted.schema
+    val gIdx = schema.fieldIndex(groupCol)
+    val sumIdx = sumCol.map(schema.fieldIndex).getOrElse(-1)
+
+    // pass 1: one (count, sum) subtotal per contiguous group slice
+    val perSlice = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Any, Long, Long)]
+      var cur: Any = null
+      var started = false
+      var c = 0L
+      var s = 0L
+      it.foreach { r =>
+        val g = r.get(gIdx)
+        if (started && g != cur) { out += ((pid, cur, c, s)); c = 0L; s = 0L }
+        cur = g
+        started = true
+        c += 1L
+        if (sumIdx >= 0) s += r.getLong(sumIdx)
+      }
+      if (started) out += ((pid, cur, c, s))
+      out.iterator
+    }.collect()
+
+    // driver: per-(partition, group) bases = totals over earlier slices
+    val totals = scala.collection.mutable.Map.empty[Any, (Long, Long)]
+    val bases = perSlice.sortBy(_._1).map { case (pid, g, c, s) =>
+      val (tb, ts) = totals.getOrElse(g, (0L, 0L))
+      totals(g) = (tb + c, ts + s)
+      ((pid, g), (tb, ts))
+    }.toMap
+    val bBases = spark.sparkContext.broadcast(bases)
+
+    // pass 2: stream each partition, resuming each group from its base
+    val rows = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var cur: Any = null
+      var started = false
+      var rank = 0L
+      var cum = 0L
+      it.map { r =>
+        val g = r.get(gIdx)
+        if (!started || g != cur) {
+          val (rb, sb) = bBases.value((pid, g))
+          rank = rb
+          cum = sb
+          cur = g
+          started = true
+        }
+        rank += 1L
+        if (sumIdx >= 0) cum += r.getLong(sumIdx)
+        if (sumIdx >= 0) Row.fromSeq(r.toSeq :+ rank :+ cum)
+        else Row.fromSeq(r.toSeq :+ rank)
+      }
+    }
+    val outFields = schema.fields.toSeq :+
+      StructField(rankName, LongType, nullable = false)
+    val withSum =
+      if (sumIdx >= 0) outFields :+ StructField(sumName, LongType, nullable = false)
+      else outFields
+    spark.createDataFrame(rows, StructType(withSum))
+  }
+}

@@ -200,6 +200,13 @@ object CurationPack {
   /** sqrt-quota cap, the ONE definition q58 and q68 share: input needs
     * (doc_id, source); adds h, n_source, quota, cap_rank and keeps only
     * rows with cap_rank <= quota.
+    *
+    * The rank comes from [[graft.ext.PrefixOps.groupedRunningAgg]] (the
+    * range-partitioned two-pass prefix shape), NOT a per-source window:
+    * a window would hash every row of a source to ONE task, and a real
+    * corpus has a dominant source (a web crawl at 60-80% of rows) —
+    * tens of TB through one core at 100 TB. The quota join stays a
+    * broadcast (the quota table has one row per source).
     */
   private def sqrtQuotaCap(docs: DataFrame): DataFrame = {
     val hashed = docs.withColumn("h",
@@ -207,9 +214,10 @@ object CurationPack {
     val quotas = hashed.groupBy(col("source"))
       .agg(count(lit(1)).as("n_source"))
       .withColumn("quota", floor(sqrt(col("n_source"))).cast("long"))
-    val w = Window.partitionBy(col("source")).orderBy(col("h").asc, col("doc_id").asc)
-    hashed.withColumn("cap_rank", row_number().over(w).cast("long"))
-      .join(quotas, "source")
+    graft.ext.PrefixOps
+      .groupedRunningAgg(hashed, "source", Seq("h", "doc_id"),
+        rankName = "cap_rank")
+      .join(broadcast(quotas), "source")
       .filter(col("cap_rank") <= col("quota"))
   }
 
@@ -449,9 +457,12 @@ object CurationPack {
     * while its running token total stays within budget. This is how a
     * pretraining mixture is actually materialized: budgets in TOKENS
     * (the unit training consumes), not doc counts, and a draw that is
-    * reproducible and order-independent. Two windows per source
-    * (rank + running sum) and one broadcast of the per-source budget
-    * table; B is fixture-independent so the gate binds at every SF.
+    * reproducible and order-independent. The running token sum is
+    * [[graft.ext.PrefixOps.groupedRunningAgg]] (range-partitioned
+    * two-pass prefix sum — a per-source window would serialize the
+    * dominant source onto one task; see [[sqrtQuotaCap]]) plus one
+    * broadcast of the per-source budget table; B is fixture-independent
+    * so the gate binds at every SF.
     */
   def mixtureDraw(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("source"),
@@ -465,9 +476,9 @@ object CurationPack {
       .withColumn("budget_tokens",
         floor(lit(MixBudgetTokens) * col("s") / col("sum_s")).cast("long"))
       .select(col("source"), col("budget_tokens"))
-    val w = Window.partitionBy(col("source"))
-      .orderBy(col("h").asc, col("doc_id").asc)
-    docs.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+    graft.ext.PrefixOps
+      .groupedRunningAgg(docs, "source", Seq("h", "doc_id"),
+        sumCol = Some("n_tokens"), sumName = "cum_tokens")
       .join(broadcast(budgets), "source")
       .filter(col("cum_tokens") <= col("budget_tokens"))
       .select(col("doc_id"), col("source"), col("n_tokens"),

@@ -122,6 +122,36 @@ class CurationSpec extends AnyFunSuite {
     assert(got(13) == expect) // partitioning must not change the answer
   }
 
+  test("groupedRunningAgg: equals the per-group window, numParts-invariant on skew") {
+    import spark.implicits._
+    import graft.ext.PrefixOps
+    import org.apache.spark.sql.expressions.Window
+    // skewed fixture: one dominant group holds ~90% of rows (the shape
+    // that serializes a per-group window onto one task at scale), with
+    // hash-collision ties broken by id — the operator's order contract
+    val rows = (1L to 1000L).map { i =>
+      val g = if (i % 10 == 0) s"src${i % 3}" else "web"
+      (i, g, i * 2654435761L % 97, i % 7 + 1)
+    }
+    val df = rows.toDF("id", "g", "h", "n")
+    val w = Window.partitionBy(col("g")).orderBy(col("h"), col("id"))
+    val want = df.withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("running_sum", sum(col("n")).over(w))
+      .select(col("id"), col("rank"), col("running_sum"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    for (parts <- Seq(1, 3, 17)) Caches.scoped {
+      val out = PrefixOps.groupedRunningAgg(df.repartition(5), "g", Seq("h", "id"),
+        sumCol = Some("n"), numParts = parts)
+      val got = out.select(col("id"), col("rank"), col("running_sum"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(got == want, s"numParts=$parts must reproduce the window result")
+      // parallelism stays numParts end to end — a per-group window
+      // would collapse the dominant group to ONE task regardless
+      assert(out.rdd.getNumPartitions == parts,
+        s"output parallelism must be $parts, got ${out.rdd.getNumPartitions}")
+    }
+  }
+
   test("interval join: inclusive bounds, bucket straddling, misses drop") {
     import spark.implicits._
     import graft.operators.IntervalJoin

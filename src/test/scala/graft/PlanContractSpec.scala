@@ -34,6 +34,18 @@ class PlanContractSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("q58/q69 domain cap + mixture draw: no per-group Window anywhere") {
+    // the sqrt cap and mixture draw rank/sum via PrefixOps' range-
+    // partitioned prefix pass — a Window.partitionBy(source) here would
+    // reintroduce the dominant-source single-task serialization
+    for (q <- Seq("q58_domain_rebalance", "q69_mixture_draw")) Caches.scoped {
+      val plan = executed(q)
+      assert(collect(plan) {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }.isEmpty, s"$q must not plan a per-group Window:\n$plan")
+    }
+  }
+
   test("q63 interval join: pure equi-join — no nested loop, no cartesian") {
     Caches.scoped {
       val plan = executed("q63_interval_join")
