@@ -128,8 +128,14 @@ object CurationPack {
     * postings (term, doc, tf) from one explode+groupBy, df per term,
     * doc length + corpus stats, then a BM25-family score and a bounded
     * per-query top-k window. Query set: every `doc_id % 100 == 0` doc,
-    * terms at token positions 1/3/5 (so the query fan-out is known and
-    * the query side broadcasts).
+    * terms at token positions 1/3/5 — i.e. the query set scales WITH
+    * the corpus (~1% of docs), so it must NOT carry a broadcast hint: a
+    * corpus-proportional relation broadcast to every executor is a
+    * driver/executor OOM at 100 TB. The query↔postings join is keyed on
+    * term, so it plans as a shuffle join at scale; AQE is free to
+    * broadcast when the runtime size happens to fit (as at fixture
+    * scale). Only the genuinely bounded sides broadcast by contract:
+    * the 1-row corpus stats and the per-source quota tables.
     *
     * The scalar is BM25 with an exact-integer idf surrogate:
     * `idf_fp = floor(1e6·(2N−2df+1)/(2df+1))` — the Robertson–Sparck
@@ -170,7 +176,7 @@ object CurationPack {
     val denomFp = col("tf") * 1000L +
       floor(lit(K1Fp) * normFp / lit(1000L)).cast("long")
     val termScoreFp = floor(idfFp * col("tf") * lit(K1Fp + 1000L) / denomFp).cast("long")
-    val scored = broadcast(queries).join(postings, "term")
+    val scored = queries.join(postings, "term")
       .join(dfPerTerm, "term")
       .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
