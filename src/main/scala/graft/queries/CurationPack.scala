@@ -45,10 +45,16 @@ object CurationPack {
     * exactly why the engine side iterates min-label rounds instead
     * ([[graft.ext.GraphOps.connectedComponents]]).
     */
-  def dedupComponents(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir).select(col("doc_id"),
+  /** q55/q70 shared fixture: the corpus with the planted exact-dup
+    * clique (`doc_id % 25 == 0`).
+    */
+  private def plantedCliqueDocs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(col("doc_id"),
       when(col("doc_id") % 25 === 0, lit(CliqueText))
         .otherwise(col("text")).as("text"))
+
+  def dedupComponents(spark: SparkSession, dir: String): DataFrame = {
+    val docs = plantedCliqueDocs(spark, dir)
     val lshEdges = TextPack.lshCandidatePairsFrom(docs)
       .select(col("doc1").as("src"), col("doc2").as("dst"))
     val ids = docs.select(col("doc_id"))
@@ -59,6 +65,35 @@ object CurationPack {
       .select(col("doc_id").as("src"), (col("doc_id") + 10).as("dst"))
       .join(ids.select(col("doc_id").as("dst")), Seq("dst"), "left_semi")
     GraphOps.connectedComponents(lshEdges.union(chain), "src", "dst")
+      .orderBy(col("node"))
+  }
+
+  // ---------------------------------------------------------------- q70
+
+  /** q70: the DEEP-diameter component path, oracle-gated — exercises
+    * [[graft.ext.GraphOps.starComponents]] (alternating large-star/
+    * small-star contraction, O(log² n) rounds on any topology), the
+    * documented fallback for exactly the graphs where the q55
+    * propagation loop `require`-fails. Fixture: the same planted
+    * exact-dup clique as q55 (dense component) PLUS deep chains —
+    * `doc_id % 10 == 7` links to `doc_id + 10`, broken every 64th hop
+    * (`(doc_id div 10) % 64 == 63`), so chain diameter grows to 64 with
+    * the corpus (49 at sf0.01): already past `connectedComponents`'
+    * default 20-round bound, while the contraction closes it in a
+    * handful of rounds. The oracle is the same recursive-CTE transitive
+    * closure as q55 — an independent formulation that never iterates
+    * per-hop on the engine side.
+    */
+  def starDedupComponents(spark: SparkSession, dir: String): DataFrame = {
+    val docs = plantedCliqueDocs(spark, dir)
+    val lshEdges = TextPack.lshCandidatePairsFrom(docs)
+      .select(col("doc1").as("src"), col("doc2").as("dst"))
+    val ids = docs.select(col("doc_id"))
+    val deep = ids
+      .filter(col("doc_id") % 10 === 7 && expr("(doc_id div 10) % 64") =!= 63)
+      .select(col("doc_id").as("src"), (col("doc_id") + 10).as("dst"))
+      .join(ids.select(col("doc_id").as("dst")), Seq("dst"), "left_semi")
+    GraphOps.starComponents(lshEdges.union(deep), "src", "dst")
       .orderBy(col("node"))
   }
 
@@ -505,9 +540,39 @@ object CurationPack {
     "q66_bigram_likelihood" -> bigramLikelihood _,
     "q67_decontaminate" -> decontaminate _,
     "q68_corpus_build" -> corpusBuild _,
-    "q69_mixture_draw" -> mixtureDraw _)
+    "q69_mixture_draw" -> mixtureDraw _,
+    "q70_star_components" -> starDedupComponents _)
 
   val oracles: Map[String, String] = Map(
+    "q70_star_components" ->
+      s"""WITH RECURSIVE pdocs AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 25 = 0 THEN '$CliqueText' ELSE text END AS text
+         |  FROM documents),
+         |sh AS (
+         |  SELECT doc_id, ${TextPack.shinglesSql} AS sh
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM pdocs)),
+         |sig AS (SELECT doc_id, ${TextPack.sigSql} AS sig FROM sh),
+         |bands AS (
+         |  SELECT doc_id, b,
+         |    b || ':' || array_to_string(sig[b*${TextPack.R}+1:b*${TextPack.R}+${TextPack.R}], ',') AS band_key
+         |  FROM sig CROSS JOIN (SELECT unnest(range(${TextPack.Bands})) AS b)),
+         |lsh AS (
+         |  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+         |  FROM bands a JOIN bands b
+         |    ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |deep AS (
+         |  SELECT a.doc_id AS src, a.doc_id + 10 AS dst
+         |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 10
+         |  WHERE a.doc_id % 10 = 7 AND (a.doc_id // 10) % 64 != 63),
+         |edges AS (SELECT src, dst FROM lsh UNION SELECT src, dst FROM deep),
+         |sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+         |reach(a, b) AS (
+         |  SELECT src, dst FROM sym
+         |  UNION
+         |  SELECT r.a, s.dst FROM reach r JOIN sym s ON s.src = r.b)
+         |SELECT a AS node, least(a, min(b)) AS comp
+         |FROM reach GROUP BY a ORDER BY node""".stripMargin,
     "q69_mixture_draw" ->
       s"""WITH d AS (
          |  SELECT doc_id, source,
