@@ -177,10 +177,122 @@ object SinkPack {
       .orderBy(c)
   }
 
+  /** O1/O2 JSON envelope value math, oracle-gated — the last two
+    * string sinks leave golden-only status: the JSONL `to_dict` row
+    * (models.py:665-678 via 269-305) and the streaming envelope
+    * (scraper.py:1530-1540) with its `to_output_dict` null-coalescing
+    * (models.py:307-344), emitted as real JSON text columns —
+    * Spark `to_json(struct, ignoreNullFields=false)` vs DuckDB
+    * `json_object` — so field ORDER, null rendering, and every
+    * coalescing default ("", "solana", "unknown", 0, 0.0,
+    * token_name→symbol fallback) are hash-checked, not golden-pinned.
+    *
+    * Envelope scalars (total_extracted / high_confidence_count) come
+    * from a 1-row broadcast aggregate; the top-10-by-(confidence,
+    * field_count) selection is the reference's sort, as a global
+    * row_number at gate scale (a production export carries a
+    * precomputed rank — q49's documented contract).
+    *
+    * Planted doubles are dyadic (x.5 / x.25 / x.0625 steps / integer-
+    * valued) and < 1e7, where Java's Double.toString and DuckDB's
+    * shortest-repr JSON writer spell the identical text.
+    */
+  def envelopeValueMath(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = col("c_custkey")
+    val base = Tables.customer(spark, dir).select(
+      c,
+      when(c % 13 =!= 0, concat(lit("TK"), c.cast("string"))).as("symbol"),
+      when(c % 5 =!= 0, concat(lit("Tok "), c.cast("string"))).as("token_name"),
+      when(c % 3 =!= 0, lit("bsc")).as("chain"),
+      when(c % 7 =!= 0, lit("v2")).as("protocol"),
+      when(c % 2 =!= 0, concat((c % 48).cast("string"), lit("h"))).as("age"),
+      when(c % 4 =!= 0, (c % 10).cast("long")).as("boost"),
+      when(c % 6 =!= 0, concat(lit("PAIR"), c.cast("string"))).as("pair_address"),
+      when(c % 8 =!= 0, concat(lit("CR"), c.cast("string"))).as("creator_address"),
+      when(c % 9 =!= 0, concat(lit("TOK"), c.cast("string"))).as("token_address"),
+      when(c % 10 =!= 0, concat(lit("QU"), c.cast("string"))).as("quote_address"),
+      when(c % 2 === 0, concat(lit("https://x.test/"), c.cast("string"))).as("website"),
+      when(c % 6 === 0, concat(lit("@tk"), c.cast("string"))).as("twitter"),
+      when(c % 11 === 0, concat(lit("t.me/tk"), c.cast("string"))).as("telegram"),
+      when(c % 4 === 1, (c % 90).cast("double") + 0.5)
+        .when(c % 4 === 3, (c % 500 + 1).cast("double"))
+        .when(c % 4 === 0, lit(0.0)).as("price"),
+      when(c % 9 =!= 0, (c % 1000).cast("double") + 0.5).as("volume_24h"),
+      when(c % 6 =!= 0, (c % 1500).cast("long")).as("txns_24h"),
+      when(c % 8 =!= 0, (c % 300).cast("long")).as("makers"),
+      when(c % 10 =!= 0, (c % 32 + 128).cast("double") * 256.0).as("liquidity"),
+      when(c % 12 =!= 0, (c % 700 + 1).cast("double") * 4096.0).as("market_cap"),
+      when(c % 5 =!= 2, (c % 20).cast("double") + 0.25).as("change_5m"),
+      when(c % 5 =!= 3, -((c % 20).cast("double") + 0.5)).as("change_1h"),
+      when(c % 7 =!= 1, (c % 40).cast("double") / 16.0).as("change_6h"),
+      when(c % 7 =!= 2, (c % 12).cast("double") - 6.0).as("change_24h"),
+      ((c % 16).cast("double") / 16.0).as("confidence_score"),
+      (c % 26).cast("long").as("field_count"),
+      (lit(1700000000L) + c % 3600).as("timestamp"))
+
+    // models.py:269-305 to_dict key order — raw values, nulls kept
+    val dictStruct = struct(
+      col("price"), col("volume_24h"), col("txns_24h"), col("makers"),
+      col("liquidity"), col("market_cap"), col("symbol"), col("token_name"),
+      col("chain"), col("protocol"), col("age"), col("boost"),
+      col("pair_address"), col("creator_address"), col("token_address"),
+      col("quote_address"), col("website"), col("twitter"), col("telegram"),
+      col("change_5m"), col("change_1h"), col("change_6h"), col("change_24h"),
+      col("confidence_score"), col("field_count"), col("timestamp"))
+    // models.py:307-344 to_output_dict — same order, null-coalesced
+    val outStruct = struct(
+      coalesce(col("price"), lit(0.0)).as("price"),
+      coalesce(col("volume_24h"), lit(0.0)).as("volume_24h"),
+      coalesce(col("txns_24h"), lit(0L)).as("txns_24h"),
+      coalesce(col("makers"), lit(0L)).as("makers"),
+      coalesce(col("liquidity"), lit(0.0)).as("liquidity"),
+      coalesce(col("market_cap"), lit(0.0)).as("market_cap"),
+      coalesce(col("symbol"), lit("")).as("symbol"),
+      coalesce(col("token_name"), col("symbol"), lit("")).as("token_name"),
+      coalesce(col("chain"), lit("solana")).as("chain"),
+      coalesce(col("protocol"), lit("unknown")).as("protocol"),
+      coalesce(col("age"), lit("")).as("age"),
+      coalesce(col("boost"), lit(0L)).as("boost"),
+      coalesce(col("pair_address"), lit("unknown")).as("pair_address"),
+      coalesce(col("creator_address"), lit("unknown")).as("creator_address"),
+      coalesce(col("token_address"), lit("unknown")).as("token_address"),
+      coalesce(col("quote_address"), lit("unknown")).as("quote_address"),
+      coalesce(col("website"), lit("")).as("website"),
+      coalesce(col("twitter"), lit("")).as("twitter"),
+      coalesce(col("telegram"), lit("")).as("telegram"),
+      coalesce(col("change_5m"), lit(0.0)).as("change_5m"),
+      coalesce(col("change_1h"), lit(0.0)).as("change_1h"),
+      coalesce(col("change_6h"), lit(0.0)).as("change_6h"),
+      coalesce(col("change_24h"), lit(0.0)).as("change_24h"),
+      col("confidence_score"), col("field_count"), col("timestamp"))
+
+    val stats = base.agg(
+      count(lit(1)).as("env_total_extracted"),
+      sum(when(col("confidence_score") >= 0.5, 1L).otherwise(0L))
+        .as("env_high_confidence_count"))
+    val w = Window.orderBy(col("confidence_score").desc,
+      col("field_count").desc, c.asc)
+    val noNulls = Map("ignoreNullFields" -> "false")
+    base.withColumn("rk", row_number().over(w).cast("long"))
+      .crossJoin(broadcast(stats))
+      .select(
+        c,
+        to_json(dictStruct, noNulls).as("jsonl_line"),
+        lit("enhanced_tokens").as("env_type"),
+        col("env_total_extracted"),
+        col("env_high_confidence_count"),
+        lit(1700003600L).as("env_timestamp"),
+        when(col("rk") <= 10, col("rk")).as("env_rank"),
+        when(col("rk") <= 10, to_json(outStruct, noNulls)).as("env_token_json"))
+      .orderBy(c)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q35_sink_formats" -> sinkFormats _,
     "q46_prometheus_lines" -> prometheusLines _,
-    "q49_export_formats" -> exportValueMath _)
+    "q49_export_formats" -> exportValueMath _,
+    "q71_json_envelope" -> envelopeValueMath _)
 
   private val ohlcCte =
     s"""bars AS (
@@ -194,6 +306,100 @@ object SinkPack {
        |  FROM events GROUP BY 1, 2)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q71_json_envelope" ->
+      """WITH t AS (
+        |  SELECT c_custkey AS c,
+        |    CASE WHEN c_custkey % 13 != 0 THEN 'TK' || c_custkey END AS symbol,
+        |    CASE WHEN c_custkey % 5 != 0 THEN 'Tok ' || c_custkey END AS token_name,
+        |    CASE WHEN c_custkey % 3 != 0 THEN 'bsc' END AS chain,
+        |    CASE WHEN c_custkey % 7 != 0 THEN 'v2' END AS protocol,
+        |    CASE WHEN c_custkey % 2 != 0 THEN (c_custkey % 48) || 'h' END AS age,
+        |    CASE WHEN c_custkey % 4 != 0 THEN (c_custkey % 10)::bigint END AS boost,
+        |    CASE WHEN c_custkey % 6 != 0 THEN 'PAIR' || c_custkey END AS pair_address,
+        |    CASE WHEN c_custkey % 8 != 0 THEN 'CR' || c_custkey END AS creator_address,
+        |    CASE WHEN c_custkey % 9 != 0 THEN 'TOK' || c_custkey END AS token_address,
+        |    CASE WHEN c_custkey % 10 != 0 THEN 'QU' || c_custkey END AS quote_address,
+        |    CASE WHEN c_custkey % 2 = 0 THEN 'https://x.test/' || c_custkey END AS website,
+        |    CASE WHEN c_custkey % 6 = 0 THEN '@tk' || c_custkey END AS twitter,
+        |    CASE WHEN c_custkey % 11 = 0 THEN 't.me/tk' || c_custkey END AS telegram,
+        |    CASE WHEN c_custkey % 4 = 1 THEN ((c_custkey % 90) + 0.5)::double
+        |         WHEN c_custkey % 4 = 3 THEN (c_custkey % 500 + 1)::double
+        |         WHEN c_custkey % 4 = 0 THEN 0.0::double END AS price,
+        |    CASE WHEN c_custkey % 9 != 0
+        |         THEN ((c_custkey % 1000) + 0.5)::double END AS volume_24h,
+        |    CASE WHEN c_custkey % 6 != 0
+        |         THEN (c_custkey % 1500)::bigint END AS txns_24h,
+        |    CASE WHEN c_custkey % 8 != 0
+        |         THEN (c_custkey % 300)::bigint END AS makers,
+        |    CASE WHEN c_custkey % 10 != 0
+        |         THEN ((c_custkey % 32 + 128) * 256)::double END AS liquidity,
+        |    CASE WHEN c_custkey % 12 != 0
+        |         THEN ((c_custkey % 700 + 1) * 4096)::double END AS market_cap,
+        |    CASE WHEN c_custkey % 5 != 2
+        |         THEN ((c_custkey % 20) + 0.25)::double END AS change_5m,
+        |    CASE WHEN c_custkey % 5 != 3
+        |         THEN (-((c_custkey % 20) + 0.5))::double END AS change_1h,
+        |    CASE WHEN c_custkey % 7 != 1
+        |         THEN (c_custkey % 40)::double / 16.0 END AS change_6h,
+        |    CASE WHEN c_custkey % 7 != 2
+        |         THEN (c_custkey % 12)::double - 6.0 END AS change_24h,
+        |    (c_custkey % 16)::double / 16.0 AS confidence_score,
+        |    (c_custkey % 26)::bigint AS field_count,
+        |    (1700000000 + c_custkey % 3600)::bigint AS "timestamp"
+        |  FROM customer),
+        |s AS (
+        |  SELECT count(*)::bigint AS total,
+        |    sum(CASE WHEN confidence_score >= 0.5 THEN 1 ELSE 0 END)::bigint AS high
+        |  FROM t),
+        |r AS (
+        |  SELECT t.*, row_number() OVER (ORDER BY confidence_score DESC,
+        |    field_count DESC, c ASC)::bigint AS rk FROM t)
+        |SELECT c AS c_custkey,
+        |  json_object('price', price, 'volume_24h', volume_24h,
+        |    'txns_24h', txns_24h, 'makers', makers, 'liquidity', liquidity,
+        |    'market_cap', market_cap, 'symbol', symbol,
+        |    'token_name', token_name, 'chain', chain, 'protocol', protocol,
+        |    'age', age, 'boost', boost, 'pair_address', pair_address,
+        |    'creator_address', creator_address, 'token_address', token_address,
+        |    'quote_address', quote_address, 'website', website,
+        |    'twitter', twitter, 'telegram', telegram, 'change_5m', change_5m,
+        |    'change_1h', change_1h, 'change_6h', change_6h,
+        |    'change_24h', change_24h, 'confidence_score', confidence_score,
+        |    'field_count', field_count, 'timestamp', "timestamp")::varchar
+        |    AS jsonl_line,
+        |  'enhanced_tokens' AS env_type,
+        |  (SELECT total FROM s) AS env_total_extracted,
+        |  (SELECT high FROM s) AS env_high_confidence_count,
+        |  1700003600::bigint AS env_timestamp,
+        |  CASE WHEN rk <= 10 THEN rk END AS env_rank,
+        |  CASE WHEN rk <= 10 THEN
+        |    json_object('price', coalesce(price, 0.0::double),
+        |      'volume_24h', coalesce(volume_24h, 0.0::double),
+        |      'txns_24h', coalesce(txns_24h, 0::bigint),
+        |      'makers', coalesce(makers, 0::bigint),
+        |      'liquidity', coalesce(liquidity, 0.0::double),
+        |      'market_cap', coalesce(market_cap, 0.0::double),
+        |      'symbol', coalesce(symbol, ''),
+        |      'token_name', coalesce(token_name, symbol, ''),
+        |      'chain', coalesce(chain, 'solana'),
+        |      'protocol', coalesce(protocol, 'unknown'),
+        |      'age', coalesce(age, ''),
+        |      'boost', coalesce(boost, 0::bigint),
+        |      'pair_address', coalesce(pair_address, 'unknown'),
+        |      'creator_address', coalesce(creator_address, 'unknown'),
+        |      'token_address', coalesce(token_address, 'unknown'),
+        |      'quote_address', coalesce(quote_address, 'unknown'),
+        |      'website', coalesce(website, ''),
+        |      'twitter', coalesce(twitter, ''),
+        |      'telegram', coalesce(telegram, ''),
+        |      'change_5m', coalesce(change_5m, 0.0::double),
+        |      'change_1h', coalesce(change_1h, 0.0::double),
+        |      'change_6h', coalesce(change_6h, 0.0::double),
+        |      'change_24h', coalesce(change_24h, 0.0::double),
+        |      'confidence_score', confidence_score,
+        |      'field_count', field_count,
+        |      'timestamp', "timestamp")::varchar END AS env_token_json
+        |FROM r ORDER BY c""".stripMargin,
     "q49_export_formats" ->
       """WITH t AS (
         |  SELECT c_custkey AS c,
