@@ -112,7 +112,7 @@ object TextPack {
     * subtree, persisted so the band self-join (and any second consumer,
     * q50) reads the cache instead of recomputing.
     */
-  private def bandedKeys(docs: DataFrame): DataFrame =
+  private[graft] def bandedKeys(docs: DataFrame): DataFrame =
     graft.Caches.persisted(signaturesFrom(docs))
       .select(col("doc_id"), posexplode(TextOps.lshBandKeys(col("sig"), Bands, R))
         .as(Seq("band", "key")))

@@ -1,0 +1,85 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+/** Incremental near-dup candidate maintenance over micro-batches — the
+  * streaming continuation of the batch dedup pipeline (banded LSH pairs
+  * → connected components → min-member election, q18/q55/q68).
+  *
+  * Contract: PAIRS STREAM, GROUPS RECONCILE.
+  *
+  *   - Pair emission is incremental and keyed: each micro-batch's docs
+  *     are banded with the SAME MinHash/band parameters as the batch
+  *     operator ([[graft.queries.TextPack.bandedKeys]]), joined against
+  *     the accumulated band log (new×seen) and against themselves
+  *     (new×new) on the band key — equi-joins only, never all-pairs.
+  *     Every candidate pair is emitted exactly once, in the batch where
+  *     its LATER doc arrives, with the same `n_shared_bands` the batch
+  *     join would count (both docs' band rows are complete by then).
+  *   - The band log is append-only keyed state: O(docs × bands) rows on
+  *     STORAGE (at scale: an append-only bucketed table compacted on
+  *     band_key), not executor memory — the same posture as the
+  *     watermarked state-store dedup in [[StatefulOps]], but unbounded
+  *     retention because near-dup candidates never expire.
+  *   - Component COLLAPSE is deliberately not incremental: min-label
+  *     components are not maintainable under edge insertion with
+  *     bounded work — one new edge can merge two components and
+  *     relabel an unbounded number of nodes (the update fan-out is the
+  *     component size, not the edge count). The scale-safe form is
+  *     periodic batch reconciliation: run
+  *     [[graft.ext.GraphOps.connectedComponents]] over the accumulated
+  *     pair log ([[reconcileComponents]]) on whatever cadence the
+  *     corpus build runs. StreamingSpec proves the composed story
+  *     (streamed pairs ∪ reconciliation ≡ the batch pipeline).
+  *
+  * Reference analog: none — dexscraper dedups within one frame only
+  * (`protocol.py` cluster overlap); this is the brief's 100 TB
+  * training-data machinery.
+  */
+final class NearDupStream(spark: SparkSession) {
+
+  private val bandSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("band_key", StringType, nullable = true)))
+
+  /** Accumulated (doc_id, band_key) log across batches; lineage is
+    * truncated per batch (localCheckpoint) like the driver-paced loops
+    * in GraphOps/VectorOps.
+    */
+  private var seen: DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      bandSchema)
+
+  /** foreachBatch body: band the batch's (doc_id, text) rows, emit the
+    * candidate pairs this batch introduces, append the batch to the
+    * band log. Returns the new pairs (doc1 < doc2, n_shared_bands),
+    * materialized — safe to collect or write from the caller.
+    */
+  def ingest(batchDocs: DataFrame): DataFrame = graft.Caches.scoped {
+    val bands = graft.queries.TextPack.bandedKeys(batchDocs)
+      .localCheckpoint(eager = true)
+    val nn = bands.select(col("doc_id").as("doc1"), col("band_key"))
+      .join(bands.select(col("doc_id").as("doc2"), col("band_key")), "band_key")
+      .filter(col("doc1") < col("doc2"))
+      .select(col("doc1"), col("doc2"))
+    val ns = bands.select(col("doc_id").as("n_id"), col("band_key"))
+      .join(seen.select(col("doc_id").as("s_id"), col("band_key")), "band_key")
+      .filter(col("n_id") =!= col("s_id"))
+      .select(least(col("n_id"), col("s_id")).as("doc1"),
+        greatest(col("n_id"), col("s_id")).as("doc2"))
+    val pairs = nn.union(ns)
+      .groupBy(col("doc1"), col("doc2"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+      .localCheckpoint(eager = true)
+    seen = seen.union(bands).localCheckpoint(eager = true)
+    pairs
+  }
+
+  /** Periodic reconciliation: collapse the accumulated pair log into
+    * (node, component) labels — the batch CC over streamed edges.
+    */
+  def reconcileComponents(pairLog: DataFrame): DataFrame =
+    graft.ext.GraphOps.connectedComponents(pairLog, "doc1", "doc2")
+}

@@ -201,6 +201,60 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming near-dup: per-batch pair emission + CC reconciliation equals batch") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dupA = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val dupB = "one two three four five six seven eight nine ten eleven"
+    // dup group A spans all three batches; group B has an in-batch dup
+    // (11,13) AND a cross-batch dup (2,11) — both emission paths bind
+    val b1 = Seq((1L, dupA), (2L, dupB),
+      (3L, "quick brown fox jumps over the lazy dog right now"))
+    val b2 = Seq((10L, dupA), (11L, dupB), (13L, dupB),
+      (12L, "entirely different words appear inside this sentence over here"))
+    val b3 = Seq((20L, dupA),
+      (21L, "yet another unique document text goes right here okay then"))
+    val input = MemoryStream[(Long, String)]
+    val nd = new graft.streaming.NearDupStream(spark)
+    val emitted = mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        emitted ++= nd.ingest(batch).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        ()
+      }.start()
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      input.addData(b3: _*); q.processAllAvailable()
+    } finally q.stop()
+    val all = (b1 ++ b2 ++ b3).toDF("doc_id", "text")
+    val batchPairs = Caches.scoped {
+      graft.queries.TextPack.lshCandidatePairsFrom(all).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    // every pair exactly once, in the batch where its later doc landed,
+    // with the batch join's n_shared_bands
+    assert(emitted.size == emitted.toSet.size, s"duplicate emission: $emitted")
+    assert(emitted.toSet == batchPairs)
+    assert(emitted.toSet.exists(p => p._1 == 11L && p._2 == 13L)) // in-batch
+    assert(emitted.toSet.exists(p => p._1 == 2L && p._2 == 11L)) // cross-batch
+    // periodic reconciliation over the streamed pair log = the batch CC
+    val streamedCC = Caches.scoped {
+      nd.reconcileComponents(emitted.toSeq.map(p => (p._1, p._2))
+          .toDF("doc1", "doc2"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    val batchCC = Caches.scoped {
+      graft.ext.GraphOps.connectedComponents(
+          graft.queries.TextPack.lshCandidatePairsFrom(all), "doc1", "doc2")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    assert(streamedCC == batchCC)
+    assert(streamedCC(20L) == 1L && streamedCC(13L) == 2L)
+  }
+
   test("session windows: stream emits exactly the closed batch sessions") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
