@@ -165,9 +165,16 @@ object GraphOps {
     var stable = false
     while (iter < maxIters && !stable) {
       val next = canonical(smallStar(largeStar(cur))).localCheckpoint(eager = true)
-      val grew = next.join(cur, Seq("u", "v"), "left_anti").isEmpty
-      val shrank = cur.join(next, Seq("u", "v"), "left_anti").isEmpty
-      stable = grew && shrank
+      // fixpoint = empty symmetric difference, as ONE action (a full
+      // outer join on the canonical edge) instead of two anti-join
+      // isEmpty probes — the loop is driver-paced, so per-round action
+      // count is the local-latency bottleneck
+      val diff = next.select(col("u"), col("v"), lit(1).as("_n"))
+        .join(cur.select(col("u"), col("v"), lit(1).as("_c")),
+          Seq("u", "v"), "full_outer")
+        .filter(col("_n").isNull || col("_c").isNull)
+        .count()
+      stable = diff == 0
       unpersistCheckpoint(cur) // fixpoint test done; free the old round
       cur = next
       iter += 1

@@ -49,46 +49,53 @@ object PrefixOps {
     * and, when `sumCol` is set, `sumName` (per-group INCLUSIVE running
     * sum of `sumCol`, which must be a non-null integral column).
     *
+    * @param groupCols one or more grouping columns (a stratum key like
+    *                  (lang, source) is a multi-column group)
     * @param numParts range partitions; <= 0 means the session's
     *                 spark.sql.shuffle.partitions
     */
-  def groupedRunningAgg(df: DataFrame, groupCol: String,
+  def groupedRunningAgg(df: DataFrame, groupCols: Seq[String],
       orderCols: Seq[String], sumCol: Option[String] = None,
       numParts: Int = 0, rankName: String = "rank",
       sumName: String = "running_sum"): DataFrame = {
+    require(groupCols.nonEmpty, "groupedRunningAgg needs >= 1 group column")
     val spark = df.sparkSession
     val parts =
       if (numParts > 0) numParts
       else spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val keys = (groupCol +: orderCols).map(col)
+    val keys = (groupCols ++ orderCols).map(col)
     val sorted = graft.Caches.persisted(
       df.repartitionByRange(parts, keys: _*)
         .sortWithinPartitions(keys: _*))
     val schema = sorted.schema
-    val gIdx = schema.fieldIndex(groupCol)
+    val gIdx = groupCols.map(schema.fieldIndex)
     val sumIdx = sumCol.map(schema.fieldIndex).getOrElse(-1)
+    def groupKey(r: Row): Seq[Any] = gIdx.map(r.get)
+    def sumVal(r: Row): Long = r.get(sumIdx) match {
+      case n: Number => n.longValue()
+      case other => throw new IllegalArgumentException(
+        s"sum column ${sumCol.get} must be integral, got $other")
+    }
 
     // pass 1: one (count, sum) subtotal per contiguous group slice
     val perSlice = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
-      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Any, Long, Long)]
-      var cur: Any = null
-      var started = false
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Seq[Any], Long, Long)]
+      var cur: Seq[Any] = null
       var c = 0L
       var s = 0L
       it.foreach { r =>
-        val g = r.get(gIdx)
-        if (started && g != cur) { out += ((pid, cur, c, s)); c = 0L; s = 0L }
+        val g = groupKey(r)
+        if (cur != null && g != cur) { out += ((pid, cur, c, s)); c = 0L; s = 0L }
         cur = g
-        started = true
         c += 1L
-        if (sumIdx >= 0) s += r.getLong(sumIdx)
+        if (sumIdx >= 0) s += sumVal(r)
       }
-      if (started) out += ((pid, cur, c, s))
+      if (cur != null) out += ((pid, cur, c, s))
       out.iterator
     }.collect()
 
     // driver: per-(partition, group) bases = totals over earlier slices
-    val totals = scala.collection.mutable.Map.empty[Any, (Long, Long)]
+    val totals = scala.collection.mutable.Map.empty[Seq[Any], (Long, Long)]
     val bases = perSlice.sortBy(_._1).map { case (pid, g, c, s) =>
       val (tb, ts) = totals.getOrElse(g, (0L, 0L))
       totals(g) = (tb + c, ts + s)
@@ -98,21 +105,19 @@ object PrefixOps {
 
     // pass 2: stream each partition, resuming each group from its base
     val rows = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
-      var cur: Any = null
-      var started = false
+      var cur: Seq[Any] = null
       var rank = 0L
       var cum = 0L
       it.map { r =>
-        val g = r.get(gIdx)
-        if (!started || g != cur) {
+        val g = groupKey(r)
+        if (cur == null || g != cur) {
           val (rb, sb) = bBases.value((pid, g))
           rank = rb
           cum = sb
           cur = g
-          started = true
         }
         rank += 1L
-        if (sumIdx >= 0) cum += r.getLong(sumIdx)
+        if (sumIdx >= 0) cum += sumVal(r)
         if (sumIdx >= 0) Row.fromSeq(r.toSeq :+ rank :+ cum)
         else Row.fromSeq(r.toSeq :+ rank)
       }

@@ -84,21 +84,19 @@ object TextOps {
     *      hash-smallest per stratum (row_number over (hash, id)) — a
     *      uniform fixed-size reservoir per stratum.
     *
-    * Scale shape: the window sorts only within strata and only AFTER
-    * the Bernoulli cut; stratum count is data-bounded (languages ×
-    * sources), so no single reducer sees more than the largest
-    * stratum's survivors. 100 TB posture: the filter is a narrow map,
-    * and skew equals corpus skew — a pathologically hot stratum can
-    * pre-aggregate with a two-phase (salted) top-quota if ever needed.
+    * Scale shape: the rank runs only AFTER the Bernoulli cut and comes
+    * from [[PrefixOps.groupedRunningAgg]] (range-partitioned two-pass
+    * prefix rank), NOT a per-stratum window — stratum survivors scale
+    * WITH the corpus (pct% of the stratum), so a window would hash a
+    * dominant stratum's tens of TB onto one task; the prefix shape
+    * keeps parallelism at numParts however skewed the strata are.
     */
   def stratifiedSample(docs: DataFrame, strata: Seq[String], pct: Int,
       quota: Int, idCol: String = "doc_id"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val h = hash32(concat(lit("sample:"), col(idCol).cast("string")))
-    val w = Window.partitionBy(strata.map(col): _*).orderBy(col("h"), col(idCol))
-    docs.withColumn("h", h)
-      .filter(col("h") % 100 < pct)
-      .withColumn("strat_rank", row_number().over(w).cast("long"))
+    val cut = docs.withColumn("h", h).filter(col("h") % 100 < pct)
+    PrefixOps.groupedRunningAgg(cut, strata, Seq("h", idCol),
+        rankName = "strat_rank")
       .filter(col("strat_rank") <= quota)
   }
 

@@ -256,7 +256,7 @@ object CurationPack {
       .agg(count(lit(1)).as("n_source"))
       .withColumn("quota", floor(sqrt(col("n_source"))).cast("long"))
     graft.ext.PrefixOps
-      .groupedRunningAgg(hashed, "source", Seq("h", "doc_id"),
+      .groupedRunningAgg(hashed, Seq("source"), Seq("h", "doc_id"),
         rankName = "cap_rank")
       .join(broadcast(quotas), "source")
       .filter(col("cap_rank") <= col("quota"))
@@ -518,7 +518,7 @@ object CurationPack {
         floor(lit(MixBudgetTokens) * col("s") / col("sum_s")).cast("long"))
       .select(col("source"), col("budget_tokens"))
     graft.ext.PrefixOps
-      .groupedRunningAgg(docs, "source", Seq("h", "doc_id"),
+      .groupedRunningAgg(docs, Seq("source"), Seq("h", "doc_id"),
         sumCol = Some("n_tokens"), sumName = "cum_tokens")
       .join(broadcast(budgets), "source")
       .filter(col("cum_tokens") <= col("budget_tokens"))

@@ -157,7 +157,7 @@ class CurationSpec extends AnyFunSuite {
       .select(col("id"), col("rank"), col("running_sum"))
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     for (parts <- Seq(1, 3, 17)) Caches.scoped {
-      val out = PrefixOps.groupedRunningAgg(df.repartition(5), "g", Seq("h", "id"),
+      val out = PrefixOps.groupedRunningAgg(df.repartition(5), Seq("g"), Seq("h", "id"),
         sumCol = Some("n"), numParts = parts)
       val got = out.select(col("id"), col("rank"), col("running_sum"))
         .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
