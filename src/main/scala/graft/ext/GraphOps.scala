@@ -43,7 +43,7 @@ object GraphOps {
     * storage grows linearly with rounds (harmless at dedup diameters,
     * wasteful on the deep graphs starComponents is advertised for).
     */
-  private def unpersistCheckpoint(df: DataFrame): Unit =
+  private[graft] def unpersistCheckpoint(df: DataFrame): Unit =
     df.queryExecution.logical.collectFirst {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
     }.foreach(_.unpersist(blocking = false))

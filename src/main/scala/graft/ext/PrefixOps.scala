@@ -33,7 +33,7 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * Determinism: range-partition boundaries come from sampling and vary
   * run to run, but any boundary split of a totally-ordered sequence
   * yields identical prefix sums — output is independent of the split
-  * AND of numParts (PropertySpec proves both). `orderCols` must be a
+  * AND of numParts (CurationSpec proves both). `orderCols` must be a
   * total order within each group (tie-break on a unique id) for the
   * rank to be well-defined — the same contract `row_number` needs for
   * deterministic output.

@@ -89,15 +89,29 @@ object TextOps {
     * prefix rank), NOT a per-stratum window — stratum survivors scale
     * WITH the corpus (pct% of the stratum), so a window would hash a
     * dominant stratum's tens of TB onto one task; the prefix shape
-    * keeps parallelism at numParts however skewed the strata are.
+    * keeps parallelism at numParts however skewed the strata are. The
+    * prefix pass crosses an RDD boundary (no column pruning through
+    * it), so it ranks a NARROW (strata, id, h) projection only and the
+    * quota-bounded survivors join back to restore the caller's
+    * passthrough columns — the wide doc payload (text, media) never
+    * enters the range shuffle, and the docs-side scan still prunes to
+    * whatever the caller selects (AgreementSpec pins text out of the
+    * ReadSchema).
     */
   def stratifiedSample(docs: DataFrame, strata: Seq[String], pct: Int,
       quota: Int, idCol: String = "doc_id"): DataFrame = {
     val h = hash32(concat(lit("sample:"), col(idCol).cast("string")))
-    val cut = docs.withColumn("h", h).filter(col("h") % 100 < pct)
-    PrefixOps.groupedRunningAgg(cut, strata, Seq("h", idCol),
+    val cut = docs.select((strata.map(col) :+ col(idCol)): _*)
+      .withColumn("h", h)
+      .filter(col("h") % 100 < pct)
+    val survivors = PrefixOps.groupedRunningAgg(cut, strata, Seq("h", idCol),
         rankName = "strat_rank")
       .filter(col("strat_rank") <= quota)
+      .select(col(idCol), col("h"), col("strat_rank"))
+    // survivors are quota-bounded (<= #strata * quota rows) for any
+    // real quota; no broadcast HINT so an unbounded-quota caller still
+    // plans a keyed join (AQE broadcasts when the runtime size fits)
+    docs.join(survivors, Seq(idCol))
   }
 
   /** MinHash parameters: k universal-hash functions (a*h+b) mod p with

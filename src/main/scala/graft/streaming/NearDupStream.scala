@@ -46,18 +46,45 @@ final class NearDupStream(spark: SparkSession) {
 
   /** Accumulated (doc_id, band_key) log across batches; lineage is
     * truncated per batch (localCheckpoint) like the driver-paced loops
-    * in GraphOps/VectorOps.
+    * in GraphOps/VectorOps. `seenBeforeLast` snapshots the log BEFORE
+    * the last ingested batch so a foreachBatch RETRY of that batch can
+    * roll back instead of double-appending; the pre-previous snapshot
+    * is unpersisted as soon as the next batch commits (only the
+    * current batch can replay inside a running query).
     */
   private var seen: DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       bandSchema)
+  private var seenBeforeLast: DataFrame = seen
+  private var lastBatchId: Long = Long.MinValue
+
+  /** Seed the band log after a query RESTART: in production the log is
+    * an append-only table on storage, and a recovered query must
+    * restore it before ingesting — a fresh instance with an empty log
+    * would silently lose every cross-restart candidate pair
+    * (StreamingSpec pins restore ≡ uninterrupted run).
+    */
+  def restore(bandLog: DataFrame): Unit = {
+    seen = bandLog
+      .select(col("doc_id").cast("long").as("doc_id"), col("band_key"))
+      .localCheckpoint(eager = true)
+    seenBeforeLast = seen
+    lastBatchId = Long.MinValue
+  }
 
   /** foreachBatch body: band the batch's (doc_id, text) rows, emit the
     * candidate pairs this batch introduces, append the batch to the
     * band log. Returns the new pairs (doc1 < doc2, n_shared_bands),
-    * materialized — safe to collect or write from the caller.
+    * materialized — safe to collect or write from the caller (the
+    * caller owns the returned checkpoint's lifetime). Re-ingesting the
+    * SAME batchId (a foreachBatch retry after a downstream failure) is
+    * idempotent: the failed attempt's append is rolled back first.
     */
-  def ingest(batchDocs: DataFrame): DataFrame = graft.Caches.scoped {
+  def ingest(batchDocs: DataFrame, batchId: Long): DataFrame = graft.Caches.scoped {
+    if (batchId == lastBatchId && (seen ne seenBeforeLast)) {
+      graft.ext.GraphOps.unpersistCheckpoint(seen)
+      seen = seenBeforeLast
+    }
     val bands = graft.queries.TextPack.bandedKeys(batchDocs)
       .localCheckpoint(eager = true)
     val nn = bands.select(col("doc_id").as("doc1"), col("band_key"))
@@ -73,7 +100,14 @@ final class NearDupStream(spark: SparkSession) {
       .groupBy(col("doc1"), col("doc2"))
       .agg(count(lit(1)).as("n_shared_bands"))
       .localCheckpoint(eager = true)
+    // the snapshot behind the PREVIOUS batch can no longer back a
+    // retry once this batch commits — free its blocks
+    if (seenBeforeLast ne seen)
+      graft.ext.GraphOps.unpersistCheckpoint(seenBeforeLast)
+    seenBeforeLast = seen
     seen = seen.union(bands).localCheckpoint(eager = true)
+    graft.ext.GraphOps.unpersistCheckpoint(bands) // folded into seen
+    lastBatchId = batchId
     pairs
   }
 

@@ -24,11 +24,20 @@ class PlanContractSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
 
   test("q57 BM25: bounded stats broadcast, top-k runs as WindowGroupLimit") {
     Caches.scoped {
-      val plan = executed("q57_bm25_topk")
-      // the 1-row corpus stats is the only side that must broadcast;
-      // the corpus-proportional query set carries NO hint (AQE may
-      // still broadcast it at fixture scale — that's fine; a HINT
-      // there would pin a 100 TB OOM into the plan)
+      val df = SparkEntry.queries("q57_bm25_topk")(spark, dir)
+      // the corpus-proportional query set must carry NO broadcast hint
+      // (a hint there pins a 100 TB OOM into the plan; AQE broadcasting
+      // at runtime when the size fits is fine and indistinguishable
+      // physically, so the contract is on the analyzed plan's hints)
+      val hintedOnQueries = df.queryExecution.analyzed.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+          if h.output.exists(_.name == "q_id") => h
+      }
+      assert(hintedOnQueries.isEmpty,
+        s"query side must not carry a broadcast hint:\n${df.queryExecution.analyzed}")
+      df.collect()
+      val plan = df.queryExecution.executedPlan
+      // the 1-row corpus stats is the only side that MUST broadcast
       assert(collect(plan) { case b: BroadcastExchangeLike => b }.nonEmpty,
         s"corpus stats side must broadcast:\n$plan")
       assert(collect(plan) { case w: WindowGroupLimitExec => w }.nonEmpty,

@@ -219,8 +219,8 @@ class StreamingSpec extends AnyFunSuite {
     val nd = new graft.streaming.NearDupStream(spark)
     val emitted = mutable.ArrayBuffer.empty[(Long, Long, Long)]
     val q = input.toDF().toDF("doc_id", "text").writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        emitted ++= nd.ingest(batch).collect()
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        emitted ++= nd.ingest(batch, bid).collect()
           .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
         ()
       }.start()
@@ -253,6 +253,33 @@ class StreamingSpec extends AnyFunSuite {
     }
     assert(streamedCC == batchCC)
     assert(streamedCC(20L) == 1L && streamedCC(13L) == 2L)
+  }
+
+  test("NearDupStream: batch retry is idempotent, restore() rebuilds state") {
+    import org.apache.spark.sql.DataFrame
+    val dupA = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    def docs(rows: (Long, String)*): DataFrame = rows.toDF("doc_id", "text")
+    def pairsOf(df: DataFrame): Set[(Long, Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val nd = new graft.streaming.NearDupStream(spark)
+    assert(pairsOf(nd.ingest(docs(1L -> dupA,
+      2L -> "one two three four five six seven eight nine ten"), 0)).isEmpty)
+    val p1 = pairsOf(nd.ingest(docs(10L -> dupA), 1))
+    // foreachBatch retry: same batchId replayed after a downstream
+    // failure — the first attempt's append must roll back, or the pair
+    // re-emits with n_shared_bands inflated by the duplicated log rows
+    val p1retry = pairsOf(nd.ingest(docs(10L -> dupA), 1))
+    assert(p1 == p1retry && p1.map(p => (p._1, p._2)) == Set((1L, 10L)))
+    // the batch AFTER a retry sees an un-doubled log: exact counts
+    val p2 = pairsOf(nd.ingest(docs(20L -> dupA), 2))
+    assert(p2.map(p => (p._1, p._2)) == Set((1L, 20L), (10L, 20L)))
+    assert(p2 == p1.flatMap(p => Seq((1L, 20L, p._3), (10L, 20L, p._3))))
+    // restart: a fresh instance restored from the band log continues
+    // exactly like the uninterrupted run
+    val nd2 = new graft.streaming.NearDupStream(spark)
+    nd2.restore(graft.queries.TextPack.bandedKeys(docs(1L -> dupA,
+      2L -> "one two three four five six seven eight nine ten", 10L -> dupA)))
+    assert(pairsOf(nd2.ingest(docs(20L -> dupA), 0)) == p2)
   }
 
   test("session windows: stream emits exactly the closed batch sessions") {
