@@ -53,6 +53,26 @@ object GraphOps {
     *              built internally), self-loops and duplicates fine
     * @return (node, component) — component = min node id reachable;
     *         every node that appears in any edge gets a row
+    *
+    * Round structure: propagate (min over self + neighbor labels) THEN
+    * shortcut (relabel to the label's own label — path halving, as in
+    * HashToMin/pointer-jumping CC). Propagation alone needs
+    * diameter-many rounds; with the shortcut the distance-to-minimum
+    * better-than-doubles per round, so a depth-d chain closes in
+    * O(log d) rounds — and at 100 TB every round is a full-data
+    * shuffle, so round count IS the cost. The shortcut join keys on
+    * `comp`, which concentrates as components converge (every member of
+    * a cluster carries the same comp); the build side is key-UNIQUE
+    * (one row per node), so AQE's skew-join split of the probe side
+    * applies when a 10⁸-member component makes the key hot.
+    *
+    * Convergence probe: labels are monotonically non-increasing (every
+    * round takes a min that includes the current label), so the label
+    * SUM is strictly decreasing until the fixpoint and equal exactly at
+    * it — one tiny aggregate per round instead of a node-keyed
+    * prev/next join. Summed as decimal(38,0): exact for any node-id
+    * range (an int64 sum could wrap at 10¹² 2⁶³-scale ids and alias a
+    * non-converged round onto a converged-looking sum).
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
       maxIters: Int = 20): DataFrame = {
@@ -66,32 +86,45 @@ object GraphOps {
     var labels = sym.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("comp"))
       .localCheckpoint(eager = true)
+    var prevSum: java.math.BigDecimal = null
     var iter = 0
     var converged = false
-    // per-round changed-label counts: convergence observability for a
+    // per-round label-mass deltas: convergence observability for a
     // 100 TB run (and the evidence in the failure message below)
-    val changedPerRound = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val deltaPerRound = scala.collection.mutable.ArrayBuffer.empty[java.math.BigDecimal]
     while (iter < maxIters && !converged) {
-      // neighbor labels: edge (src,dst) contributes label(src) to dst
+      // propagate: edge (src,dst) contributes label(src) to dst
       val nbr = sym.join(labels.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"), col("comp"))
-      // lazy checkpoint: the convergence count below is the round's ONE
-      // action — it materializes the checkpoint AND counts changed
-      // labels in the same job (an eager checkpoint would pay a second
-      // full pass per round)
-      val next = nbr.union(labels)
+      val prop = nbr.union(labels)
         .groupBy(col("node")).agg(min(col("comp")).as("comp"))
+      // shortcut: comp := labels(comp), read from the PREVIOUS round's
+      // checkpoint — not from `prop` itself, which would plan the whole
+      // propagate subtree twice (one per join input; the two exchanges
+      // key on different columns, so ReuseExchange cannot merge them).
+      // labels(comp) <= comp always (comp is a node id and every label
+      // is <= its node id), so the relabel IS the min and the
+      // monotone-sum invariant below is preserved; the one-round-stale
+      // lookup still composes to distance-doubling per round.
+      val next = prop.join(
+          labels.select(col("node").as("comp"), col("comp").as("comp2")), "comp")
+        .select(col("node"), col("comp2").as("comp"))
         .localCheckpoint(eager = false)
-      val changed = next.join(labels.withColumnRenamed("comp", "prev"), "node")
-        .filter(col("comp") =!= col("prev")).count()
-      changedPerRound += changed
+      // the round's ONE action: materializes the lazy checkpoint AND
+      // computes the convergence sum in the same job
+      val sumRaw = next.agg(org.apache.spark.sql.functions.sum(
+          col("comp").cast("decimal(38,0)")).as("s"))
+        .head.getDecimal(0)
+      val sum = if (sumRaw == null) java.math.BigDecimal.ZERO else sumRaw // empty graph
+      deltaPerRound += (if (prevSum == null) sum else prevSum.subtract(sum))
+      converged = prevSum != null && prevSum.compareTo(sum) == 0
+      prevSum = sum
       unpersistCheckpoint(labels) // next is materialized; free the old round
       labels = next
-      converged = changed == 0
       iter += 1
     }
     require(converged, s"connectedComponents did not converge in $maxIters rounds " +
-      s"(changed labels per round: ${changedPerRound.mkString(", ")} — " +
+      s"(label-mass delta per round: ${deltaPerRound.mkString(", ")} — " +
       "graph diameter exceeds the bound; raise maxIters or switch to " +
       "starComponents, the large-star/small-star contraction)")
     labels
@@ -164,7 +197,11 @@ object GraphOps {
     var iter = 0
     var stable = false
     while (iter < maxIters && !stable) {
-      val next = canonical(smallStar(largeStar(cur))).localCheckpoint(eager = true)
+      // lazy checkpoint: the fixpoint probe below is the round's ONE
+      // action — it materializes the checkpoint and computes the
+      // symmetric difference in the same job (an eager checkpoint would
+      // pay a second full pass per round)
+      val next = canonical(smallStar(largeStar(cur))).localCheckpoint(eager = false)
       // fixpoint = empty symmetric difference, as ONE action (a full
       // outer join on the canonical edge) instead of two anti-join
       // isEmpty probes — the loop is driver-paced, so per-round action

@@ -130,10 +130,19 @@ object CurationPack {
 
   private[graft] def repetitionFilterFrom(docs: DataFrame): DataFrame = {
     val t = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+    repetitionFilterOn(t, bigramRows(t))
+  }
+
+  /** The q56 gate over a pre-tokenized (doc_id, toks) frame and its
+    * bigram rows — q68 persists both ONCE and feeds the q56 and q66
+    * gates the same frames, so the corpus build explodes bigrams a
+    * single time instead of once per gate.
+    */
+  private def repetitionFilterOn(t: DataFrame, bigrams: DataFrame): DataFrame = {
     val base = t.select(col("doc_id"),
       size(col("toks")).cast("long").as("n_words"),
       size(array_distinct(col("toks"))).cast("long").as("n_distinct_words"))
-    val top = bigramRows(t).groupBy(col("doc_id"), col("bg"))
+    val top = bigrams.groupBy(col("doc_id"), col("bg"))
       .agg(count(lit(1)).as("n"))
       .groupBy(col("doc_id"))
       .agg(min(struct((-col("n")).as("neg"), col("bg"))).as("m"))
@@ -374,7 +383,15 @@ object CurationPack {
   private[graft] def bigramLikelihoodFrom(docs: DataFrame): DataFrame = {
     val t = graft.Caches.persisted(docs
       .select(col("doc_id"), split(col("text"), " ").as("toks")))
-    val bigrams = graft.Caches.persisted(bigramRows(t))
+    bigramLikelihoodOn(t, graft.Caches.persisted(bigramRows(t)))
+  }
+
+  /** The q66 gate over pre-tokenized/pre-exploded frames (see
+    * [[repetitionFilterOn]]) — both inputs should be persisted by the
+    * caller: each is read twice (unigram + bigram counts, then the
+    * per-doc score join).
+    */
+  private def bigramLikelihoodOn(t: DataFrame, bigrams: DataFrame): DataFrame = {
     val uni = t.select(explode(col("toks")).as("w1"))
       .groupBy(col("w1")).agg(count(lit(1)).as("cu"))
     val bi = bigrams.groupBy(col("bg")).agg(count(lit(1)).as("cb"))
@@ -408,13 +425,21 @@ object CurationPack {
     * is vocabulary-sized and semi-join-shaped, never a broadcast of
     * raw text.
     */
-  /** (doc_id, sh) distinct-8-gram rows of candidates overlapping the
+  /** (doc_id, sh) OCCURRENCE rows of candidate 8-grams overlapping the
     * `doc_id % 101 == 0` benchmark split — shared by q67 and q68 so the
-    * shingle width and bench predicate have one definition.
+    * shingle width and bench predicate have one definition. Shingles
+    * come from [[TextOps.shingleRows]] (posexplode + window lead,
+    * codegen'd — 3× the array-HOF route, which is interpreted and
+    * breaks the whole-stage span), so a doc repeating a leaked phrase
+    * emits it once per occurrence; consumers that need set semantics
+    * dedup on their own grain (q67 `count_distinct`, q68 `distinct`
+    * doc ids). The bench side stays a global-distinct shingle set —
+    * benchmarks are finite, so at 100 TB it is the bounded build side
+    * of the join while the corpus side never re-shuffles its raw text.
     */
   private def benchOverlaps(docs: DataFrame): DataFrame = {
-    val shingled = docs.select(col("doc_id"),
-      explode(TextOps.wordShingles(col("text"), 8)).as("sh"))
+    val shingled = TextOps.shingleRows(docs, "doc_id", "text", 8)
+      .select(col("doc_id"), col("_s").as("sh"))
     val bench = shingled.filter(col("doc_id") % 101 === 0)
       .select(col("sh")).distinct()
     shingled.filter(col("doc_id") % 101 =!= 0).join(bench, "sh")
@@ -428,7 +453,7 @@ object CurationPack {
           .otherwise(col("text")).as("text")))
     benchOverlaps(planted)
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_overlapping_shingles"))
+      .agg(count_distinct(col("sh")).as("n_overlapping_shingles"))
       .orderBy(col("doc_id"))
   }
 
@@ -461,10 +486,15 @@ object CurationPack {
       .select(col("node").as("doc_id"))
 
     // content gates: the SAME code paths the individual q56/q66 gates
-    // verify, fed the one persisted docs relation
-    val repKeep = repetitionFilterFrom(docs)
+    // verify, fed ONE persisted tokenization + bigram explode (each
+    // gate alone re-derives them; composed, sharing halves the two
+    // heaviest scans of the build)
+    val t = graft.Caches.persisted(docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks")))
+    val bigrams = graft.Caches.persisted(bigramRows(t))
+    val repKeep = repetitionFilterOn(t, bigrams)
       .filter(col("keep") === 1L).select(col("doc_id"))
-    val lmKeep = bigramLikelihoodFrom(docs)
+    val lmKeep = bigramLikelihoodOn(t, bigrams)
       .filter(col("keep") === 1L).select(col("doc_id"))
 
     // eval holdout + decontamination (natural 8-gram overlap only)

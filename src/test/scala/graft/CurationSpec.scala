@@ -122,21 +122,22 @@ class CurationSpec extends AnyFunSuite {
     assert(got(13) == expect) // partitioning must not change the answer
   }
 
-  test("connectedComponents: non-convergence reports per-round changed counts") {
+  test("connectedComponents: non-convergence reports per-round deltas") {
     import spark.implicits._
-    // a 30-hop path cannot converge in 3 rounds; the failure message
-    // must carry the convergence trace (one changed-count per round) so
-    // a 100 TB operator can see progress, not just the bound
-    val path = (0L until 30L).map(i => (i, i + 1))
+    // a 3000-hop path cannot converge in 3 shortcutted rounds; the
+    // failure message must carry the convergence trace (one label-mass
+    // delta per round) so a 100 TB operator can see progress, not just
+    // the bound
+    val path = (0L until 3000L).map(i => (i, i + 1))
     val ex = intercept[IllegalArgumentException] {
       Caches.scoped {
         GraphOps.connectedComponents(path.toDF("src", "dst"), "src", "dst",
           maxIters = 3).collect()
       }
     }
-    assert(ex.getMessage.contains("changed labels per round"))
+    assert(ex.getMessage.contains("label-mass delta per round"))
     assert("""\d+, \d+, \d+""".r.findFirstIn(ex.getMessage).isDefined,
-      s"expected three per-round counts in: ${ex.getMessage}")
+      s"expected three per-round deltas in: ${ex.getMessage}")
   }
 
   test("groupedRunningAgg: equals the per-group window, numParts-invariant on skew") {
