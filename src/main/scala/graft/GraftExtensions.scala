@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{Base58, DotLong, PyRepr}
+import graft.functions.{Base58, DotLong, PyRepr, Shingles}
 
 /** Spark-native integration point: registers the engine's custom codegen
   * expressions in the SQL function registry so plain `spark.sql(...)`
@@ -53,6 +53,23 @@ object GraftExtensions {
       { args =>
         require(args.length == 1, s"py_repr expects 1 argument, got ${args.length}")
         PyRepr(args(0))
+      }),
+    ("word_shingles",
+      info("word_shingles",
+        "word_shingles(text, n) - array of word n-gram shingle occurrences (codegen, per-row)"),
+      { args =>
+        require(args.length == 2, s"word_shingles expects 2 arguments, got ${args.length}")
+        val n = args(1) match {
+          case e if e.foldable => e.eval() match {
+            case i: Int => i
+            case l: Long => l.toInt
+            case other => throw new IllegalArgumentException(
+              s"word_shingles width must be an integer literal, got $other")
+          }
+          case _ => throw new IllegalArgumentException(
+            "word_shingles width must be a literal (it shapes the plan)")
+        }
+        Shingles.WordShinglesExpr(args(0), n)
       }))
 
   /** Register on an already-built session (tests, notebook sessions). */

@@ -159,8 +159,13 @@ object GraphOps {
     * CurationSpec proves the two algorithms label-identical on cliques,
     * deep paths, stars, forests and pseudo-random graphs.
     */
+  /** @param trace per-round observability hook `(round, edgesChanged,
+    *               seconds)` — a 100 TB run wires this to its metrics
+    *               sink; defaults to no-op
+    */
   def starComponents(edges: DataFrame, srcCol: String, dstCol: String,
-      maxIters: Int = 50): DataFrame = {
+      maxIters: Int = 50,
+      trace: (Int, Long, Double) => Unit = (_, _, _) => ()): DataFrame = {
     val e0 = edges.select(col(srcCol).cast("long").as("u"),
       col(dstCol).cast("long").as("v"))
     // isolated self-loop nodes drop out of the contraction (no real
@@ -197,6 +202,7 @@ object GraphOps {
     var iter = 0
     var stable = false
     while (iter < maxIters && !stable) {
+      val t0 = System.nanoTime
       // lazy checkpoint: the fixpoint probe below is the round's ONE
       // action — it materializes the checkpoint and computes the
       // symmetric difference in the same job (an eager checkpoint would
@@ -215,6 +221,7 @@ object GraphOps {
       unpersistCheckpoint(cur) // fixpoint test done; free the old round
       cur = next
       iter += 1
+      trace(iter, diff, (System.nanoTime - t0) / 1e9)
     }
     require(stable, s"starComponents did not converge in $maxIters rounds")
     // star forest: (u, v) = (node, component min); minima + isolated

@@ -52,14 +52,20 @@ object TextOps {
   def fingerprint(text: Column): Column = md5(text)
 
   /** Distinct word n-gram shingles: sequence + slice + concat_ws, no UDF. */
-  def wordShingles(text: Column, n: Int = 3): Column = {
-    val toks = tokens(text)
-    val count = size(toks) - (n - 1)
-    // sequence(1, k) descends when k < 1 — guard short docs explicitly
-    when(count >= 1,
-      array_distinct(transform(sequence(lit(1), count),
-        i => concat_ws(" ", slice(toks, i, lit(n))))))
-      .otherwise(array().cast("array<string>"))
+  /** DISTINCT shingle set per doc (array_distinct keeps first
+    * occurrence, same as the historical HOF formulation). The shingling
+    * itself is [[graft.functions.Shingles.WordShinglesExpr]] — one
+    * codegen'd per-row expression over zero-copy byte slices; the HOF
+    * route (`transform(sequence, slice)`) is interpreted and ~3× slower.
+    */
+  def wordShingles(text: Column, n: Int = 3): Column =
+    array_distinct(shingleArray(text, n))
+
+  /** Shingle OCCURRENCE array (non-distinct), codegen'd and per-row. */
+  def shingleArray(text: Column, n: Int): Column = {
+    import org.apache.spark.sql.graftbridge
+    graftbridge.column(
+      graft.functions.Shingles.WordShinglesExpr(graftbridge.expression(text), n))
   }
 
   /** 32-bit deterministic string hash from the md5 hex prefix —
@@ -162,20 +168,15 @@ object TextOps {
         .select(col(idCol), hash32(col("_s")).as("_h")),
       idCol, "_h", k)
 
-  /** Word n-gram shingles via posexplode + window lead — codegen'd (the
-    * array-HOF route is interpreted) and streaming-friendly per doc.
-    * Emits one row per shingle occurrence (not distinct).
+  /** Word n-gram shingle rows, one per occurrence (not distinct) —
+    * explode of the codegen'd per-row [[shingleArray]]. The historical
+    * posexplode + window `lead` formulation shuffled the tokenized
+    * corpus on doc id (a full-data exchange at 100 TB for a per-row
+    * computation); this one has NO exchange below the Generate and
+    * stays inside the whole-stage span (PlanContractSpec pins both).
     */
-  def shingleRows(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val toks = df.select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("_pos", "_tok")))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("_pos"))
-    val leads = (1 until n).map(i => lead(col("_tok"), i).over(w).as(s"_t$i"))
-    toks.select((col(idCol) +: col("_tok") +: leads): _*)
-      .filter(col(s"_t${n - 1}").isNotNull)
-      .select(col(idCol),
-        concat_ws(" ", (col("_tok") +: (1 until n).map(i => col(s"_t$i"))): _*).as("_s"))
-  }
+  def shingleRows(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
+    df.select(col(idCol), explode(shingleArray(col(textCol), n)).as("_s"))
 
   /** LSH band keys from a MinHash signature: bands of `r` rows, each band
     * keyed by its joined values — join candidates share ≥1 band key.

@@ -73,6 +73,25 @@ object Profile {
     }
     time("q70_full")(graft.Caches.scoped(
       graft.SparkEntry.queries("q70_star_components")(spark, dir).collect().length))
+    // star round trace on the q70 graph
+    graft.Caches.scoped {
+      val docs = graft.Tables.documents(spark, dir).select(col("doc_id"),
+        when(col("doc_id") % 25 === 0,
+          lit("planted duplicate cluster alpha beta gamma delta epsilon zeta eta"))
+          .otherwise(col("text")).as("text"))
+      val lshEdges = graft.queries.TextPack.lshCandidatePairsFrom(docs)
+        .select(col("doc1").as("src"), col("doc2").as("dst"))
+      val ids = docs.select(col("doc_id"))
+      val deep = ids
+        .filter(col("doc_id") % 10 === 7 && expr("(doc_id div 10) % 64") =!= 63)
+        .select(col("doc_id").as("src"), (col("doc_id") + 10).as("dst"))
+        .join(ids.select(col("doc_id").as("dst")), Seq("dst"), "left_semi")
+      val edges = lshEdges.union(deep).localCheckpoint(true)
+      time("q70_star_only")(graft.ext.GraphOps.starComponents(edges, "src", "dst",
+        trace = (r, d, s) => println(f"STAR round=$r diff=$d ${s}%.2f s")).count())
+      time("q70_cc_shortcut_only")(graft.ext.GraphOps.connectedComponents(
+        edges, "src", "dst", maxIters = 30).count())
+    }
     spark.stop()
   }
 }

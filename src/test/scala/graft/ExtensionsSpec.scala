@@ -47,7 +47,7 @@ class ExtensionsSpec extends AnyFunSuite {
     // apply() must not throw when handed a fresh extensions object
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
     assert(GraftExtensions.registrations.map(_._1) ==
-      Seq("dot_long", "base58_valid", "py_repr"))
+      Seq("dot_long", "base58_valid", "py_repr", "word_shingles"))
 
     // evaluate each builder's expression directly — a swapped argument or
     // arity bug fails here without needing a second SparkSession
@@ -59,5 +59,12 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(byName("py_repr")(Seq(Literal(37.5))).eval(null).toString == "37.5")
     intercept[IllegalArgumentException](byName("dot_long")(Seq(arr)))
     intercept[IllegalArgumentException](byName("base58_valid")(Seq(mint, mint)))
+    assert(byName("word_shingles")(Seq(Literal("a b c"), Literal(2))).eval(null)
+      .asInstanceOf[ArrayData].array.map(_.toString).toSeq == Seq("a b", "b c"))
+    // width must be a literal — it shapes the plan, not the data
+    intercept[IllegalArgumentException](
+      byName("word_shingles")(Seq(Literal("a b c"),
+        org.apache.spark.sql.catalyst.expressions.AttributeReference(
+          "n", org.apache.spark.sql.types.IntegerType)())))
   }
 }

@@ -165,4 +165,49 @@ class FunctionsSpec extends AnyFunSuite {
     // name falls back to symbol before the literal default
     assert(TokenProfile(symbol = Some("X")).toTradingPair.base_token_name == "X")
   }
+
+  test("word_shingles expression ≡ HOF formulation, incl. empty-token edge cases") {
+    import graft.ext.TextOps
+    // the historical interpreted formulation, kept here as the oracle
+    def hofShingles(text: Column, n: Int): Column = {
+      val toks = split(text, " ")
+      val count = size(toks) - (n - 1)
+      when(count >= 1,
+        array_distinct(transform(sequence(lit(1), count),
+          i => concat_ws(" ", slice(toks, i, lit(n))))))
+        .otherwise(array().cast("array<string>"))
+    }
+    val fixtures = Seq(
+      "alpha beta gamma delta", "one", "", "a b", "a  b", " lead", "trail ",
+      "x y x y x y", "双字节 字符 混合 ascii test", "a b c d e f g h i",
+      "repeat repeat repeat repeat", "  ", "tab\tis one token here")
+    for (n <- Seq(1, 2, 3, 8)) {
+      val df = fixtures.toDF("text")
+      val got = df.select(TextOps.shingleArray(col("text"), n).as("s")).collect()
+        .map(_.getSeq[String](0))
+      val distinctGot = df.select(TextOps.wordShingles(col("text"), n).as("s"))
+        .collect().map(_.getSeq[String](0))
+      val want = df.select(hofShingles(col("text"), n).as("s")).collect()
+        .map(_.getSeq[String](0))
+      // distinct variant matches the HOF oracle exactly (order included)
+      assert(distinctGot.toSeq == want.toSeq, s"n=$n distinct mismatch")
+      // occurrence variant: distinct-preserving-first-occurrence == oracle
+      assert(got.map(_.distinct).toSeq == want.toSeq, s"n=$n occurrence mismatch")
+    }
+    // occurrence multiplicity is preserved (the repetition gates count it)
+    val occ = Seq("x y x y x y").toDF("text")
+      .select(TextOps.shingleArray(col("text"), 2).as("s")).collect()(0).getSeq[String](0)
+    assert(occ == Seq("x y", "y x", "x y", "y x", "x y"))
+    // null text → empty array, both variants (matches the HOF otherwise-branch)
+    val nullDf = Seq(Option.empty[String]).toDF("text")
+    assert(nullDf.select(TextOps.shingleArray(col("text"), 3)).collect()(0)
+      .getSeq[String](0).isEmpty)
+    assert(nullDf.select(TextOps.wordShingles(col("text"), 3)).collect()(0)
+      .getSeq[String](0).isEmpty)
+    // SQL registration path
+    GraftExtensions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT word_shingles('a b c d', 3) AS s").collect()(0).getSeq[String](0)
+    assert(viaSql == Seq("a b c", "b c d"))
+  }
 }

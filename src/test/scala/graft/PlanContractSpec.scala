@@ -69,6 +69,24 @@ class PlanContractSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("shingleRows: per-row codegen — no exchange, no window, in the whole-stage span") {
+    Caches.scoped {
+      val df = graft.ext.TextOps.shingleRows(
+        Tables.documents(spark, dir), "doc_id", "text", 3)
+      df.collect()
+      val plan = df.queryExecution.executedPlan
+      assert(collect(plan) {
+        case e: org.apache.spark.sql.execution.exchange.Exchange => e }.isEmpty,
+        s"shingling is per-row; any exchange is a regression:\n$plan")
+      assert(collect(plan) {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w }.isEmpty,
+        s"the window-lead formulation is the shuffle we removed:\n$plan")
+      assert(collect(plan) {
+        case c: org.apache.spark.sql.execution.WholeStageCodegenExec => c }.nonEmpty,
+        s"expected the Generate pipeline inside a whole-stage span:\n$plan")
+    }
+  }
+
   test("q62 HLL: the only broadcast is the 64-bucket frame") {
     Caches.scoped {
       val plan = executed("q62_hll_distinct")
