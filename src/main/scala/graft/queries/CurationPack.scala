@@ -111,26 +111,25 @@ object CurationPack {
     * top bigram is (count desc, bigram asc) via a single min(struct)
     * aggregate — no window over the bigram counts.
     */
-  /** Counting bigram rows (NOT distinct — TextOps.wordShingles dedups,
-    * a repetition score must not), guarded like wordShingles: a
-    * 0/1-token doc yields no rows instead of a descending
-    * sequence(1, 0) blowing up slice() at runtime.
+  /** Bigram OCCURRENCE rows (NOT distinct — a repetition score must
+    * count repeats): explode of the codegen'd per-row
+    * [[graft.functions.Shingles.WordShinglesExpr]] 2-gram array, with
+    * `w1` (the leading unigram, the q66 conditional's denominator key)
+    * recovered by `substring_index` — every step codegen'd; the
+    * historical `transform(sequence, slice)` struct build was
+    * interpreted. A 0/1-token doc yields no rows (empty shingle array).
     */
-  private def bigramRows(t: DataFrame): DataFrame =
-    t.select(col("doc_id"),
-      explode(when(size(col("toks")) >= 2,
-        transform(sequence(lit(1), size(col("toks")) - 1),
-          i => struct(element_at(col("toks"), i).as("w1"),
-            concat_ws(" ", slice(col("toks"), i, lit(2))).as("bg"))))
-        .otherwise(array().cast("array<struct<w1:string,bg:string>>"))).as("p"))
-      .select(col("doc_id"), col("p.w1"), col("p.bg"))
+  private def bigramRows(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      explode(TextOps.shingleArray(col("text"), 2)).as("bg"))
+      .select(col("doc_id"), substring_index(col("bg"), " ", 1).as("w1"), col("bg"))
 
   def repetitionFilter(spark: SparkSession, dir: String): DataFrame =
     repetitionFilterFrom(Tables.documents(spark, dir))
 
   private[graft] def repetitionFilterFrom(docs: DataFrame): DataFrame = {
     val t = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
-    repetitionFilterOn(t, bigramRows(t))
+    repetitionFilterOn(t, bigramRows(docs))
   }
 
   /** The q56 gate over a pre-tokenized (doc_id, toks) frame and its
@@ -383,7 +382,7 @@ object CurationPack {
   private[graft] def bigramLikelihoodFrom(docs: DataFrame): DataFrame = {
     val t = graft.Caches.persisted(docs
       .select(col("doc_id"), split(col("text"), " ").as("toks")))
-    bigramLikelihoodOn(t, graft.Caches.persisted(bigramRows(t)))
+    bigramLikelihoodOn(t, graft.Caches.persisted(bigramRows(docs)))
   }
 
   /** The q66 gate over pre-tokenized/pre-exploded frames (see
@@ -491,7 +490,7 @@ object CurationPack {
     // heaviest scans of the build)
     val t = graft.Caches.persisted(docs
       .select(col("doc_id"), split(col("text"), " ").as("toks")))
-    val bigrams = graft.Caches.persisted(bigramRows(t))
+    val bigrams = graft.Caches.persisted(bigramRows(docs))
     val repKeep = repetitionFilterOn(t, bigrams)
       .filter(col("keep") === 1L).select(col("doc_id"))
     val lmKeep = bigramLikelihoodOn(t, bigrams)
