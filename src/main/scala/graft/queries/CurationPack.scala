@@ -119,7 +119,7 @@ object CurationPack {
     * historical `transform(sequence, slice)` struct build was
     * interpreted. A 0/1-token doc yields no rows (empty shingle array).
     */
-  private def bigramRows(docs: DataFrame): DataFrame =
+  private[graft] def bigramRows(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       explode(TextOps.shingleArray(col("text"), 2)).as("bg"))
       .select(col("doc_id"), substring_index(col("bg"), " ", 1).as("w1"), col("bg"))
@@ -257,7 +257,7 @@ object CurationPack {
     * tens of TB through one core at 100 TB. The quota join stays a
     * broadcast (the quota table has one row per source).
     */
-  private def sqrtQuotaCap(docs: DataFrame): DataFrame = {
+  private[graft] def sqrtQuotaCap(docs: DataFrame): DataFrame = {
     val hashed = docs.withColumn("h",
       TextOps.hash32(concat(lit("cap:"), col("doc_id").cast("string"))))
     val quotas = hashed.groupBy(col("source"))
@@ -385,17 +385,30 @@ object CurationPack {
     bigramLikelihoodOn(t, graft.Caches.persisted(bigramRows(docs)))
   }
 
-  /** The q66 gate over pre-tokenized/pre-exploded frames (see
-    * [[repetitionFilterOn]]) — both inputs should be persisted by the
-    * caller: each is read twice (unigram + bigram counts, then the
-    * per-doc score join).
+  /** Corpus LM stats: per-unigram count `(w1, cu)` and per-bigram count
+    * `(bg, cb)` — the "model" the q66 gate scores against. Exposed so
+    * [[graft.streaming.CurationStream]] can FREEZE a snapshot of them
+    * and score incoming micro-batches against fixed counts (the
+    * standard shape of a streaming perplexity filter: the reference
+    * model is batch-trained, scoring is per-row).
     */
-  private def bigramLikelihoodOn(t: DataFrame, bigrams: DataFrame): DataFrame = {
-    val uni = t.select(explode(col("toks")).as("w1"))
-      .groupBy(col("w1")).agg(count(lit(1)).as("cu"))
-    val bi = bigrams.groupBy(col("bg")).agg(count(lit(1)).as("cb"))
-    val scored = bigrams.join(bi, "bg").join(uni, "w1")
-      .withColumn("p_fp", floor(lit(FracScale) * col("cb") / col("cu")).cast("long"))
+  private[graft] def lmStats(t: DataFrame, bigrams: DataFrame): (DataFrame, DataFrame) = (
+    t.select(explode(col("toks")).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("cu")),
+    bigrams.groupBy(col("bg")).agg(count(lit(1)).as("cb")))
+
+  /** The q66 scoring formula over arbitrary (uni, bi) count tables.
+    * Bigrams absent from the stats contribute p_fp = 0 (left join +
+    * coalesce): impossible when the stats come from the scored corpus
+    * itself (the q66/q68 path — so oracle parity is untouched), the
+    * pessimistic-but-deterministic choice when a frozen snapshot scores
+    * later-arriving text.
+    */
+  private[graft] def bigramLikelihoodScored(bigrams: DataFrame,
+      uni: DataFrame, bi: DataFrame): DataFrame = {
+    val scored = bigrams.join(bi, Seq("bg"), "left").join(uni, Seq("w1"), "left")
+      .withColumn("p_fp",
+        coalesce(floor(lit(FracScale) * col("cb") / col("cu")).cast("long"), lit(0L)))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("p_fp")).as("sum_p_fp"))
     scored
@@ -406,6 +419,16 @@ object CurationPack {
       .select(col("doc_id"), col("n_bigrams"), col("sum_p_fp"),
         col("score_fp"), col("keep"))
       .orderBy(col("doc_id"))
+  }
+
+  /** The q66 gate over pre-tokenized/pre-exploded frames (see
+    * [[repetitionFilterOn]]) — both inputs should be persisted by the
+    * caller: each is read twice (unigram + bigram counts, then the
+    * per-doc score join).
+    */
+  private def bigramLikelihoodOn(t: DataFrame, bigrams: DataFrame): DataFrame = {
+    val (uni, bi) = lmStats(t, bigrams)
+    bigramLikelihoodScored(bigrams, uni, bi)
   }
 
   // ---------------------------------------------------------------- q67
@@ -436,7 +459,7 @@ object CurationPack {
     * benchmarks are finite, so at 100 TB it is the bounded build side
     * of the join while the corpus side never re-shuffles its raw text.
     */
-  private def benchOverlaps(docs: DataFrame): DataFrame = {
+  private[graft] def benchOverlaps(docs: DataFrame): DataFrame = {
     val shingled = TextOps.shingleRows(docs, "doc_id", "text", 8)
       .select(col("doc_id"), col("_s").as("sh"))
     val bench = shingled.filter(col("doc_id") % 101 === 0)

@@ -1,0 +1,223 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Incremental corpus curation over micro-batches — the streaming form
+  * of the q68 corpus build. Each micro-batch of (doc_id, source, text)
+  * gets a PER-DOC decision row immediately; the corpus-global stages
+  * reconcile in batch from accumulated keyed state, following the
+  * pairs-stream/groups-reconcile contract of [[NearDupStream]].
+  *
+  * Gate-by-gate streaming posture:
+  *
+  *   - exact dedup — keyed state (the fingerprint log): a new doc is a
+  *     provisional keep iff its md5 is unseen AND it is the smallest
+  *     doc_id bearing that md5 within its own batch. With batches
+  *     arriving in doc_id order this IS the batch rule (min doc per
+  *     fingerprint); out of order, reconcile() re-elects the min.
+  *   - near-dup — [[NearDupStream]]'s band log emits the batch's new
+  *     candidate pairs; a doc is a provisional keep iff no emitted pair
+  *     links it to an already-emitted doc (or a smaller id in its own
+  *     batch). Transitive components that only form via LATER docs
+  *     cannot be known yet — that is exactly why components reconcile.
+  *   - repetition gate (q56) — per-doc, stateless: identical to batch.
+  *   - LM-likelihood gate (q66) — scored against FROZEN (uni, bi)
+  *     count tables ([[graft.queries.CurationPack.lmStats]]): the
+  *     reference model is batch-trained, scoring is per-row (the
+  *     standard streaming perplexity-filter shape). Bigrams unknown to
+  *     the frozen stats contribute 0, deterministically.
+  *   - decontamination (q67) — membership against a STATIC benchmark
+  *     8-gram set (benchmarks are finite): per-doc, stateless.
+  *   - domain cap (q58) — corpus-global by definition; reconcile-only.
+  *
+  * reconcile() recomposes the EXACT batch q68 output from the logs
+  * without re-shingling anything: min-per-fingerprint from the fp log,
+  * connected components over the accumulated pair log, stored per-doc
+  * gate bits, then the sqrt quota cap — StreamingSpec proves it equals
+  * `CurationPack.corpusBuild` row-for-row when the frozen stats/bench
+  * set come from the same corpus.
+  *
+  * State scale: every log is O(corpus) on STORAGE (append-only tables
+  * in production; the in-memory frames here stand in for them, lineage
+  * truncated per batch), never executor memory. Retry of the same
+  * batchId rolls back the failed attempt's appends first — same
+  * idempotence contract as [[NearDupStream.ingest]].
+  */
+final class CurationStream(spark: SparkSession,
+    frozenUni: DataFrame, frozenBi: DataFrame, benchShingles: DataFrame) {
+
+  import CurationStream.Log
+
+  private val nd = new NearDupStream(spark)
+  private val bench = graft.Caches.persisted(
+    benchShingles.select(col("sh")).distinct())
+
+  private val fpLog = new Log(spark, StructType(Seq(
+    StructField("fp", StringType, nullable = true),
+    StructField("doc_id", LongType, nullable = false))))
+  private val pairLog = new Log(spark, StructType(Seq(
+    StructField("doc1", LongType, nullable = false),
+    StructField("doc2", LongType, nullable = false))))
+  private val docLog = new Log(spark, StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("source", StringType, nullable = true),
+    StructField("n_tokens", LongType, nullable = true),
+    StructField("is_bench", BooleanType, nullable = false),
+    StructField("keep_rep", BooleanType, nullable = false),
+    StructField("keep_lm", BooleanType, nullable = false),
+    StructField("contaminated", BooleanType, nullable = false))))
+  private var lastBatchId: Long = Long.MinValue
+
+  /** Per-doc decisions for one micro-batch; appends all logs. Columns:
+    * doc_id, source, n_tokens, is_bench, keep_exact, keep_neardup
+    * (provisional), keep_rep, keep_lm, contaminated, keep (the AND).
+    * Re-ingesting the same batchId first rolls back the failed
+    * attempt's appends (foreachBatch retry contract).
+    */
+  def ingest(batchDocs: DataFrame, batchId: Long): DataFrame = graft.Caches.scoped {
+    if (batchId == lastBatchId) {
+      fpLog.rollback(); pairLog.rollback(); docLog.rollback()
+    }
+    val batch = graft.Caches.persisted(batchDocs
+      .select(col("doc_id").cast("long").as("doc_id"), col("source"), col("text")))
+
+    // exact dedup: unseen fingerprint AND first (min doc_id) in batch
+    val fps = batch.select(md5(col("text")).as("fp"), col("doc_id"))
+    val batchFirst = fps.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val exactKeep = fps
+      .join(fpLog.cur.select(col("fp")).distinct(), Seq("fp"), "left_anti")
+      .select(col("doc_id"))
+      .join(batchFirst, Seq("doc_id"), "left_semi")
+
+    // near-dup: the batch's new candidate pairs from the band log
+    val pairs = nd.ingest(batch.select(col("doc_id"), col("text")), batchId)
+    val batchIds = batch.select(col("doc_id"))
+    val members = pairs.select(col("doc1").as("member"), col("doc2").as("other"))
+      .union(pairs.select(col("doc2").as("member"), col("doc1").as("other")))
+      .join(batchIds.select(col("doc_id").as("member")), Seq("member"), "left_semi")
+    // drop a batch member linked to an earlier-emitted doc, or to a
+    // smaller id within its own batch (in-id-order arrival this is the
+    // batch min-member election; reconcile() is exact regardless)
+    val nearDrop = members
+      .join(batchIds.select(col("doc_id").as("other"),
+        lit(true).as("_in_batch")), Seq("other"), "left")
+      .filter(col("_in_batch").isNull || col("other") < col("member"))
+      .select(col("member").as("doc_id")).distinct()
+
+    // stateless gates, the SAME code paths the batch operators verify
+    val rep = graft.queries.CurationPack.repetitionFilterFrom(batch)
+      .select(col("doc_id"), (col("keep") === 1L).as("keep_rep"))
+    val lm = graft.queries.CurationPack.bigramLikelihoodScored(
+        graft.queries.CurationPack.bigramRows(batch), frozenUni, frozenBi)
+      .select(col("doc_id"), (col("keep") === 1L).as("keep_lm"))
+    // bench docs trivially self-overlap; like the batch gate, only
+    // TRAINING candidates can be contaminated
+    val contam = graft.ext.TextOps.shingleRows(
+        batch.filter(col("doc_id") % 101 =!= 0), "doc_id", "text", 8)
+      .select(col("doc_id"), col("_s").as("sh"))
+      .join(bench, Seq("sh"), "left_semi")
+      .select(col("doc_id")).distinct()
+
+    val decisions = batch
+      .select(col("doc_id"), col("source"),
+        graft.ext.TextOps.tokenCount(col("text")).as("n_tokens"),
+        (col("doc_id") % 101 === 0).as("is_bench"))
+      .join(exactKeep.select(col("doc_id"), lit(true).as("keep_exact")),
+        Seq("doc_id"), "left")
+      .join(nearDrop.select(col("doc_id"), lit(true).as("_nd")), Seq("doc_id"), "left")
+      .join(rep, Seq("doc_id"), "left")
+      .join(lm, Seq("doc_id"), "left")
+      .join(contam.select(col("doc_id"), lit(true).as("_ct")), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("is_bench"),
+        coalesce(col("keep_exact"), lit(false)).as("keep_exact"),
+        (!coalesce(col("_nd"), lit(false))).as("keep_neardup"),
+        // a doc with no bigram rows is absent from the gates — the
+        // batch build's left_semi drops it, so default to false
+        coalesce(col("keep_rep"), lit(false)).as("keep_rep"),
+        coalesce(col("keep_lm"), lit(false)).as("keep_lm"),
+        coalesce(col("_ct"), lit(false)).as("contaminated"))
+      .withColumn("keep",
+        !col("is_bench") && col("keep_exact") && col("keep_neardup") &&
+          col("keep_rep") && col("keep_lm") && !col("contaminated"))
+      .localCheckpoint(eager = true)
+
+    fpLog.append(fps)
+    pairLog.append(pairs.select(col("doc1"), col("doc2")))
+    docLog.append(decisions.select(col("doc_id"), col("source"), col("n_tokens"),
+      col("is_bench"), col("keep_rep"), col("keep_lm"), col("contaminated")))
+    lastBatchId = batchId
+    decisions
+  }
+
+  /** The exact batch corpus build recomposed from accumulated state —
+    * NOTHING is re-shingled: fingerprints, candidate pairs and gate
+    * bits come from the logs; only the component collapse and the
+    * corpus-global sqrt quota cap run here. Output schema == q68
+    * (doc_id, source, n_tokens, cap_rank, quota).
+    */
+  def reconcile(): DataFrame = {
+    val exactKeep = fpLog.cur.groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
+    val comps = graft.ext.GraphOps.connectedComponents(pairLog.cur, "doc1", "doc2")
+    val nearDupDrop = comps.filter(col("node") =!= col("comp"))
+      .select(col("node").as("doc_id"))
+    val gated = docLog.cur
+      .filter(!col("is_bench") && col("keep_rep") && col("keep_lm") &&
+        !col("contaminated"))
+      .join(exactKeep, Seq("doc_id"), "left_semi")
+      .join(nearDupDrop, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("source"), col("n_tokens"))
+    graft.queries.CurationPack.sqrtQuotaCap(gated)
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("cap_rank"),
+        col("quota"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Seed state after a query restart (production logs live on
+    * storage; a recovered query restores them before ingesting) —
+    * see [[NearDupStream.restore]].
+    */
+  def restore(fps: DataFrame, pairs: DataFrame, docs: DataFrame,
+      bandLog: DataFrame): Unit = {
+    fpLog.restore(fps); pairLog.restore(pairs); docLog.restore(docs)
+    nd.restore(bandLog)
+    lastBatchId = Long.MinValue
+  }
+}
+
+object CurationStream {
+
+  /** Append-only keyed state with one-batch rollback: `beforeLast`
+    * snapshots the log before the last append so a foreachBatch retry
+    * of that batch can roll back instead of double-appending; the
+    * pre-previous snapshot is freed once the next batch commits (only
+    * the current batch can replay inside a running query).
+    */
+  private[streaming] final class Log(spark: SparkSession, schema: StructType) {
+    var cur: DataFrame = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    private var beforeLast: DataFrame = cur
+
+    def append(rows: DataFrame): Unit = {
+      val next = cur.union(rows.select(schema.fieldNames.map(col).toSeq: _*))
+        .localCheckpoint(eager = true)
+      if (beforeLast ne cur) graft.ext.GraphOps.unpersistCheckpoint(beforeLast)
+      beforeLast = cur
+      cur = next
+    }
+
+    def rollback(): Unit = if (cur ne beforeLast) {
+      graft.ext.GraphOps.unpersistCheckpoint(cur)
+      cur = beforeLast
+    }
+
+    def restore(rows: DataFrame): Unit = {
+      cur = rows.select(schema.fieldNames.map(col).toSeq: _*)
+        .localCheckpoint(eager = true)
+      beforeLast = cur
+    }
+  }
+}

@@ -357,4 +357,65 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamBars.length == batchBars.length)
     assert(streamBars.map(_.toString).sameElements(batchBars.map(_.toString)))
   }
+
+  test("CurationStream: batched ingest + reconcile ≡ the batch corpus build") {
+    import graft.queries.CurationPack
+    import graft.ext.TextOps
+    val dir = "/root/testdata/sf0.001"
+    Caches.scoped {
+      val docs = graft.Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"), col("text"))
+      // frozen LM stats + benchmark shingle set from the SAME corpus the
+      // batch build scores, so reconcile() must equal q68 exactly
+      val t = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      val (uni, bi) = CurationPack.lmStats(t, CurationPack.bigramRows(docs))
+      val benchSh = TextOps.shingleRows(
+          docs.filter(col("doc_id") % 101 === 0), "doc_id", "text", 8)
+        .select(col("_s").as("sh"))
+      val cs = new graft.streaming.CurationStream(spark, uni, bi, benchSh)
+
+      val ids = docs.select(col("doc_id")).as[Long].collect().sorted
+      val cuts = Seq(ids(ids.length / 3), ids(2 * ids.length / 3))
+      val batches = Seq(
+        docs.filter(col("doc_id") <= cuts(0)),
+        docs.filter(col("doc_id") > cuts(0) && col("doc_id") <= cuts(1)),
+        docs.filter(col("doc_id") > cuts(1)))
+      val decisions = batches.zipWithIndex.flatMap { case (b, i) =>
+        cs.ingest(b, i.toLong).collect()
+      }
+      assert(decisions.length == ids.length)
+
+      val got = cs.reconcile().collect().map(_.toString).sorted
+      val want = CurationPack.corpusBuild(spark, dir).collect().map(_.toString).sorted
+      assert(want.nonEmpty && got.sameElements(want))
+
+      // in-id-order arrival: every finally-kept doc was provisionally
+      // kept (provisional drops always imply a smaller component member)
+      val provisionalKeep = decisions.filter(_.getAs[Boolean]("keep"))
+        .map(_.getAs[Long]("doc_id")).toSet
+      val finalKeep = cs.reconcile().collect()
+        .map(_.getAs[Long]("doc_id")).toSet
+      assert(finalKeep.subsetOf(provisionalKeep))
+
+      // stateless bits match their batch gates doc-for-doc
+      val repBatch = CurationPack.repetitionFilterFrom(docs)
+        .filter(col("keep") === 1L).select(col("doc_id")).as[Long].collect().toSet
+      val lmBatch = CurationPack.bigramLikelihoodFrom(docs)
+        .filter(col("keep") === 1L).select(col("doc_id")).as[Long].collect().toSet
+      val contamBatch = CurationPack.benchOverlaps(docs)
+        .select(col("doc_id")).distinct().as[Long].collect().toSet
+      assert(decisions.filter(_.getAs[Boolean]("keep_rep"))
+        .map(_.getAs[Long]("doc_id")).toSet == repBatch)
+      assert(decisions.filter(_.getAs[Boolean]("keep_lm"))
+        .map(_.getAs[Long]("doc_id")).toSet == lmBatch)
+      assert(decisions.filter(_.getAs[Boolean]("contaminated"))
+        .map(_.getAs[Long]("doc_id")).toSet == contamBatch)
+
+      // foreachBatch retry: replaying the LAST batch with the same id
+      // must leave the reconciled corpus unchanged
+      cs.ingest(batches.last, 2L)
+      val afterRetry = cs.reconcile().collect().map(_.toString).sorted
+      assert(afterRetry.sameElements(want))
+    }
+  }
 }
