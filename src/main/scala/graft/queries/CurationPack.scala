@@ -579,6 +579,35 @@ object CurationPack {
       .orderBy(col("doc_id"))
   }
 
+  // ---------------------------------------------------------------- q72
+
+  /** q72: the STREAMING corpus build, oracle-gated — the corpus ingested
+    * in three id-ordered micro-batches through
+    * [[graft.streaming.CurationStream]] (frozen LM stats and benchmark
+    * shingle set snapshotted from the same corpus), then reconciled from
+    * the accumulated logs. Hash-gated against the IDENTICAL DuckDB
+    * oracle as q68: the incremental fingerprint/band/pair/gate state
+    * machinery must land on exactly the batch build's rows — the
+    * strongest driver-visible contract the streaming layer has.
+    */
+  def streamReconcile(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Caches.persisted(Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text")))
+    val t = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val (uni0, bi0) = lmStats(t, bigramRows(docs))
+    val uni = graft.Caches.persisted(uni0)
+    val bi = graft.Caches.persisted(bi0)
+    val benchSh = TextOps.shingleRows(
+        docs.filter(col("doc_id") % 101 === 0), "doc_id", "text", 8)
+      .select(col("_s").as("sh"))
+    val cs = new graft.streaming.CurationStream(spark, uni, bi, benchSh)
+    val mx = docs.agg(max(col("doc_id"))).head.getLong(0)
+    cs.ingest(docs.filter(col("doc_id") <= mx / 3), 0L)
+    cs.ingest(docs.filter(col("doc_id") > mx / 3 && col("doc_id") <= 2 * mx / 3), 1L)
+    cs.ingest(docs.filter(col("doc_id") > 2 * mx / 3), 2L)
+    cs.reconcile()
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -593,9 +622,10 @@ object CurationPack {
     "q67_decontaminate" -> decontaminate _,
     "q68_corpus_build" -> corpusBuild _,
     "q69_mixture_draw" -> mixtureDraw _,
-    "q70_star_components" -> starDedupComponents _)
+    "q70_star_components" -> starDedupComponents _,
+    "q72_stream_reconcile" -> streamReconcile _)
 
-  val oracles: Map[String, String] = Map(
+  private val baseOracles: Map[String, String] = Map(
     "q70_star_components" ->
       s"""WITH RECURSIVE pdocs AS (
          |  SELECT doc_id,
@@ -935,4 +965,10 @@ object CurationPack {
          |  len(redacted)::bigint AS n_chars_redacted,
          |  md5(redacted) AS redacted_fp
          |FROM red ORDER BY doc_id""".stripMargin)
+
+  /** q72 shares q68's oracle verbatim: the streaming reconcile must
+    * hash-equal the batch corpus build.
+    */
+  val oracles: Map[String, String] =
+    baseOracles + ("q72_stream_reconcile" -> baseOracles("q68_corpus_build"))
 }
