@@ -181,8 +181,10 @@ object GraphOps {
         .distinct()
 
     def largeStar(e: DataFrame): DataFrame = {
+      // `e` is always canonical here (distinct, v < u, no self-loops) —
+      // the forward and reversed halves are disjoint and individually
+      // distinct, so the symmetric closure needs NO dedup shuffle
       val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
-        .filter(col("u") =!= col("v")).distinct()
       val mins = sym.groupBy(col("u"))
         .agg(min(col("v")).as("mv"))
         .select(col("u"), least(col("mv"), col("u")).as("m"))

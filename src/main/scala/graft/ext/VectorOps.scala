@@ -185,9 +185,7 @@ object VectorOps {
     // Assignment: argmin over cells of the exact integer distance
     // (x·1000 − c)² summed — min(struct(dist2, cell)) gives the
     // deterministic (dist2 asc, cell asc) argmin without a window.
-    val dist2 = aggregate(
-      zip_with(col(vecCol), col("cvec"), (x, c) => (x * 1000L - c) * (x * 1000L - c)),
-      lit(0L), (acc, t) => acc + t)
+    val dist2 = graft.functions.Dist2Long(col(vecCol), col("cvec"), 1000L)
     val scoredCells = vecs.crossJoin(broadcast(codebook))
       .withColumn("dist2", dist2)
     val assigned = scoredCells.groupBy(col(idCol))
@@ -231,9 +229,7 @@ object VectorOps {
       idCol: String = "vec_id", vecCol: String = "qvec"): DataFrame = {
     val vecs = graft.Caches.persisted(vectors.select(col(idCol), col(vecCol),
       normInt(col(vecCol)).as("nrm")))
-    val dist2 = aggregate(
-      zip_with(col(vecCol), col("cvec"), (x, c) => (x * 1000L - c) * (x * 1000L - c)),
-      lit(0L), (acc, t) => acc + t)
+    val dist2 = graft.functions.Dist2Long(col(vecCol), col("cvec"), 1000L)
     val scoredCells = vecs.crossJoin(broadcast(codebook))
       .withColumn("dist2", dist2)
     val assigned = scoredCells.groupBy(col(idCol))
@@ -293,9 +289,7 @@ object VectorOps {
       .agg(min(struct(col(idCol), col(vecCol))).as("seed"))
       .select(col("cell"), transform(col("seed").getField(vecCol), x => x * 1000L).as("cvec"))
 
-    val dist2 = aggregate(
-      zip_with(col(vecCol), col("cvec"), (x, c) => (x * 1000L - c) * (x * 1000L - c)),
-      lit(0L), (acc, t) => acc + t)
+    val dist2 = graft.functions.Dist2Long(col(vecCol), col("cvec"), 1000L)
 
     (0 until iters).foreach { _ =>
       val assigned = vecs.crossJoin(broadcast(codebook))
@@ -327,9 +321,7 @@ object VectorOps {
     */
   def assignToCodebook(vectors: DataFrame, codebook: DataFrame,
       idCol: String = "vec_id", vecCol: String = "qvec"): DataFrame = {
-    val dist2 = aggregate(
-      zip_with(col(vecCol), col("cvec"), (x, c) => (x * 1000L - c) * (x * 1000L - c)),
-      lit(0L), (acc, t) => acc + t)
+    val dist2 = graft.functions.Dist2Long(col(vecCol), col("cvec"), 1000L)
     vectors.crossJoin(broadcast(codebook))
       .withColumn("dist2", dist2)
       .groupBy(col(idCol))
