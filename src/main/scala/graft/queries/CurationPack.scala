@@ -137,7 +137,7 @@ object CurationPack {
     * gates the same frames, so the corpus build explodes bigrams a
     * single time instead of once per gate.
     */
-  private def repetitionFilterOn(t: DataFrame, bigrams: DataFrame): DataFrame = {
+  private[graft] def repetitionFilterOn(t: DataFrame, bigrams: DataFrame): DataFrame = {
     val base = t.select(col("doc_id"),
       size(col("toks")).cast("long").as("n_words"),
       size(array_distinct(col("toks"))).cast("long").as("n_distinct_words"))

@@ -107,11 +107,15 @@ final class CurationStream(spark: SparkSession,
       .filter(col("_in_batch").isNull || col("other") < col("member"))
       .select(col("member").as("doc_id")).distinct()
 
-    // stateless gates, the SAME code paths the batch operators verify
-    val rep = graft.queries.CurationPack.repetitionFilterFrom(batch)
+    // stateless gates, the SAME code paths the batch operators verify —
+    // one shared bigram explode for both, as in the batch build
+    val t = batch.select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val bigrams = graft.Caches.persisted(
+      graft.queries.CurationPack.bigramRows(batch))
+    val rep = graft.queries.CurationPack.repetitionFilterOn(t, bigrams)
       .select(col("doc_id"), (col("keep") === 1L).as("keep_rep"))
     val lm = graft.queries.CurationPack.bigramLikelihoodScored(
-        graft.queries.CurationPack.bigramRows(batch), frozenUni, frozenBi)
+        bigrams, frozenUni, frozenBi)
       .select(col("doc_id"), (col("keep") === 1L).as("keep_lm"))
     // bench docs trivially self-overlap; like the batch gate, only
     // TRAINING candidates can be contaminated
