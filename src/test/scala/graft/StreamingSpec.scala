@@ -416,6 +416,42 @@ class StreamingSpec extends AnyFunSuite {
       cs.ingest(batches.last, 2L)
       val afterRetry = cs.reconcile().collect().map(_.toString).sorted
       assert(afterRetry.sameElements(want))
+
+      // restart: a fresh instance restored from the first two batches'
+      // logs ingests the third and reconciles to the same corpus
+      val cs2 = new graft.streaming.CurationStream(spark, uni, bi, benchSh)
+      val twoBatchDocs = docs.filter(col("doc_id") <= cuts(1))
+      val fps2 = twoBatchDocs.select(md5(col("text")).as("fp"), col("doc_id"))
+      val pairs2 = graft.queries.TextPack.lshCandidatePairsFrom(
+          twoBatchDocs.select(col("doc_id"), col("text")))
+        .select(col("doc1"), col("doc2"))
+      val docLog2 = decisions.filter(_.getAs[Long]("doc_id") <= cuts(1))
+      val docLogDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(docLog2.map(r =>
+          org.apache.spark.sql.Row(r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+            r.getAs[Long]("n_tokens"), r.getAs[Boolean]("is_bench"),
+            r.getAs[Boolean]("keep_rep"), r.getAs[Boolean]("keep_lm"),
+            r.getAs[Boolean]("contaminated")))),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("source",
+            org.apache.spark.sql.types.StringType, nullable = true),
+          org.apache.spark.sql.types.StructField("n_tokens",
+            org.apache.spark.sql.types.LongType, nullable = true),
+          org.apache.spark.sql.types.StructField("is_bench",
+            org.apache.spark.sql.types.BooleanType, nullable = false),
+          org.apache.spark.sql.types.StructField("keep_rep",
+            org.apache.spark.sql.types.BooleanType, nullable = false),
+          org.apache.spark.sql.types.StructField("keep_lm",
+            org.apache.spark.sql.types.BooleanType, nullable = false),
+          org.apache.spark.sql.types.StructField("contaminated",
+            org.apache.spark.sql.types.BooleanType, nullable = false))))
+      cs2.restore(fps2, pairs2,  docLogDf,
+        graft.queries.TextPack.bandedKeys(twoBatchDocs.select(col("doc_id"), col("text"))))
+      cs2.ingest(batches.last, 0L)
+      val afterRestore = cs2.reconcile().collect().map(_.toString).sorted
+      assert(afterRestore.sameElements(want))
     }
   }
 }
