@@ -125,16 +125,30 @@ final class CurationStream(spark: SparkSession,
       .join(bench, Seq("sh"), "left_semi")
       .select(col("doc_id")).distinct()
 
+    // assemble the five gate verdicts as ONE tagged union + one
+    // doc-keyed aggregation + one join — not five sequential left joins
+    // each re-shuffling the batch on doc_id (2 exchanges instead of 6;
+    // at 100 TB the batch is the corpus increment, so exchange count on
+    // it is the ingest cost)
+    def tagged(df: DataFrame, tag: String): DataFrame =
+      df.select(col("doc_id"), lit(tag).as("_g"))
+    val bits = tagged(exactKeep, "exact")
+      .union(tagged(nearDrop, "nd"))
+      .union(tagged(rep.filter(col("keep_rep")), "rep"))
+      .union(tagged(lm.filter(col("keep_lm")), "lm"))
+      .union(tagged(contam, "ct"))
+      .groupBy(col("doc_id"))
+      .agg(
+        max(col("_g") === "exact").as("keep_exact"),
+        max(col("_g") === "nd").as("_nd"),
+        max(col("_g") === "rep").as("keep_rep"),
+        max(col("_g") === "lm").as("keep_lm"),
+        max(col("_g") === "ct").as("contaminated"))
     val decisions = batch
       .select(col("doc_id"), col("source"),
         graft.ext.TextOps.tokenCount(col("text")).as("n_tokens"),
         (col("doc_id") % 101 === 0).as("is_bench"))
-      .join(exactKeep.select(col("doc_id"), lit(true).as("keep_exact")),
-        Seq("doc_id"), "left")
-      .join(nearDrop.select(col("doc_id"), lit(true).as("_nd")), Seq("doc_id"), "left")
-      .join(rep, Seq("doc_id"), "left")
-      .join(lm, Seq("doc_id"), "left")
-      .join(contam.select(col("doc_id"), lit(true).as("_ct")), Seq("doc_id"), "left")
+      .join(bits, Seq("doc_id"), "left")
       .select(col("doc_id"), col("source"), col("n_tokens"), col("is_bench"),
         coalesce(col("keep_exact"), lit(false)).as("keep_exact"),
         (!coalesce(col("_nd"), lit(false))).as("keep_neardup"),
@@ -142,7 +156,7 @@ final class CurationStream(spark: SparkSession,
         // batch build's left_semi drops it, so default to false
         coalesce(col("keep_rep"), lit(false)).as("keep_rep"),
         coalesce(col("keep_lm"), lit(false)).as("keep_lm"),
-        coalesce(col("_ct"), lit(false)).as("contaminated"))
+        coalesce(col("contaminated"), lit(false)).as("contaminated"))
       .withColumn("keep",
         !col("is_bench") && col("keep_exact") && col("keep_neardup") &&
           col("keep_rep") && col("keep_lm") && !col("contaminated"))
