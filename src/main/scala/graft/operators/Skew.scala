@@ -57,4 +57,28 @@ object Skew {
 
   /** Deterministic salt column for custom pipelines. */
   def saltOf(cols: Seq[Column], salts: Int): Column = pmod(hash(cols: _*), lit(salts))
+
+  /** Derive the salt factor from the DATA instead of guessing: one
+    * cheap count aggregation finds the hottest key's multiplicity m,
+    * and the self-join fan-in on that key is m rows through one
+    * reducer — salt it down to ~`targetPerKey` rows per reducer,
+    * capped at `maxSalts` (build-side replication is `salts`×, so an
+    * adversarial key must not explode the build side). Returns 1 when
+    * nothing is hot — the adaptive path then IS the plain join. The
+    * extra pass reads only the key column (column-pruned scan /
+    * map-side-combined count), which is what makes "measure, then
+    * plan" affordable at 100 TB; SkewSpec proves the adaptive join
+    * result-identical on hot and uniform fixtures.
+    */
+  def autoSalts(df: DataFrame, keys: Seq[String],
+      targetPerKey: Long = 100000L, maxSalts: Int = 32): Int = {
+    require(targetPerKey > 0 && maxSalts >= 1)
+    val top = df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("_n"))
+      .agg(max(col("_n")).as("_m"))
+      .head
+    val hottest = if (top.isNullAt(0)) 0L else top.getLong(0) // empty input
+    val salts = ((hottest + targetPerKey - 1) / targetPerKey).toInt
+    math.min(math.max(salts, 1), maxSalts)
+  }
 }

@@ -108,6 +108,22 @@ object TextPack {
   def lshCandidatePairsFrom(docs: DataFrame, salts: Int = 1): DataFrame =
     pairsFromBanded(bandedKeys(docs), salts)
 
+  /** The self-driving form: measure the hottest band key's multiplicity
+    * (one column-pruned count over the already-persisted band rows),
+    * derive the salt factor ([[graft.operators.Skew.autoSalts]]), and
+    * run the salted join only when the data is actually hot — at 100 TB
+    * nobody knows the dup-cluster ratio ahead of the scan, and a fixed
+    * salt guess either under-splits the hot key or replicates the build
+    * side for nothing. `targetPerKey` is the acceptable per-reducer
+    * fan-in for one band key (k dup docs on a key → k² join rows).
+    */
+  def lshCandidatePairsAdaptive(docs: DataFrame,
+      targetPerKey: Long = 100000L, maxSalts: Int = 32): DataFrame = {
+    val banded = bandedKeys(docs)
+    pairsFromBanded(banded,
+      graft.operators.Skew.autoSalts(banded, Seq("band_key"), targetPerKey, maxSalts))
+  }
+
   /** (doc_id, band_key) rows — the expensive md5-shingle + minhash
     * subtree, persisted so the band self-join (and any second consumer,
     * q50) reads the cache instead of recomputing.

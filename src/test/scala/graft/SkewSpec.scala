@@ -74,6 +74,31 @@ class SkewSpec extends AnyFunSuite {
     assert(saltedMax <= 40, s"hot key still concentrated: max salted group $saltedMax")
   }
 
+  test("autoSalts: measures the hot key, adaptive join is result-identical") {
+    import spark.implicits._
+    import graft.queries.TextPack
+    Caches.scoped {
+      val hot = "the quick brown fox jumps over the lazy dog and keeps jumping forever more"
+      val docs = ((0 until 120).map(i => (i.toLong, hot)) ++
+        (120 until 200).map(i =>
+          (i.toLong, s"unique document number $i carrying enough distinct words to shingle $i")))
+        .toDF("doc_id", "text")
+      // the 120-dup cluster puts 120 rows on each of its band keys:
+      // target 50/reducer → ceil(120/50) = 3 salts; uniform data → 1
+      val banded = (0 until 120).map(i => (i.toLong, "0:hotkey")).toDF("doc_id", "band_key")
+      assert(Skew.autoSalts(banded, Seq("band_key"), targetPerKey = 50) == 3)
+      assert(Skew.autoSalts(banded, Seq("band_key"), targetPerKey = 50, maxSalts = 2) == 2)
+      val uniform = (0 until 120).map(i => (i.toLong, s"k$i")).toDF("doc_id", "band_key")
+      assert(Skew.autoSalts(uniform, Seq("band_key"), targetPerKey = 50) == 1)
+      assert(Skew.autoSalts(uniform.limit(0), Seq("band_key")) == 1) // empty input
+
+      val plain = TextPack.lshCandidatePairsFrom(docs).collect().toSeq
+      val adaptive = TextPack.lshCandidatePairsAdaptive(docs, targetPerKey = 50)
+        .collect().toSeq
+      assert(adaptive == plain)
+    }
+  }
+
   test("embedding near-dup dedup: salting leaves survivors identical on a hot bucket") {
     import spark.implicits._
     import graft.ext.VectorOps
