@@ -229,20 +229,49 @@ object VectorOps {
       idCol: String = "vec_id", vecCol: String = "qvec"): DataFrame = {
     val vecs = graft.Caches.persisted(vectors.select(col(idCol), col(vecCol),
       normInt(col(vecCol)).as("nrm")))
+    probePostings(vecs.filter(isQuery(col(idCol))), codebook,
+      postingsOf(vecs, codebook, idCol, vecCol), k, nprobe, idCol, vecCol)
+  }
+
+  /** IVF postings rows `(cell, c_id, c_vec, c_nrm)` for a vector set —
+    * the INDEX side of the probe, split out so a streaming ingester
+    * ([[graft.streaming.AnnStream]]) can maintain it incrementally: one
+    * argmin over the broadcast codebook per vector, no shuffle beyond
+    * the per-id aggregation. Input needs (idCol, vecCol, nrm).
+    */
+  def postingsOf(vecs: DataFrame, codebook: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "qvec"): DataFrame = {
     val dist2 = graft.functions.Dist2Long(col(vecCol), col("cvec"), 1000L)
-    val scoredCells = vecs.crossJoin(broadcast(codebook))
+    vecs.crossJoin(broadcast(codebook))
       .withColumn("dist2", dist2)
-    val assigned = scoredCells.groupBy(col(idCol))
+      .groupBy(col(idCol))
       .agg(min(struct(col("dist2"), col("cell"))).as("best"))
       .select(col(idCol).as("c_id"), col("best.cell").as("cell"))
-      .join(vecs.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"), col("nrm").as("c_nrm")), "c_id")
+      .join(vecs.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"),
+        col("nrm").as("c_nrm")), "c_id")
+      .select(col("cell"), col("c_id"), col("c_vec"), col("c_nrm"))
+  }
+
+  /** Probe an IVF postings table: each query scores the broadcast
+    * codebook, keeps its `nprobe` closest cells (bounded per-query
+    * window over codebook-sized groups), equi-joins the postings on
+    * cell id, and re-ranks with the bounded top-k aggregate — the
+    * SERVE side of the index, identical whether the postings came from
+    * one batch pass or from streamed increments. Queries need
+    * (idCol, vecCol, nrm).
+    */
+  def probePostings(queries: DataFrame, codebook: DataFrame, postings: DataFrame,
+      k: Int, nprobe: Int,
+      idCol: String = "vec_id", vecCol: String = "qvec"): DataFrame = {
+    val dist2 = graft.functions.Dist2Long(col(vecCol), col("cvec"), 1000L)
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(idCol)).orderBy(col("dist2").asc, col("cell").asc)
-    val probes = scoredCells.filter(isQuery(col(idCol)))
+    val probes = queries.crossJoin(broadcast(codebook))
+      .withColumn("dist2", dist2)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= nprobe)
       .select(col(idCol).as("q_id"), col("cell"), col(vecCol).as("q_vec"), col("nrm").as("q_nrm"))
-    val candidates = probes.join(assigned, Seq("cell"))
+    val candidates = probes.join(postings, Seq("cell"))
       .filter(col("q_id") =!= col("c_id"))
       .withColumn("cosine", cosinePre(col("q_vec"), col("q_nrm"), col("c_vec"), col("c_nrm")))
     val topk = udaf(new graft.functions.TopKAgg(k))

@@ -155,6 +155,27 @@ object VectorPack {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** q73: the STREAMING half of the trained-IVF path, oracle-gated —
+    * train the codebook in batch (as a production index does), then
+    * ingest the corpus in three id-ordered micro-batches through
+    * [[graft.streaming.AnnStream]] and probe the accumulated postings.
+    * Hash-gated against q48's own DuckDB oracle: streamed index state
+    * must serve exactly the batch index's answers.
+    */
+  def streamAnn(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = graft.Caches.persisted(
+      quantized(spark, dir).select(col("vec_id"), col("qvec")))
+    val codebook = VectorOps.kmeansCodebook(vecs, KmK, KmIters)
+    val as = new graft.streaming.AnnStream(spark, codebook)
+    val mx = vecs.agg(max(col("vec_id"))).head.getLong(0)
+    as.ingest(vecs.filter(col("vec_id") <= mx / 3), 0L)
+    as.ingest(vecs.filter(col("vec_id") > mx / 3 && col("vec_id") <= 2 * mx / 3), 1L)
+    as.ingest(vecs.filter(col("vec_id") > 2 * mx / 3), 2L)
+    as.probe(vecs.filter(col("vec_id") < 10), TopK, NProbe)
+      .withColumn("rank", col("rank").cast("long"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q54_int8_ann" -> int8Ann _,
     "q21_ann_topk" -> annTopK _,
@@ -164,7 +185,8 @@ object VectorPack {
     "q30_ivf_ann" -> ivfAnn _,
     "q38_kmeans_codebook" -> kmeansCells _,
     "q39_embedding_dedup" -> embeddingDedup _,
-    "q48_ivf_trained_ann" -> ivfTrainedAnn _)
+    "q48_ivf_trained_ann" -> ivfTrainedAnn _,
+    "q73_stream_ann" -> streamAnn _)
 
   // cast to double BEFORE the multiply: DuckDB would otherwise keep
   // FLOAT×DECIMAL in single precision (0.3195f·1000 = 319.5f → 320),
@@ -224,7 +246,7 @@ object VectorPack {
        |${kmAssignCte("a2", "cb1")},
        |${kmUpdateCte("cb2", "a2")}""".stripMargin
 
-  val oracles: Map[String, String] = Map(
+  private val baseOracles: Map[String, String] = Map(
     // int8 quantization re-derived with integer `//` (the engine proves
     // its floor(double) form identical — see VectorOps.int8Quantize)
     "q54_int8_ann" ->
@@ -408,4 +430,11 @@ object VectorPack {
          |  GROUP BY label, dim)
          |SELECT label, sum(s * s)::bigint AS sum_sq_sums, max(n) AS n_vectors
          |FROM e GROUP BY label ORDER BY label""".stripMargin)
+
+  /** q73 shares q48's oracle verbatim: a probe over streamed postings
+    * must hash-equal the batch trained-IVF probe.
+    */
+  val oracles: Map[String, String] =
+    baseOracles + ("q73_stream_ann" -> baseOracles("q48_ivf_trained_ann"))
+
 }

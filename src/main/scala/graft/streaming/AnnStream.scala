@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Incremental ANN index maintenance — the streaming form of the
+  * trained-IVF path (q48): the codebook is BATCH-trained
+  * ([[graft.ext.VectorOps.kmeansCodebook]], the train half of
+  * train→assign→probe→re-rank) and FROZEN here, exactly like
+  * [[CurationStream]]'s LM stats — a production vector index retrains
+  * offline and serves/ingests online. Each micro-batch of embeddings
+  * is assigned to its cell with one argmin over the broadcast codebook
+  * (a narrow map — ingest cost is O(batch·k), no corpus-sized shuffle)
+  * and appended to the postings log; probes run against the
+  * accumulated postings through the same
+  * [[graft.ext.VectorOps.probePostings]] code path the batch operator
+  * uses, so a probe over streamed state is VALUE-identical to the
+  * batch index built from the same vectors (oracle-gated as q73
+  * against q48's own DuckDB SQL).
+  *
+  * The postings log is append-only keyed state on storage (bucketed by
+  * cell at scale, so probes prune to nprobe buckets); retry of the
+  * same batchId rolls back the failed attempt's append, and restore()
+  * reseeds after a query restart — the same contracts as
+  * [[NearDupStream]]/[[CurationStream]], spec-pinned in StreamingSpec.
+  */
+final class AnnStream(spark: SparkSession, codebook: DataFrame) {
+
+  private val cb = graft.Caches.persisted(codebook)
+  private val postings = new CurationStream.Log(spark, StructType(Seq(
+    StructField("cell", LongType, nullable = true),
+    StructField("c_id", LongType, nullable = true),
+    StructField("c_vec", ArrayType(LongType, containsNull = true), nullable = true),
+    StructField("c_nrm", DoubleType, nullable = true))))
+  private var lastBatchId: Long = Long.MinValue
+
+  /** Assign one micro-batch (idCol, vecCol) to cells and append the
+    * postings; returns the batch's (cell, c_id, c_vec, c_nrm) rows.
+    */
+  def ingest(batchVecs: DataFrame, batchId: Long,
+      idCol: String = "vec_id", vecCol: String = "qvec"): DataFrame =
+    graft.Caches.scoped {
+      if (batchId == lastBatchId) postings.rollback()
+      val vecs = graft.Caches.persisted(batchVecs
+        .select(col(idCol), col(vecCol),
+          graft.ext.VectorOps.normInt(col(vecCol)).as("nrm")))
+      val assigned = graft.ext.VectorOps.postingsOf(vecs, cb, idCol, vecCol)
+        .localCheckpoint(eager = true)
+      postings.append(assigned)
+      lastBatchId = batchId
+      assigned
+    }
+
+  /** Top-k over everything ingested so far — the batch probe operator
+    * pointed at the streamed postings.
+    */
+  def probe(queries: DataFrame, k: Int, nprobe: Int,
+      idCol: String = "vec_id", vecCol: String = "qvec"): DataFrame = {
+    val q = queries.select(col(idCol), col(vecCol),
+      graft.ext.VectorOps.normInt(col(vecCol)).as("nrm"))
+    graft.ext.VectorOps.probePostings(q, cb, postings.cur, k, nprobe, idCol, vecCol)
+  }
+
+  /** Seed the postings log after a query restart. */
+  def restore(rows: DataFrame): Unit = {
+    postings.restore(rows)
+    lastBatchId = Long.MinValue
+  }
+}

@@ -454,4 +454,35 @@ class StreamingSpec extends AnyFunSuite {
       assert(afterRestore.sameElements(want))
     }
   }
+
+  test("AnnStream: streamed postings serve the batch index's answers; retry/restore hold") {
+    import graft.ext.VectorOps
+    val dir = "/root/testdata/sf0.001"
+    Caches.scoped {
+      val vecs = graft.Tables.embeddings(spark, dir)
+        .select(col("vec_id"), VectorOps.quantize(col("embedding"), 1000.0).as("qvec"))
+      val codebook = VectorOps.kmeansCodebook(vecs, 8, 2)
+      val want = VectorOps.ivfProbeTopK(vecs, codebook, q => q < 10, 5, 2)
+        .orderBy(col("q_id"), col("rank")).collect().map(_.toString)
+
+      val as = new graft.streaming.AnnStream(spark, codebook)
+      val mx = vecs.agg(max(col("vec_id"))).head.getLong(0)
+      as.ingest(vecs.filter(col("vec_id") <= mx / 2), 0L)
+      as.ingest(vecs.filter(col("vec_id") > mx / 2), 1L)
+      // foreachBatch retry of the last batch must not double the postings
+      as.ingest(vecs.filter(col("vec_id") > mx / 2), 1L)
+      def probed(s: graft.streaming.AnnStream) =
+        s.probe(vecs.filter(col("vec_id") < 10), 5, 2)
+          .orderBy(col("q_id"), col("rank")).collect().map(_.toString)
+      assert(probed(as).sameElements(want))
+
+      // restart: restore the first batch's postings, re-ingest the rest
+      val as2 = new graft.streaming.AnnStream(spark, codebook)
+      as2.restore(VectorOps.postingsOf(
+        vecs.filter(col("vec_id") <= mx / 2)
+          .withColumn("nrm", VectorOps.normInt(col("qvec"))), codebook))
+      as2.ingest(vecs.filter(col("vec_id") > mx / 2), 0L)
+      assert(probed(as2).sameElements(want))
+    }
+  }
 }
