@@ -359,7 +359,29 @@ object TextPack {
       .orderBy(col("doc_id"))
   }
 
+  /** q74: [[graft.streaming.NearDupStream]]'s pair-emission contract,
+    * oracle-gated — ingest the corpus in three id-ordered micro-batches
+    * and union the per-batch emissions; the accumulated pair set (with
+    * per-pair shared-band counts) must hash-equal the batch q18 join.
+    * The exactly-once/completeness claim StreamingSpec proves on small
+    * fixtures is here checked bitwise against DuckDB on the full
+    * fixture corpus.
+    */
+  def streamPairs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Caches.persisted(Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")))
+    val nd = new graft.streaming.NearDupStream(spark)
+    val mx = docs.agg(max(col("doc_id"))).head.getLong(0)
+    val emitted = Seq(
+      nd.ingest(docs.filter(col("doc_id") <= mx / 3), 0L),
+      nd.ingest(docs.filter(col("doc_id") > mx / 3 && col("doc_id") <= 2 * mx / 3), 1L),
+      nd.ingest(docs.filter(col("doc_id") > 2 * mx / 3), 2L))
+    emitted.reduce(_ unionByName _)
+      .orderBy(col("doc1"), col("doc2"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q74_stream_pairs" -> streamPairs _,
     "q52_sequence_pack" -> sequencePack _,
     "q31_corpus_clean" -> corpusClean _,
     "q32_simhash_neardup" -> simhashNearDup _,
@@ -416,7 +438,7 @@ object TextPack {
       |    sum(CASE WHEN s > 0 THEN (1::bigint << j) ELSE 0 END)::bigint AS simhash
       |  FROM bits GROUP BY doc_id)""".stripMargin
 
-  val oracles: Map[String, String] = Map(
+  private val baseOracles: Map[String, String] = Map(
     // The oracle uses the very global window the engine refuses to run
     // (fine in DuckDB at sf0.01; fatal as a Spark plan at 100 TB) — a
     // deliberately different formulation of the same prefix sum.
@@ -631,4 +653,11 @@ object TextPack {
         |SELECT doc_id,
         |  sum(CASE WHEN s > 0 THEN (1::bigint << j) ELSE 0 END)::bigint AS simhash
         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+
+  /** q74 shares q18's oracle verbatim: streamed pair emissions union to
+    * exactly the batch candidate-pair join.
+    */
+  val oracles: Map[String, String] =
+    baseOracles + ("q74_stream_pairs" -> baseOracles("q18_lsh_candidate_pairs"))
+
 }
