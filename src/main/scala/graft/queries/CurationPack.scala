@@ -608,6 +608,77 @@ object CurationPack {
     cs.reconcile()
   }
 
+  // ---------------------------------------------------------------- q75
+
+  private val SpanHead =
+    "begin mirrored license preamble block shared across corpus entries verbatim here"
+  private val SpanTail =
+    "end shared canonical boilerplate footer sequence appears verbatim across documents"
+
+  /** q75: cross-document EXACT-SUBSTRING span dedup — the span-grain
+    * member of the dedup family (q14 = whole-doc md5, q55 = near-dup
+    * groups, q56 = intra-doc repetition, q67 = holdout contamination):
+    * every maximal run of tokens appearing verbatim in ≥2 distinct
+    * documents, the "remove duplicated spans" pass of suffix-array
+    * corpus dedup. Single-node implementations build a corpus-wide
+    * suffix array; the distributed formulation is shingle-join-shaped
+    * and needs no global order:
+    *
+    *   1. every W=8-token shingle OCCURRENCE, position-keyed
+    *      (posexplode over the codegen'd
+    *      [[graft.functions.Shingles.WordShinglesExpr]]);
+    *   2. a shingle is duplicated when `min(doc_id) != max(doc_id)`
+    *      over its occurrences — the ≥2-distinct-docs test as two
+    *      map-side-combinable partial aggs (no count_distinct
+    *      expansion, no per-shingle doc list);
+    *   3. per doc, duplicated positions merge into maximal spans via
+    *      gaps-and-islands (break when `pos > prev + W`: token
+    *      coverage no longer overlaps or touches).
+    *
+    * Planted fixtures force every path: `% 41` docs are WRAPPED
+    * head+tail (two islands per doc), `% 37` docs get the tail phrase
+    * only (a mid/tail span), and the natural corpus contributes its
+    * shared-prefix near-dups (spans at 0).
+    *
+    * Scale: the only corpus-wide shuffle carries (md5(shingle),
+    * doc_id, pos) — fixed-width keys, never raw text; the islands
+    * window is per-doc (bounded by document length — the safe kind of
+    * window, unlike the per-source shapes this pack replaced); the dup
+    * set comes back as a keyed equi-join on the hash. Reference
+    * analog: none — brief-mandated training-data machinery.
+    */
+  def spanDedup(spark: SparkSession, dir: String): DataFrame = {
+    val W = 8
+    val planted = Tables.documents(spark, dir).select(
+      col("doc_id"),
+      when(col("doc_id") % 41 === 0,
+          concat(lit(SpanHead + " "), col("text"), lit(" " + SpanTail)))
+        .when(col("doc_id") % 37 === 0, concat(col("text"), lit(" " + SpanTail)))
+        .otherwise(col("text")).as("text"))
+    val shing = graft.Caches.persisted(planted
+      .select(col("doc_id"),
+        posexplode(TextOps.shingleArray(col("text"), W)).as(Seq("pos", "s")))
+      .select(col("doc_id"), col("pos"), md5(col("s")).as("sh")))
+    val dup = shing.groupBy(col("sh"))
+      .agg(min(col("doc_id")).as("_mn"), max(col("doc_id")).as("_mx"))
+      .filter(col("_mn") =!= col("_mx"))
+      .select(col("sh"))
+    val hits = shing.join(dup, "sh").select(col("doc_id"), col("pos"))
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    hits
+      .withColumn("brk",
+        when(col("pos") <= lag(col("pos"), 1).over(byPos) + W, lit(0L))
+          .otherwise(lit(1L)))
+      .withColumn("g", sum(col("brk")).over(byPos))
+      .groupBy(col("doc_id"), col("g"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + (W - 1)).cast("long").as("span_end"),
+        (max(col("pos")) - min(col("pos")) + W).cast("long").as("span_tokens"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        col("span_tokens"))
+      .orderBy(col("doc_id"), col("span_start"))
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -623,9 +694,39 @@ object CurationPack {
     "q68_corpus_build" -> corpusBuild _,
     "q69_mixture_draw" -> mixtureDraw _,
     "q70_star_components" -> starDedupComponents _,
-    "q72_stream_reconcile" -> streamReconcile _)
+    "q72_stream_reconcile" -> streamReconcile _,
+    "q75_span_dedup" -> spanDedup _)
 
   private val baseOracles: Map[String, String] = Map(
+    "q75_span_dedup" ->
+      s"""WITH planted AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 41 = 0
+         |      THEN '$SpanHead' || ' ' || text || ' ' || '$SpanTail'
+         |    WHEN doc_id % 37 = 0 THEN text || ' ' || '$SpanTail'
+         |    ELSE text END AS text
+         |  FROM documents),
+         |toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM planted),
+         |shing AS (
+         |  SELECT doc_id,
+         |    unnest(range(1, len(toks) - 6)) - 1 AS pos,
+         |    unnest([md5(array_to_string(toks[i:i+7], ' '))
+         |            for i in range(1, len(toks) - 6)]) AS sh
+         |  FROM toks),
+         |dup AS (SELECT sh FROM shing GROUP BY sh HAVING min(doc_id) != max(doc_id)),
+         |hits AS (SELECT doc_id, pos FROM shing JOIN dup USING (sh)),
+         |isl AS (
+         |  SELECT doc_id, pos,
+         |    CASE WHEN pos <= lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8
+         |         THEN 0 ELSE 1 END AS brk
+         |  FROM hits),
+         |grp AS (
+         |  SELECT doc_id, pos,
+         |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS g FROM isl)
+         |SELECT doc_id, min(pos)::bigint AS span_start,
+         |  (max(pos) + 7)::bigint AS span_end,
+         |  (max(pos) - min(pos) + 8)::bigint AS span_tokens
+         |FROM grp GROUP BY doc_id, g ORDER BY doc_id, span_start""".stripMargin,
     "q70_star_components" ->
       s"""WITH RECURSIVE pdocs AS (
          |  SELECT doc_id,

@@ -239,6 +239,28 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("q75 span dedup: maximal islands, wrapped docs split, planted tail spans") {
+    Caches.scoped {
+      val rows = graft.queries.CurationPack.spanDedup(spark, "/root/testdata/sf0.001")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(rows.nonEmpty)
+      // span_tokens is the inclusive token width
+      assert(rows.forall { case (_, s, e, n) => n == e - s + 1 })
+      // islands are maximal: within a doc, consecutive spans have a real
+      // gap (next start > prev end + 1), else they would have merged
+      rows.groupBy(_._1).values.foreach { sp =>
+        sp.sortBy(_._2).sliding(2).foreach {
+          case Array((_, _, e1, _), (_, s2, _, _)) => assert(s2 > e1 + 1)
+          case _                                   => ()
+        }
+      }
+      // a head+tail-wrapped doc (%41) with a unique middle → two islands
+      assert(rows.groupBy(_._1).exists { case (id, sp) => id % 41 == 0 && sp.length >= 2 })
+      // a tail-only planted doc (%37, not %41) has a span away from 0
+      assert(rows.exists { case (id, s, _, _) => id % 37 == 0 && id % 41 != 0 && s > 0 })
+    }
+  }
+
   test("q57 fixed-point BM25 scalar: exact closed-form on known inputs") {
     // one term, df=2, N=4, sum_dl=40, dl=10, tf=3:
     //   idf_fp   = floor(1e6 * (2*4-2*2+1) / (2*2+1)) = 1_000_000
