@@ -176,7 +176,53 @@ object VectorPack {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  // ---------------------------------------------------------------- q76
+
+  /** q76: embedding-space QUALITY GATE — flag vectors whose quantized
+    * squared L2 norm falls outside the exact Tukey fence
+    * [q1 − 1.5·IQR, q3 + 1.5·IQR] of the corpus distribution. A
+    * training pipeline runs this ahead of ANN indexing: broken encoders
+    * emit zero/exploded vectors that poison centroid training and
+    * cosine thresholds. Planted fixtures guarantee both fence sides
+    * fire (`% 97` → ×3.0 exploded, `% 89` → ×0.25 collapsed; the
+    * natural corpus contributes its true outliers too). All math is
+    * exact: int64 norms (×1000 quantization), exact distributed
+    * quantiles ([[graft.ext.StatOps.exactQuantiles]] — two-pass
+    * prefix-sum, no global sort), and a division-free integer fence:
+    * v < q1 − 1.5·(q3−q1) ⟺ 2v < 5·q1 − 3·q3.
+    *
+    * Scale: one narrow (vec_id, norm2) projection feeds the quantile
+    * operator (its distinct-value groupBy is the only full shuffle);
+    * the two fence constants come back as a broadcast — the corpus
+    * never re-shuffles. Reference analog: none — brief-mandated
+    * training-data machinery.
+    */
+  def embeddingOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val norms = graft.Caches.persisted(Tables.embeddings(spark, dir)
+      .withColumn("s",
+        when(col("vec_id") % 97 === 0, lit(3.0))
+          .when(col("vec_id") % 89 === 0, lit(0.25))
+          .otherwise(lit(1.0)))
+      .select(col("vec_id"),
+        aggregate(
+          transform(col("embedding"),
+            x => round(x * col("s") * lit(Scale)).cast("long")),
+          lit(0L), (a, x) => a + x * x).as("norm2")))
+    val fences = graft.ext.StatOps.exactQuantiles(norms, "norm2", Seq(25, 75))
+      .groupBy()
+      .agg(min(when(col("p") === 25, col("value"))).cast("long").as("q1"),
+        min(when(col("p") === 75, col("value"))).cast("long").as("q3"))
+    val low = lit(2L) * col("norm2") < lit(5L) * col("q1") - lit(3L) * col("q3")
+    val high = lit(2L) * col("norm2") > lit(5L) * col("q3") - lit(3L) * col("q1")
+    norms.crossJoin(broadcast(fences))
+      .filter(low || high)
+      .select(col("vec_id"), col("norm2"),
+        when(low, lit("low")).otherwise(lit("high")).as("side"))
+      .orderBy(col("vec_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q76_embedding_outliers" -> embeddingOutliers _,
     "q54_int8_ann" -> int8Ann _,
     "q21_ann_topk" -> annTopK _,
     "q22_cosine_pairs" -> cosinePairs _,
@@ -247,6 +293,27 @@ object VectorPack {
        |${kmUpdateCte("cb2", "a2")}""".stripMargin
 
   private val baseOracles: Map[String, String] = Map(
+    "q76_embedding_outliers" ->
+      """WITH scaled AS (
+        |  SELECT vec_id,
+        |    CASE WHEN vec_id % 97 = 0 THEN 3.0::double
+        |         WHEN vec_id % 89 = 0 THEN 0.25::double
+        |         ELSE 1.0::double END AS s,
+        |    embedding
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id,
+        |    list_sum([ (cast(round((cast(x AS double) * s) * 1000.0) AS bigint)
+        |                * cast(round((cast(x AS double) * s) * 1000.0) AS bigint))
+        |               for x in embedding ])::bigint AS norm2
+        |  FROM scaled),
+        |qs AS (SELECT quantile_disc(norm2, 0.25)::bigint AS q1,
+        |              quantile_disc(norm2, 0.75)::bigint AS q3 FROM n)
+        |SELECT vec_id, norm2,
+        |  CASE WHEN 2*norm2 < 5*q1 - 3*q3 THEN 'low' ELSE 'high' END AS side
+        |FROM n, qs
+        |WHERE 2*norm2 < 5*q1 - 3*q3 OR 2*norm2 > 5*q3 - 3*q1
+        |ORDER BY vec_id""".stripMargin,
     // int8 quantization re-derived with integer `//` (the engine proves
     // its floor(double) form identical — see VectorOps.int8Quantize)
     "q54_int8_ann" ->

@@ -213,4 +213,23 @@ class AgreementSpec extends AnyFunSuite {
     buf.clear()
     assert(buf.size == 0 && buf.getRecent(3).isEmpty)
   }
+
+  test("q76 embedding outliers: planted scales land on the right fence side") {
+    Caches.scoped {
+      val rows = graft.queries.VectorPack.embeddingOutliers(spark, "/root/testdata/sf0.001")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      assert(rows.nonEmpty)
+      // ×3-planted (%97, incl. vec 0) must read high; ×0.25 (%89 alone) low
+      val hi = rows.collect { case (id, _, s) if id % 97 == 0 => s }
+      val lo = rows.collect { case (id, _, s) if id % 89 == 0 && id % 97 != 0 => s }
+      assert(hi.nonEmpty && hi.forall(_ == "high"))
+      assert(lo.nonEmpty && lo.forall(_ == "low"))
+      assert(rows.exists(_._1 == 0L) && rows.exists(_._1 == 89L))
+      // flagged norms really breach the planted ±~9×/16× band: every high
+      // norm dwarfs every low norm (no interleaving = fence is two-sided)
+      val hn = rows.collect { case (_, n, "high") => n }
+      val ln = rows.collect { case (_, n, "low") => n }
+      assert(ln.isEmpty || hn.isEmpty || ln.max < hn.min)
+    }
+  }
 }
