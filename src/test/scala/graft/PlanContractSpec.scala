@@ -94,4 +94,29 @@ class PlanContractSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
         s"register frame must broadcast, not cross-join:\n$plan")
     }
   }
+
+  test("q75 span dedup: shingle equi-join, islands window keyed per-doc") {
+    Caches.scoped {
+      val plan = executed("q75_span_dedup")
+      assert(collect(plan) { case c: CartesianProductExec => c }.isEmpty,
+        s"no cartesian anywhere in span dedup:\n$plan")
+      assert(collect(plan) { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+        s"dup-shingle join must stay an equi-join on the hash:\n$plan")
+      val wins = collect(plan) {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty),
+        s"islands window must partition by doc_id, never run global:\n$plan")
+    }
+  }
+
+  test("q76 outliers: the 1-row fence frame broadcasts back to the corpus") {
+    Caches.scoped {
+      val plan = executed("q76_embedding_outliers")
+      assert(collect(plan) { case c: CartesianProductExec => c }.isEmpty,
+        s"fence join must be a broadcast, not a cartesian:\n$plan")
+      assert(collect(plan) { case b: BroadcastExchangeLike => b }.nonEmpty,
+        s"fence frame must broadcast:\n$plan")
+    }
+  }
 }
