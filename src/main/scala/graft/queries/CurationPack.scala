@@ -647,36 +647,76 @@ object CurationPack {
     * set comes back as a keyed equi-join on the hash. Reference
     * analog: none — brief-mandated training-data machinery.
     */
-  def spanDedup(spark: SparkSession, dir: String): DataFrame = {
-    val W = 8
-    val planted = Tables.documents(spark, dir).select(
+  private[graft] val SpanW = 8
+
+  /** The q75 fixture corpus: documents with the span-planting applied
+    * (shared by the batch operator and [[graft.streaming.SpanDedupStream]]'s
+    * q77 harness so both engines and both execution modes shingle the
+    * same bytes).
+    */
+  private[graft] def spanPlantedDocs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
       col("doc_id"),
       when(col("doc_id") % 41 === 0,
           concat(lit(SpanHead + " "), col("text"), lit(" " + SpanTail)))
         .when(col("doc_id") % 37 === 0, concat(col("text"), lit(" " + SpanTail)))
         .otherwise(col("text")).as("text"))
-    val shing = graft.Caches.persisted(planted
-      .select(col("doc_id"),
-        posexplode(TextOps.shingleArray(col("text"), W)).as(Seq("pos", "s")))
-      .select(col("doc_id"), col("pos"), md5(col("s")).as("sh")))
+
+  /** Position-keyed shingle occurrences: (doc_id, pos, sh=md5). */
+  private[graft] def spanOccurrences(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        posexplode(TextOps.shingleArray(col("text"), SpanW)).as(Seq("pos", "s")))
+      .select(col("doc_id"), col("pos"), md5(col("s")).as("sh"))
+
+  /** Gaps-and-islands merge of duplicated positions into maximal spans. */
+  private[graft] def spansFromHits(hits: DataFrame): DataFrame = {
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    hits
+      .withColumn("brk",
+        when(col("pos") <= lag(col("pos"), 1).over(byPos) + SpanW, lit(0L))
+          .otherwise(lit(1L)))
+      .withColumn("g", sum(col("brk")).over(byPos))
+      .groupBy(col("doc_id"), col("g"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + (SpanW - 1)).cast("long").as("span_end"),
+        (max(col("pos")) - min(col("pos")) + SpanW).cast("long").as("span_tokens"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        col("span_tokens"))
+      .orderBy(col("doc_id"), col("span_start"))
+  }
+
+  def spanDedup(spark: SparkSession, dir: String): DataFrame = {
+    val shing = graft.Caches.persisted(
+      spanOccurrences(spanPlantedDocs(spark, dir)))
     val dup = shing.groupBy(col("sh"))
       .agg(min(col("doc_id")).as("_mn"), max(col("doc_id")).as("_mx"))
       .filter(col("_mn") =!= col("_mx"))
       .select(col("sh"))
     val hits = shing.join(dup, "sh").select(col("doc_id"), col("pos"))
-    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    hits
-      .withColumn("brk",
-        when(col("pos") <= lag(col("pos"), 1).over(byPos) + W, lit(0L))
-          .otherwise(lit(1L)))
-      .withColumn("g", sum(col("brk")).over(byPos))
-      .groupBy(col("doc_id"), col("g"))
-      .agg(min(col("pos")).cast("long").as("span_start"),
-        (max(col("pos")) + (W - 1)).cast("long").as("span_end"),
-        (max(col("pos")) - min(col("pos")) + W).cast("long").as("span_tokens"))
-      .select(col("doc_id"), col("span_start"), col("span_end"),
-        col("span_tokens"))
-      .orderBy(col("doc_id"), col("span_start"))
+    spansFromHits(hits)
+  }
+
+  // ---------------------------------------------------------------- q77
+
+  /** q77: [[graft.streaming.SpanDedupStream]]'s hit-emission contract
+    * gated end-to-end: three doc_id-ranged micro-batches ingest the
+    * SAME planted corpus as q75, the per-batch hit emissions union
+    * raw (no dedup — exactly-once is load-bearing and separately
+    * spec-pinned), and reconciliation merges them into spans that
+    * must hash-equal the batch operator's own oracle. Cross-batch
+    * retroactivity is exercised by construction: the planted tail
+    * phrase appears in all three ranges, so batch-0 occurrences are
+    * emitted retroactively when later batches prove duplication.
+    */
+  def streamSpans(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Caches.persisted(spanPlantedDocs(spark, dir))
+    val st = new graft.streaming.SpanDedupStream(spark)
+    val mx = docs.agg(max(col("doc_id"))).head.getLong(0)
+    val h0 = st.ingest(docs.filter(col("doc_id") <= mx / 3), 0L)
+    val h1 = st.ingest(
+      docs.filter(col("doc_id") > mx / 3 && col("doc_id") <= 2 * mx / 3), 1L)
+    val h2 = st.ingest(docs.filter(col("doc_id") > 2 * mx / 3), 2L)
+    st.reconcileSpans(h0.union(h1).union(h2))
   }
 
   // ------------------------------------------------------------ registry
@@ -695,7 +735,8 @@ object CurationPack {
     "q69_mixture_draw" -> mixtureDraw _,
     "q70_star_components" -> starDedupComponents _,
     "q72_stream_reconcile" -> streamReconcile _,
-    "q75_span_dedup" -> spanDedup _)
+    "q75_span_dedup" -> spanDedup _,
+    "q77_stream_spans" -> streamSpans _)
 
   private val baseOracles: Map[String, String] = Map(
     "q75_span_dedup" ->
@@ -1067,9 +1108,12 @@ object CurationPack {
          |  md5(redacted) AS redacted_fp
          |FROM red ORDER BY doc_id""".stripMargin)
 
-  /** q72 shares q68's oracle verbatim: the streaming reconcile must
-    * hash-equal the batch corpus build.
+  /** q72 shares q68's oracle verbatim (streaming reconcile ≡ batch
+    * corpus build), and q77 shares q75's (streamed span hits ≡ batch
+    * span dedup).
     */
   val oracles: Map[String, String] =
-    baseOracles + ("q72_stream_reconcile" -> baseOracles("q68_corpus_build"))
+    baseOracles +
+      ("q72_stream_reconcile" -> baseOracles("q68_corpus_build")) +
+      ("q77_stream_spans" -> baseOracles("q75_span_dedup"))
 }

@@ -282,6 +282,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(pairsOf(nd2.ingest(docs(20L -> dupA), 0)) == p2)
   }
 
+  test("SpanDedupStream: hits exactly-once with retroactive emission; retry + restore hold") {
+    import org.apache.spark.sql.DataFrame
+    val dupP = "alpha beta gamma delta epsilon zeta eta theta" // one 8-gram
+    def docs(rows: (Long, String)*): DataFrame = rows.toDF("doc_id", "text")
+    def hitsOf(df: DataFrame): Set[(Long, Int)] =
+      df.collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val b0 = Seq(1L -> s"$dupP unique1a unique1b",
+      2L -> "ten totally unrelated filler words occupy this document right here")
+    val b1 = Seq(10L -> s"prefix10a prefix10b $dupP")
+    val b2 = Seq(20L -> s"$dupP tail20a tail20b")
+    val st = new graft.streaming.SpanDedupStream(spark)
+    // batch 0: the phrase has ONE doc — nothing is provably duplicated
+    val h0 = hitsOf(st.ingest(docs(b0: _*), 0))
+    assert(h0.isEmpty, s"premature emission: $h0")
+    // batch 1 brings the second doc: the fresh occurrence AND the
+    // retroactive batch-0 occurrence emit together, exactly here
+    val h1 = hitsOf(st.ingest(docs(b1: _*), 1))
+    assert(h1 == Set((1L, 0), (10L, 2)), s"retroactive emission wrong: $h1")
+    // foreachBatch retry of batch 1: rollback makes it identical
+    val h1retry = hitsOf(st.ingest(docs(b1: _*), 1))
+    assert(h1retry == h1, s"retry not idempotent: $h1retry")
+    // batch 2: the shingle is ALREADY duplicated — fresh hit only,
+    // nothing re-emits
+    val h2 = hitsOf(st.ingest(docs(b2: _*), 2))
+    assert(h2 == Set((20L, 0)), s"re-emission after dup established: $h2")
+    // streamed hits ≡ the batch operator's hit set on the full corpus
+    val all = docs((b0 ++ b1 ++ b2): _*)
+    val batchHits = Caches.scoped {
+      val occ = graft.queries.CurationPack.spanOccurrences(all)
+      val dup = occ.groupBy(col("sh"))
+        .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+        .filter(col("mn") =!= col("mx")).select(col("sh"))
+      hitsOf(occ.join(dup, "sh").select(col("doc_id"), col("pos")))
+    }
+    assert((h0 ++ h1 ++ h2) == batchHits)
+    // reconcile over streamed hits = the batch islands pass
+    val spans = Caches.scoped {
+      st.reconcileSpans((h0 ++ h1 ++ h2).toSeq.toDF("doc_id", "pos"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    assert(spans == Set((1L, 0L, 7L), (10L, 2L, 9L), (20L, 0L, 7L)))
+    // restart: restore from the occurrence log, then batch 2 behaves
+    // exactly like the uninterrupted run
+    val st2 = new graft.streaming.SpanDedupStream(spark)
+    st2.restore(st.occurrenceLog.filter(col("doc_id") =!= 20L))
+    assert(hitsOf(st2.ingest(docs(b2: _*), 0)) == h2)
+  }
+
   test("session windows: stream emits exactly the closed batch sessions") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
