@@ -696,6 +696,51 @@ object CurationPack {
     spansFromHits(hits)
   }
 
+  // ---------------------------------------------------------------- q78
+
+  /** q78: span REMOVAL — the actionable half of q75 (flag→act, the
+    * same pairing as PII detect→redact): cut every duplicated span
+    * from every doc EXCEPT the canonical copy, where a duplicated
+    * shingle's canonical owner is the min doc_id among its
+    * occurrences (so exactly one copy of each duplicated region
+    * survives corpus-wide, the Lee-et-al. "keep one occurrence"
+    * policy). Output per affected doc: tokens removed and the md5 of
+    * the rewritten text (fully-duplicated non-owner docs collapse to
+    * the empty string — the whole-doc-dup degenerate case).
+    *
+    * Shape: ownership rides the SAME min/max aggregate as q75's
+    * duplicate test; non-owner occurrences expand to their ≤8 covered
+    * token positions (bounded explode); tokens leave via an equi
+    * anti-join on (doc_id, position) — never a non-equi/NLJ plan —
+    * and the rebuild is a per-doc sort_array over (position, token)
+    * structs, deterministic and doc-bounded.
+    */
+  def spanRemoval(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Caches.persisted(spanPlantedDocs(spark, dir))
+    val occ = graft.Caches.persisted(spanOccurrences(docs))
+    val own = occ.groupBy(col("sh"))
+      .agg(min(col("doc_id")).as("owner"), max(col("doc_id")).as("_mx"))
+      .filter(col("owner") =!= col("_mx"))
+      .select(col("sh"), col("owner"))
+    val covered = occ.join(own, "sh")
+      .filter(col("doc_id") =!= col("owner"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (SpanW - 1))).as("ti"))
+      .distinct()
+    val tokrows = docs.select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("ti", "tok")))
+    val rebuilt = tokrows.join(covered, Seq("doc_id", "ti"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("ti"), col("tok")))),
+          x => x.getField("tok")), " ").as("ntext"))
+    covered.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tokens_removed"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens_removed"),
+        md5(coalesce(col("ntext"), lit(""))).as("clean_fp"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---------------------------------------------------------------- q77
 
   /** q77: [[graft.streaming.SpanDedupStream]]'s hit-emission contract
@@ -736,9 +781,48 @@ object CurationPack {
     "q70_star_components" -> starDedupComponents _,
     "q72_stream_reconcile" -> streamReconcile _,
     "q75_span_dedup" -> spanDedup _,
-    "q77_stream_spans" -> streamSpans _)
+    "q77_stream_spans" -> streamSpans _,
+    "q78_span_removal" -> spanRemoval _)
 
   private val baseOracles: Map[String, String] = Map(
+    "q78_span_removal" ->
+      s"""WITH planted AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 41 = 0
+         |      THEN '$SpanHead' || ' ' || text || ' ' || '$SpanTail'
+         |    WHEN doc_id % 37 = 0 THEN text || ' ' || '$SpanTail'
+         |    ELSE text END AS text
+         |  FROM documents),
+         |toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM planted),
+         |shing AS (
+         |  SELECT doc_id,
+         |    unnest(range(1, len(toks) - 6)) - 1 AS pos,
+         |    unnest([md5(array_to_string(toks[i:i+7], ' '))
+         |            for i in range(1, len(toks) - 6)]) AS sh
+         |  FROM toks),
+         |own AS (SELECT sh, min(doc_id) AS owner FROM shing
+         |        GROUP BY sh HAVING min(doc_id) != max(doc_id)),
+         |covered AS (
+         |  SELECT DISTINCT s.doc_id, s.pos + d AS ti
+         |  FROM shing s JOIN own o ON s.sh = o.sh
+         |  CROSS JOIN (SELECT unnest(range(8)) AS d)
+         |  WHERE s.doc_id != o.owner),
+         |tokrows AS (
+         |  SELECT doc_id, unnest(range(1, len(toks) + 1)) - 1 AS ti,
+         |         unnest(toks) AS tok
+         |  FROM toks),
+         |kept AS (
+         |  SELECT t.doc_id, t.ti, t.tok FROM tokrows t
+         |  ANTI JOIN covered c ON t.doc_id = c.doc_id AND t.ti = c.ti),
+         |rebuilt AS (
+         |  SELECT doc_id, string_agg(tok, ' ' ORDER BY ti) AS ntext
+         |  FROM kept GROUP BY doc_id),
+         |aff AS (SELECT doc_id, count(*)::bigint AS n_tokens_removed
+         |        FROM covered GROUP BY doc_id)
+         |SELECT a.doc_id, a.n_tokens_removed,
+         |  md5(coalesce(r.ntext, '')) AS clean_fp
+         |FROM aff a LEFT JOIN rebuilt r ON a.doc_id = r.doc_id
+         |ORDER BY a.doc_id""".stripMargin,
     "q75_span_dedup" ->
       s"""WITH planted AS (
          |  SELECT doc_id,

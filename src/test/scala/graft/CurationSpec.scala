@@ -261,6 +261,25 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("q78 span removal: min doc owns everything it contains, full removal collapses to ''") {
+    Caches.scoped {
+      val rows = graft.queries.CurationPack.spanRemoval(spark, "/root/testdata/sf0.001")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      assert(rows.nonEmpty)
+      // the globally smallest doc_id is the canonical owner of every
+      // shingle it contains — it can never lose a token
+      assert(!rows.exists(_._1 == 0L))
+      assert(rows.forall(_._2 > 0))
+      // whole-doc non-owner duplicates collapse to the empty string
+      val emptyFp = "d41d8cd98f00b204e9800998ecf8427e"
+      assert(rows.exists(_._3 == emptyFp), "full-removal path never fired")
+      // a planted %37 doc loses exactly the 10-token tail phrase when
+      // its body is unique (tail = 10 tokens, all covered)
+      assert(rows.exists { case (id, n, fp) =>
+        id % 37 == 0 && id % 41 != 0 && n == 10 && fp != emptyFp })
+    }
+  }
+
   test("q57 fixed-point BM25 scalar: exact closed-form on known inputs") {
     // one term, df=2, N=4, sum_dl=40, dl=10, tf=3:
     //   idf_fp   = floor(1e6 * (2*4-2*2+1) / (2*2+1)) = 1_000_000
