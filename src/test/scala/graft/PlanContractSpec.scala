@@ -110,6 +110,16 @@ class PlanContractSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("q78 span removal: coverage leaves via an equi anti-join, never an NLJ") {
+    Caches.scoped {
+      val plan = executed("q78_span_removal")
+      assert(collect(plan) { case c: CartesianProductExec => c }.isEmpty,
+        s"no cartesian in span removal:\n$plan")
+      assert(collect(plan) { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+        s"the (doc_id, position) anti-join must stay equi-keyed:\n$plan")
+    }
+  }
+
   test("q76 outliers: the 1-row fence frame broadcasts back to the corpus") {
     Caches.scoped {
       val plan = executed("q76_embedding_outliers")
