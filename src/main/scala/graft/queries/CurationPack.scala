@@ -590,6 +590,19 @@ object CurationPack {
     * machinery must land on exactly the batch build's rows — the
     * strongest driver-visible contract the streaming layer has.
     */
+  /** Shared q72/q77 harness: split a corpus into three doc_id-ranged
+    * micro-batches and feed them to a stream's ingest in order,
+    * returning the per-batch results.
+    */
+  private[graft] def ingestInThirds[A](docs: DataFrame)(
+      ingest: (DataFrame, Long) => A): Seq[A] = {
+    val mx = docs.agg(max(col("doc_id"))).head.getLong(0)
+    Seq(
+      ingest(docs.filter(col("doc_id") <= mx / 3), 0L),
+      ingest(docs.filter(col("doc_id") > mx / 3 && col("doc_id") <= 2 * mx / 3), 1L),
+      ingest(docs.filter(col("doc_id") > 2 * mx / 3), 2L))
+  }
+
   def streamReconcile(spark: SparkSession, dir: String): DataFrame = {
     val docs = graft.Caches.persisted(Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), col("text")))
@@ -601,10 +614,7 @@ object CurationPack {
         docs.filter(col("doc_id") % 101 === 0), "doc_id", "text", 8)
       .select(col("_s").as("sh"))
     val cs = new graft.streaming.CurationStream(spark, uni, bi, benchSh)
-    val mx = docs.agg(max(col("doc_id"))).head.getLong(0)
-    cs.ingest(docs.filter(col("doc_id") <= mx / 3), 0L)
-    cs.ingest(docs.filter(col("doc_id") > mx / 3 && col("doc_id") <= 2 * mx / 3), 1L)
-    cs.ingest(docs.filter(col("doc_id") > 2 * mx / 3), 2L)
+    ingestInThirds(docs)(cs.ingest)
     cs.reconcile()
   }
 
@@ -702,11 +712,15 @@ object CurationPack {
     * same pairing as PII detect→redact): cut every duplicated span
     * from every doc EXCEPT the canonical copy, where a duplicated
     * shingle's canonical owner is the min doc_id among its
-    * occurrences (so exactly one copy of each duplicated region
-    * survives corpus-wide, the Lee-et-al. "keep one occurrence"
-    * policy). Output per affected doc: tokens removed and the md5 of
-    * the rewritten text (fully-duplicated non-owner docs collapse to
-    * the empty string — the whole-doc-dup degenerate case).
+    * occurrences — the "keep one occurrence" policy at SHINGLE grain:
+    * each duplicated 8-gram survives exactly in its owner. (Ownership
+    * is per-shingle, so a multi-shingle region whose shingles have
+    * DIFFERENT owners — one of its 8-grams also occurs in some third,
+    * smaller doc — can be cut in every doc that holds the full region;
+    * the policy trades that edge for a pure two-pass keyed plan.)
+    * Output per affected doc: tokens removed and the md5 of the
+    * rewritten text (fully-duplicated non-owner docs collapse to the
+    * empty string — the whole-doc-dup degenerate case).
     *
     * Shape: ownership rides the SAME min/max aggregate as q75's
     * duplicate test; non-owner occurrences expand to their ≤8 covered
@@ -722,13 +736,18 @@ object CurationPack {
       .agg(min(col("doc_id")).as("owner"), max(col("doc_id")).as("_mx"))
       .filter(col("owner") =!= col("_mx"))
       .select(col("sh"), col("owner"))
-    val covered = occ.join(own, "sh")
+    val covered = graft.Caches.persisted(occ.join(own, "sh")
       .filter(col("doc_id") =!= col("owner"))
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + (SpanW - 1))).as("ti"))
-      .distinct()
-    val tokrows = docs.select(col("doc_id"),
-      posexplode(split(col("text"), " ")).as(Seq("ti", "tok")))
+      .distinct())
+    // only AFFECTED docs re-materialize: the rebuild below explodes,
+    // anti-joins and re-sorts tokens, and at corpus scale most docs
+    // hold no duplicated span — semi-join first, rebuild second
+    val tokrows = docs
+      .join(covered.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("ti", "tok")))
     val rebuilt = tokrows.join(covered, Seq("doc_id", "ti"), "left_anti")
       .groupBy(col("doc_id"))
       .agg(array_join(
@@ -756,12 +775,7 @@ object CurationPack {
   def streamSpans(spark: SparkSession, dir: String): DataFrame = {
     val docs = graft.Caches.persisted(spanPlantedDocs(spark, dir))
     val st = new graft.streaming.SpanDedupStream(spark)
-    val mx = docs.agg(max(col("doc_id"))).head.getLong(0)
-    val h0 = st.ingest(docs.filter(col("doc_id") <= mx / 3), 0L)
-    val h1 = st.ingest(
-      docs.filter(col("doc_id") > mx / 3 && col("doc_id") <= 2 * mx / 3), 1L)
-    val h2 = st.ingest(docs.filter(col("doc_id") > 2 * mx / 3), 2L)
-    st.reconcileSpans(h0.union(h1).union(h2))
+    st.reconcileSpans(ingestInThirds(docs)(st.ingest).reduce(_ union _))
   }
 
   // ------------------------------------------------------------ registry

@@ -28,7 +28,7 @@ import org.apache.spark.sql.types._
 final class AnnStream(spark: SparkSession, codebook: DataFrame) {
 
   private val cb = graft.Caches.persisted(codebook)
-  private val postings = new CurationStream.Log(spark, StructType(Seq(
+  private val postings = new AppendLog(spark, StructType(Seq(
     StructField("cell", LongType, nullable = true),
     StructField("c_id", LongType, nullable = true),
     StructField("c_vec", ArrayType(LongType, containsNull = true), nullable = true),

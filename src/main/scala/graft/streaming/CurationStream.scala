@@ -48,19 +48,17 @@ import org.apache.spark.sql.types._
 final class CurationStream(spark: SparkSession,
     frozenUni: DataFrame, frozenBi: DataFrame, benchShingles: DataFrame) {
 
-  import CurationStream.Log
-
   private val nd = new NearDupStream(spark)
   private val bench = graft.Caches.persisted(
     benchShingles.select(col("sh")).distinct())
 
-  private val fpLog = new Log(spark, StructType(Seq(
+  private val fpLog = new AppendLog(spark, StructType(Seq(
     StructField("fp", StringType, nullable = true),
     StructField("doc_id", LongType, nullable = false))))
-  private val pairLog = new Log(spark, StructType(Seq(
+  private val pairLog = new AppendLog(spark, StructType(Seq(
     StructField("doc1", LongType, nullable = false),
     StructField("doc2", LongType, nullable = false))))
-  private val docLog = new Log(spark, StructType(Seq(
+  private val docLog = new AppendLog(spark, StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
     StructField("source", StringType, nullable = true),
     StructField("n_tokens", LongType, nullable = true),
@@ -203,39 +201,5 @@ final class CurationStream(spark: SparkSession,
     fpLog.restore(fps); pairLog.restore(pairs); docLog.restore(docs)
     nd.restore(bandLog)
     lastBatchId = Long.MinValue
-  }
-}
-
-object CurationStream {
-
-  /** Append-only keyed state with one-batch rollback: `beforeLast`
-    * snapshots the log before the last append so a foreachBatch retry
-    * of that batch can roll back instead of double-appending; the
-    * pre-previous snapshot is freed once the next batch commits (only
-    * the current batch can replay inside a running query).
-    */
-  private[streaming] final class Log(spark: SparkSession, schema: StructType) {
-    var cur: DataFrame = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    private var beforeLast: DataFrame = cur
-
-    def append(rows: DataFrame): Unit = {
-      val next = cur.union(rows.select(schema.fieldNames.map(col).toSeq: _*))
-        .localCheckpoint(eager = true)
-      if (beforeLast ne cur) graft.ext.GraphOps.unpersistCheckpoint(beforeLast)
-      beforeLast = cur
-      cur = next
-    }
-
-    def rollback(): Unit = if (cur ne beforeLast) {
-      graft.ext.GraphOps.unpersistCheckpoint(cur)
-      cur = beforeLast
-    }
-
-    def restore(rows: DataFrame): Unit = {
-      cur = rows.select(schema.fieldNames.map(col).toSeq: _*)
-        .localCheckpoint(eager = true)
-      beforeLast = cur
-    }
   }
 }

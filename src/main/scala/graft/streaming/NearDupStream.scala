@@ -44,18 +44,11 @@ final class NearDupStream(spark: SparkSession) {
     StructField("doc_id", LongType, nullable = false),
     StructField("band_key", StringType, nullable = true)))
 
-  /** Accumulated (doc_id, band_key) log across batches; lineage is
-    * truncated per batch (localCheckpoint) like the driver-paced loops
-    * in GraphOps/VectorOps. `seenBeforeLast` snapshots the log BEFORE
-    * the last ingested batch so a foreachBatch RETRY of that batch can
-    * roll back instead of double-appending; the pre-previous snapshot
-    * is unpersisted as soon as the next batch commits (only the
-    * current batch can replay inside a running query).
+  /** Accumulated (doc_id, band_key) log across batches — an
+    * [[AppendLog]], so lineage truncates per batch and a foreachBatch
+    * RETRY of the last batch can roll back instead of double-appending.
     */
-  private var seen: DataFrame =
-    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      bandSchema)
-  private var seenBeforeLast: DataFrame = seen
+  private val bandLog = new AppendLog(spark, bandSchema)
   private var lastBatchId: Long = Long.MinValue
 
   /** Seed the band log after a query RESTART: in production the log is
@@ -64,11 +57,9 @@ final class NearDupStream(spark: SparkSession) {
     * would silently lose every cross-restart candidate pair
     * (StreamingSpec pins restore ≡ uninterrupted run).
     */
-  def restore(bandLog: DataFrame): Unit = {
-    seen = bandLog
-      .select(col("doc_id").cast("long").as("doc_id"), col("band_key"))
-      .localCheckpoint(eager = true)
-    seenBeforeLast = seen
+  def restore(rows: DataFrame): Unit = {
+    bandLog.restore(rows
+      .select(col("doc_id").cast("long").as("doc_id"), col("band_key")))
     lastBatchId = Long.MinValue
   }
 
@@ -81,10 +72,8 @@ final class NearDupStream(spark: SparkSession) {
     * idempotent: the failed attempt's append is rolled back first.
     */
   def ingest(batchDocs: DataFrame, batchId: Long): DataFrame = graft.Caches.scoped {
-    if (batchId == lastBatchId && (seen ne seenBeforeLast)) {
-      graft.ext.GraphOps.unpersistCheckpoint(seen)
-      seen = seenBeforeLast
-    }
+    if (batchId == lastBatchId) bandLog.rollback()
+    val seen = bandLog.cur
     val bands = graft.queries.TextPack.bandedKeys(batchDocs)
       .localCheckpoint(eager = true)
     val nn = bands.select(col("doc_id").as("doc1"), col("band_key"))
@@ -100,13 +89,8 @@ final class NearDupStream(spark: SparkSession) {
       .groupBy(col("doc1"), col("doc2"))
       .agg(count(lit(1)).as("n_shared_bands"))
       .localCheckpoint(eager = true)
-    // the snapshot behind the PREVIOUS batch can no longer back a
-    // retry once this batch commits — free its blocks
-    if (seenBeforeLast ne seen)
-      graft.ext.GraphOps.unpersistCheckpoint(seenBeforeLast)
-    seenBeforeLast = seen
-    seen = seen.union(bands).localCheckpoint(eager = true)
-    graft.ext.GraphOps.unpersistCheckpoint(bands) // folded into seen
+    bandLog.append(bands)
+    graft.ext.GraphOps.unpersistCheckpoint(bands) // folded into the log
     lastBatchId = batchId
     pairs
   }

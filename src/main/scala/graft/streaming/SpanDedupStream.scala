@@ -49,10 +49,7 @@ final class SpanDedupStream(spark: SparkSession) {
     StructField("pos", IntegerType, nullable = false),
     StructField("sh", StringType, nullable = true)))
 
-  private var seen: DataFrame =
-    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      occSchema)
-  private var seenBeforeLast: DataFrame = seen
+  private val occLog = new AppendLog(spark, occSchema)
   private var lastBatchId: Long = Long.MinValue
 
   /** Seed the occurrence log after a query restart (production: the
@@ -60,17 +57,14 @@ final class SpanDedupStream(spark: SparkSession) {
     * would re-emit historical hits and mislabel already-dup shingles
     * as newly-dup).
     */
-  def restore(occLog: DataFrame): Unit = {
-    seen = occLog
-      .select(col("doc_id").cast("long").as("doc_id"),
-        col("pos").cast("int").as("pos"), col("sh"))
-      .localCheckpoint(eager = true)
-    seenBeforeLast = seen
+  def restore(rows: DataFrame): Unit = {
+    occLog.restore(rows.select(col("doc_id").cast("long").as("doc_id"),
+      col("pos").cast("int").as("pos"), col("sh")))
     lastBatchId = Long.MinValue
   }
 
   /** The accumulated occurrence log (for reconciliation/persistence). */
-  def occurrenceLog: DataFrame = seen
+  def occurrenceLog: DataFrame = occLog.cur
 
   /** foreachBatch body: shingle the batch's (doc_id, text) rows, emit
     * every hit this batch PROVES (fresh occurrences of shingles that
@@ -80,10 +74,8 @@ final class SpanDedupStream(spark: SparkSession) {
     * returned checkpoint's lifetime.
     */
   def ingest(batchDocs: DataFrame, batchId: Long): DataFrame = graft.Caches.scoped {
-    if (batchId == lastBatchId && (seen ne seenBeforeLast)) {
-      graft.ext.GraphOps.unpersistCheckpoint(seen)
-      seen = seenBeforeLast
-    }
+    if (batchId == lastBatchId) occLog.rollback()
+    val seen = occLog.cur
     val occ = graft.queries.CurationPack.spanOccurrences(batchDocs)
       .localCheckpoint(eager = true)
     // batch-side and log-side distinct-doc envelopes, merged per shingle
@@ -103,11 +95,8 @@ final class SpanDedupStream(spark: SparkSession) {
     val fresh = occ.join(dupSh, "sh").select(col("doc_id"), col("pos"))
     val retro = seen.join(newlySh, "sh").select(col("doc_id"), col("pos"))
     val hits = fresh.union(retro).localCheckpoint(eager = true)
-    if (seenBeforeLast ne seen)
-      graft.ext.GraphOps.unpersistCheckpoint(seenBeforeLast)
-    seenBeforeLast = seen
-    seen = seen.union(occ).localCheckpoint(eager = true)
-    graft.ext.GraphOps.unpersistCheckpoint(occ) // folded into seen
+    occLog.append(occ)
+    graft.ext.GraphOps.unpersistCheckpoint(occ) // folded into the log
     lastBatchId = batchId
     hits
   }
