@@ -1,0 +1,110 @@
+package graft.sources
+
+import java.net.{InetSocketAddress, Socket}
+
+/** Live WebSocket ingest boundary — binds the PURE connection policy
+  * ([[Connectivity]]: UA rotation, rate limiting, retry backoff) to
+  * real socket I/O and spools received binary frames into splittable
+  * `.binpack` v3 containers that [[FrameTokenSource]] serves as an
+  * ordinary (batch or streaming) DataSource.
+  *
+  * This is the one deliberately NON-distributed component: a socket
+  * feed is not replayable, so the 100 TB shape is ingest-once →
+  * durable spool → distributed everything-after. One light ingest
+  * process (or a few, sharded by endpoint) lands frames in object
+  * storage; executors never hold socket state. The spool is the
+  * replay boundary — exactly why [[FrameTokenSource]] reads containers
+  * rather than sockets.
+  *
+  * Reference mapping (scraper.py:231-273): connect kwargs → the
+  * upgrade request's header lines (rotated UA set, Origin — emitted
+  * once from the rotated map, the dedup `connectHeaders` exists for;
+  * our client writes headers verbatim so nothing is restricted or
+  * rewritten); "first recv is the handshake message" → the first TEXT
+  * message is consumed and not spooled; ping → pong keep-alive;
+  * server close → clean shutdown.
+  */
+final class WsIngest(
+    host: String,
+    port: Int,
+    path: String,
+    spoolDir: String,
+    governor: Connectivity.ConnectionGovernor,
+    framesPerPack: Int = 64,
+    connectTimeoutMs: Int = 5000,
+    clock: () => Long = () => System.currentTimeMillis(),
+    key16: () => Array[Byte] = WsIngest.randomBytes(16),
+    mask4: () => Array[Byte] = WsIngest.randomBytes(4)) {
+
+  /** Connect under the governor's policy and drain the feed into the
+    * spool. Returns (frames spooled, packs written). Stops at
+    * `maxFrames` binary frames or the server's close, whichever first.
+    */
+  def run(startFrameId: Long = 0L, maxFrames: Long = Long.MaxValue): (Long, Int) = {
+    val conn = governor.connect { _ =>
+      // rotation advances per ATTEMPT, like the reference's
+      // per-connect header refresh (scraper.py:126-146)
+      val headers = (governor.nextHeaders() - "Sec-WebSocket-Version").toSeq
+      try {
+        val s = new Socket()
+        s.connect(new InetSocketAddress(host, port), connectTimeoutMs)
+        try {
+          val in = new java.io.BufferedInputStream(s.getInputStream)
+          val out = new java.io.BufferedOutputStream(s.getOutputStream)
+          Rfc6455.clientHandshake(in, out, s"$host:$port", path, headers, key16())
+          Some((s, in, out))
+        } catch { case scala.util.control.NonFatal(_) => s.close(); None }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+    val (sock, in, out) = conn.getOrElse(throw new IllegalStateException(
+      s"connect failed after ${governor.maxRetries} retries; trace=${governor.trace}"))
+    try drain(in, out, startFrameId, maxFrames)
+    finally sock.close()
+  }
+
+  private def drain(in: java.io.InputStream, out: java.io.OutputStream,
+      startFrameId: Long, maxFrames: Long): (Long, Int) = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Array[Byte])]
+    var frameId = startFrameId
+    var packs = 0
+    var sawHello = false
+    def flush(): Unit = if (buf.nonEmpty) {
+      FrameTokenSource.writeFramePack(spoolDir,
+        f"pack_${startFrameId}%012d_$packs%06d", buf.iterator)
+      packs += 1
+      buf.clear()
+    }
+    var open = true
+    while (open && frameId - startFrameId < maxFrames) {
+      Rfc6455.readMessage(in) match {
+        case None => open = false // EOF without close frame: spool what we have
+        case Some((Rfc6455.OpClose, p)) =>
+          // close-ack then stop (RFC 6455 §5.5.1)
+          try Rfc6455.writeFrame(out, Rfc6455.OpClose, p, Some(mask4()))
+          catch { case scala.util.control.NonFatal(_) => () }
+          open = false
+        case Some((Rfc6455.OpPing, p)) =>
+          Rfc6455.writeFrame(out, Rfc6455.OpPong, p, Some(mask4()))
+        case Some((Rfc6455.OpPong, _)) => ()
+        case Some((Rfc6455.OpText, _)) if !sawHello =>
+          sawHello = true // first recv = handshake message (scraper.py:257-263)
+        case Some((Rfc6455.OpText, _)) => () // non-binary chatter: ignored
+        case Some((Rfc6455.OpBinary, p)) =>
+          buf += ((frameId, clock(), p))
+          frameId += 1
+          if (buf.size >= framesPerPack) flush()
+        case Some((_, _)) => () // unknown opcode: skip
+      }
+    }
+    flush()
+    (frameId - startFrameId, packs)
+  }
+}
+
+object WsIngest {
+  private def randomBytes(n: Int): () => Array[Byte] = () => {
+    val b = new Array[Byte](n)
+    new java.security.SecureRandom().nextBytes(b)
+    b
+  }
+}

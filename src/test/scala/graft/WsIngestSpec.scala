@@ -1,0 +1,120 @@
+package graft
+
+import graft.queries.DecodePack
+import graft.sources.{Connectivity, FrameTokenSource, Rfc6455, WsIngest}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Live-ingest boundary, end to end over a real loopback socket: an
+  * in-process RFC 6455 server (handshake + text hello + binary frames
+  * + close) feeds [[WsIngest]], which spools `.binpack` v3 containers
+  * that the `graft-tokens` source must read IDENTICALLY to a
+  * directly-written pack of the same payloads. Connection policy
+  * (retry on refused attempt, UA rotation across attempts, rate-limit
+  * trace) is asserted against what the server actually received —
+  * the zero-egress proof that the pure Connectivity components bind
+  * to real I/O.
+  */
+class WsIngestSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private val fixedKey16 = () => Array.tabulate[Byte](16)(i => (i + 1).toByte)
+  private val fixedMask4 = () => Array[Byte](7, 11, 13, 17)
+
+  /** Serve one WebSocket session on loopback: optionally kill the
+    * first `rejects` TCP connections before the handshake (retry
+    * path), then handshake, send a text hello, the payload frames,
+    * a close. Returns (port, request-headers-per-connection).
+    */
+  private def serve(payloads: Seq[Array[Byte]], rejects: Int = 0):
+      (Int, java.util.concurrent.BlockingQueue[Map[String, String]]) = {
+    val srv = new java.net.ServerSocket(0, 2,
+      java.net.InetAddress.getLoopbackAddress)
+    val seen = new java.util.concurrent.LinkedBlockingQueue[Map[String, String]]()
+    val t = new Thread(() => {
+      try {
+        var remainingRejects = rejects
+        var served = false
+        while (!served) {
+          val c = srv.accept()
+          if (remainingRejects > 0) { remainingRejects -= 1; c.close() }
+          else {
+            val in = new java.io.BufferedInputStream(c.getInputStream)
+            val out = new java.io.BufferedOutputStream(c.getOutputStream)
+            seen.put(Rfc6455.serverHandshake(in, out))
+            Rfc6455.writeFrame(out, Rfc6455.OpText,
+              """{"type":"handshake"}""".getBytes("UTF-8"))
+            Rfc6455.writeFrame(out, Rfc6455.OpPing, Array[Byte](1, 2))
+            payloads.foreach(p => Rfc6455.writeFrame(out, Rfc6455.OpBinary, p))
+            Rfc6455.writeFrame(out, Rfc6455.OpClose, Array.empty)
+            // drain the client's pong + close-ack, then done
+            Rfc6455.readMessage(in); Rfc6455.readMessage(in)
+            c.close()
+            served = true
+          }
+        }
+      } catch { case _: Throwable => () } finally srv.close()
+    })
+    t.setDaemon(true); t.start()
+    (srv.getLocalPort, seen)
+  }
+
+  private def governor(rate: Double = 1000.0) = {
+    var now = 0.0
+    new Connectivity.ConnectionGovernor(rateLimit = rate, maxRetries = 3,
+      backoffBase = 1.0, clock = () => { now += 0.25; now },
+      uniform01 = () => 0.5, sleep = _ => ())
+  }
+
+  test("ws ingest → v3 spool → graft-tokens reads it identically to a written pack") {
+    val payloads = (0L until 10L).map(DecodePack.deepFrame)
+    val (port, seen) = serve(payloads)
+    val spool = java.nio.file.Files.createTempDirectory("graft_ws_spool").toString
+    val gov = governor()
+    val ws = new WsIngest("127.0.0.1", port, "/ws", spool, gov,
+      framesPerPack = 4, clock = () => 777L,
+      key16 = fixedKey16, mask4 = fixedMask4)
+    val (n, packs) = ws.run(startFrameId = 0L)
+    assert(n == 10L && packs == 3) // 4 + 4 + 2
+    // policy on the wire: rotated UA + Origin reached the server
+    val headers = seen.take()
+    assert(headers("user-agent") == Connectivity.UserAgents(0))
+    assert(headers("origin") == "https://dexscreener.com")
+    assert(headers.contains("sec-websocket-key"))
+    // the spool is byte-identical in decode to a directly-written pack
+    val direct = java.nio.file.Files.createTempDirectory("graft_ws_direct").toString
+    FrameTokenSource.writeFramePack(direct, "pack_000000",
+      payloads.zipWithIndex.iterator.map { case (p, i) => (i.toLong, 777L, p) })
+    val viaWs = spark.read.format("graft-tokens").load(spool)
+      .orderBy(col("frame_id")).collect().map(_.toSeq).toSeq
+    val viaWriter = spark.read.format("graft-tokens").load(direct)
+      .orderBy(col("frame_id")).collect().map(_.toSeq).toSeq
+    assert(viaWs.nonEmpty && viaWs == viaWriter)
+  }
+
+  test("refused connections retry under the governor with rotated headers") {
+    val payloads = Seq(DecodePack.deepFrame(0L))
+    val (port, seen) = serve(payloads, rejects = 2)
+    val spool = java.nio.file.Files.createTempDirectory("graft_ws_retry").toString
+    val gov = governor()
+    val ws = new WsIngest("127.0.0.1", port, "/ws", spool, gov,
+      key16 = fixedKey16, mask4 = fixedMask4)
+    val (n, _) = ws.run()
+    assert(n == 1L)
+    // three attempts: two rejected + one success; backoff trace recorded
+    assert(gov.trace.length == 3)
+    assert(gov.trace.last.attempt == 2)
+    // the successful (third) attempt carries the third rotated UA
+    assert(seen.take()("user-agent") == Connectivity.UserAgents(2))
+  }
+
+  test("connect gives up after maxRetries and surfaces the trace") {
+    // nothing listens on this port (bound then closed)
+    val tmp = new java.net.ServerSocket(0); val port = tmp.getLocalPort; tmp.close()
+    val gov = governor()
+    val ws = new WsIngest("127.0.0.1", port, "/ws", "/tmp/unused", gov,
+      connectTimeoutMs = 200, key16 = fixedKey16, mask4 = fixedMask4)
+    val ex = intercept[IllegalStateException](ws.run())
+    assert(ex.getMessage.contains("trace") && gov.trace.length == 3) // maxRetries attempts
+  }
+}
