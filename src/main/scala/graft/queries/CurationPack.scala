@@ -778,6 +778,33 @@ object CurationPack {
     st.reconcileSpans(ingestInThirds(docs)(st.ingest).reduce(_ union _))
   }
 
+  // ---------------------------------------------------------------- q79
+
+  /** q79: CROSS-MODAL curation gate — text and embedding quality
+    * signals joined into one verdict per document (doc_id ≡ vec_id in
+    * the fixture corpus, the multimodal-alignment convention): a doc
+    * is kept when it passes the q56 repetition gate AND its embedding
+    * sits inside the exact Tukey norm fence
+    * ([[VectorPack.normFence]], natural corpus — no planting). This is
+    * the composition a multimodal corpus build runs: modality gates
+    * computed independently on their own tables (each with its own
+    * scale shape), combined by ONE doc-keyed equi-join at the end —
+    * never a fused pass that would couple the text shuffle to the
+    * vector shuffle.
+    */
+  def crossModalGate(spark: SparkSession, dir: String): DataFrame = {
+    val rep = repetitionFilterFrom(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("keep").as("keep_text"))
+    val emb = VectorPack.normFence(spark, dir, plant = false)
+      .select(col("vec_id").as("doc_id"),
+        when(col("low") || col("high"), lit(0L)).otherwise(lit(1L))
+          .as("keep_emb"))
+    rep.join(emb, "doc_id")
+      .select(col("doc_id"), col("keep_text"), col("keep_emb"),
+        (col("keep_text") * col("keep_emb")).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -796,9 +823,51 @@ object CurationPack {
     "q72_stream_reconcile" -> streamReconcile _,
     "q75_span_dedup" -> spanDedup _,
     "q77_stream_spans" -> streamSpans _,
-    "q78_span_removal" -> spanRemoval _)
+    "q78_span_removal" -> spanRemoval _,
+    "q79_crossmodal_gate" -> crossModalGate _)
 
   private val baseOracles: Map[String, String] = Map(
+    "q79_crossmodal_gate" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |base AS (
+         |  SELECT doc_id, len(toks)::bigint AS n_words,
+         |    len(list_distinct(toks))::bigint AS n_distinct_words
+         |  FROM t),
+         |bg AS (
+         |  SELECT doc_id,
+         |    unnest([array_to_string(toks[i:i+1], ' ')
+         |            for i in range(1, len(toks))]) AS bg
+         |  FROM t WHERE len(toks) >= 2),
+         |bgc AS (SELECT doc_id, bg, count(*)::bigint AS n FROM bg GROUP BY 1, 2),
+         |top AS (
+         |  SELECT doc_id, n AS top_bigram_n
+         |  FROM (SELECT doc_id, n,
+         |          row_number() OVER (PARTITION BY doc_id
+         |            ORDER BY n DESC, bg ASC) AS rk
+         |        FROM bgc) WHERE rk = 1),
+         |rep AS (
+         |  SELECT base.doc_id,
+         |    CASE WHEN floor($FracScale * (n_words - n_distinct_words) / n_words)::bigint < $MaxDupWordFp
+         |          AND floor($FracScale * 2 * top_bigram_n / n_words)::bigint < $MaxTopBigramFp
+         |         THEN 1::bigint ELSE 0::bigint END AS keep_text
+         |  FROM base JOIN top ON top.doc_id = base.doc_id),
+         |n AS (
+         |  SELECT vec_id,
+         |    list_sum([ (cast(round(cast(x AS double) * 1000.0) AS bigint)
+         |                * cast(round(cast(x AS double) * 1000.0) AS bigint))
+         |               for x in embedding ])::bigint AS norm2
+         |  FROM embeddings),
+         |qs AS (SELECT quantile_disc(norm2, 0.25)::bigint AS q1,
+         |              quantile_disc(norm2, 0.75)::bigint AS q3 FROM n),
+         |emb AS (
+         |  SELECT vec_id AS doc_id,
+         |    CASE WHEN 2*norm2 < 5*q1 - 3*q3 OR 2*norm2 > 5*q3 - 3*q1
+         |         THEN 0::bigint ELSE 1::bigint END AS keep_emb
+         |  FROM n, qs)
+         |SELECT rep.doc_id, keep_text, keep_emb,
+         |  (keep_text * keep_emb)::bigint AS keep
+         |FROM rep JOIN emb ON emb.doc_id = rep.doc_id
+         |ORDER BY rep.doc_id""".stripMargin,
     "q78_span_removal" ->
       s"""WITH planted AS (
          |  SELECT doc_id,

@@ -201,12 +201,21 @@ object VectorPack {
     * never re-shuffles. Reference analog: none — brief-mandated
     * training-data machinery.
     */
-  def embeddingOutliers(spark: SparkSession, dir: String): DataFrame = {
-    val norms = graft.Caches.persisted(Tables.embeddings(spark, dir)
-      .withColumn("s",
+  /** Every embedding against the exact Tukey fence: (vec_id, norm2,
+    * low, high). `plant` applies q76's deterministic ×3/×0.25 scale
+    * factors; q79 runs the natural corpus (plant = false). Shared by
+    * [[embeddingOutliers]] and [[CurationPack.crossModalGate]].
+    */
+  private[graft] def normFence(spark: SparkSession, dir: String,
+      plant: Boolean): DataFrame = {
+    val s =
+      if (plant)
         when(col("vec_id") % 97 === 0, lit(3.0))
           .when(col("vec_id") % 89 === 0, lit(0.25))
-          .otherwise(lit(1.0)))
+          .otherwise(lit(1.0))
+      else lit(1.0)
+    val norms = graft.Caches.persisted(Tables.embeddings(spark, dir)
+      .withColumn("s", s)
       .select(col("vec_id"),
         aggregate(
           transform(col("embedding"),
@@ -216,14 +225,20 @@ object VectorPack {
       .groupBy()
       .agg(min(when(col("p") === 25, col("value"))).cast("long").as("q1"),
         min(when(col("p") === 75, col("value"))).cast("long").as("q3"))
-    val low = lit(2L) * col("norm2") < lit(5L) * col("q1") - lit(3L) * col("q3")
-    val high = lit(2L) * col("norm2") > lit(5L) * col("q3") - lit(3L) * col("q1")
     norms.crossJoin(broadcast(fences))
-      .filter(low || high)
       .select(col("vec_id"), col("norm2"),
-        when(low, lit("low")).otherwise(lit("high")).as("side"))
-      .orderBy(col("vec_id"))
+        (lit(2L) * col("norm2") < lit(5L) * col("q1") - lit(3L) * col("q3"))
+          .as("low"),
+        (lit(2L) * col("norm2") > lit(5L) * col("q3") - lit(3L) * col("q1"))
+          .as("high"))
   }
+
+  def embeddingOutliers(spark: SparkSession, dir: String): DataFrame =
+    normFence(spark, dir, plant = true)
+      .filter(col("low") || col("high"))
+      .select(col("vec_id"), col("norm2"),
+        when(col("low"), lit("low")).otherwise(lit("high")).as("side"))
+      .orderBy(col("vec_id"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q76_embedding_outliers" -> embeddingOutliers _,
