@@ -95,21 +95,27 @@ object Rfc6455 {
     }
   }
 
-  /** Read one MESSAGE, reassembling continuation fragments (§5.4);
-    * control frames may interleave and are returned as-is (they cannot
-    * fragment). None on EOF.
+  /** Read the next DATA message, reassembling continuation fragments
+    * (§5.4). Control frames may interleave mid-fragment (§5.5): ping/
+    * pong are handed to `onControl` WITHOUT interrupting reassembly;
+    * close ends the stream and is returned as `(OpClose, payload)`.
+    * None on EOF.
     */
-  def readMessage(in: InputStream): Option[(Int, Array[Byte])] = {
+  def readMessage(in: InputStream,
+      onControl: (Int, Array[Byte]) => Unit = (_, _) => ()): Option[(Int, Array[Byte])] = {
     var opcode = -1
     val acc = new java.io.ByteArrayOutputStream()
     while (true) {
       readFrame(in) match {
         case None => return None
         case Some((fin, op, p)) =>
-          if (op >= OpClose) return Some((op, p)) // control frame
-          if (opcode < 0) opcode = op // first fragment carries the opcode
-          acc.write(p)
-          if (fin) return Some((opcode, acc.toByteArray))
+          if (op == OpClose) return Some((OpClose, p))
+          else if (op >= OpClose) onControl(op, p) // ping/pong, cannot fragment
+          else {
+            if (opcode < 0) opcode = op // first fragment carries the opcode
+            acc.write(p)
+            if (fin) return Some((opcode, acc.toByteArray))
+          }
       }
     }
     None // unreachable

@@ -74,18 +74,18 @@ final class WsIngest(
       packs += 1
       buf.clear()
     }
+    // pings answer inline (even mid-fragment, §5.5); pongs are ignored
+    val onControl: (Int, Array[Byte]) => Unit = (op, p) =>
+      if (op == Rfc6455.OpPing) Rfc6455.writeFrame(out, Rfc6455.OpPong, p, Some(mask4()))
     var open = true
     while (open && frameId - startFrameId < maxFrames) {
-      Rfc6455.readMessage(in) match {
+      Rfc6455.readMessage(in, onControl) match {
         case None => open = false // EOF without close frame: spool what we have
         case Some((Rfc6455.OpClose, p)) =>
           // close-ack then stop (RFC 6455 §5.5.1)
           try Rfc6455.writeFrame(out, Rfc6455.OpClose, p, Some(mask4()))
           catch { case scala.util.control.NonFatal(_) => () }
           open = false
-        case Some((Rfc6455.OpPing, p)) =>
-          Rfc6455.writeFrame(out, Rfc6455.OpPong, p, Some(mask4()))
-        case Some((Rfc6455.OpPong, _)) => ()
         case Some((Rfc6455.OpText, _)) if !sawHello =>
           sawHello = true // first recv = handshake message (scraper.py:257-263)
         case Some((Rfc6455.OpText, _)) => () // non-binary chatter: ignored

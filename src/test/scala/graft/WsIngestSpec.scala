@@ -108,6 +108,39 @@ class WsIngestSpec extends AnyFunSuite {
     assert(seen.take()("user-agent") == Connectivity.UserAgents(2))
   }
 
+  test("rfc6455 codec: masked round-trip, 16/64-bit lengths, fragment reassembly") {
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    def roundTrip(payload: Array[Byte], mask: Option[Array[Byte]]): (Int, Array[Byte]) = {
+      val out = new ByteArrayOutputStream()
+      Rfc6455.writeFrame(out, Rfc6455.OpBinary, payload, mask)
+      Rfc6455.readMessage(new ByteArrayInputStream(out.toByteArray)).get
+    }
+    // 7-bit, 16-bit and 64-bit length paths, masked and unmasked
+    for (n <- Seq(0, 125, 126, 65535, 65536, 70001); m <- Seq(None, Some(fixedMask4())))
+      yield {
+        val p = Array.tabulate[Byte](n)(i => (i * 31).toByte)
+        val (op, got) = roundTrip(p, m)
+        assert(op == Rfc6455.OpBinary && java.util.Arrays.equals(got, p),
+          s"round-trip failed at n=$n masked=${m.isDefined}")
+      }
+    // continuation frames reassemble into one message (FIN only on
+    // last), and a ping interleaved MID-FRAGMENT goes to onControl
+    // without dropping the accumulated fragments (§5.5)
+    val out = new ByteArrayOutputStream()
+    out.write(0x02); out.write(3); out.write("abc".getBytes("UTF-8")) // binary, no FIN
+    out.write(0x89); out.write(1); out.write(42) // ping, mid-message
+    out.write(0x00); out.write(3); out.write("def".getBytes("UTF-8")) // cont, no FIN
+    out.write(0x80); out.write(3); out.write("ghi".getBytes("UTF-8")) // cont, FIN
+    var pinged = false
+    val (op, msg) = Rfc6455.readMessage(
+      new java.io.ByteArrayInputStream(out.toByteArray),
+      (cop, p) => pinged = cop == Rfc6455.OpPing && p.sameElements(Array[Byte](42))).get
+    assert(op == Rfc6455.OpBinary && new String(msg, "UTF-8") == "abcdefghi" && pinged)
+    // handshake accept key: RFC 6455 §1.3 worked example
+    assert(Rfc6455.acceptKey("dGhlIHNhbXBsZSBub25jZQ==") ==
+      "s3pPLMBiTxaQ9kYGzzhZRbK+xOo=")
+  }
+
   test("connect gives up after maxRetries and surfaces the trace") {
     // nothing listens on this port (bound then closed)
     val tmp = new java.net.ServerSocket(0); val port = tmp.getLocalPort; tmp.close()
