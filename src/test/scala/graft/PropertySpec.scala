@@ -143,4 +143,60 @@ class PropertySpec extends AnyFunSuite {
       assert(cl.buckets.map(_.length).sum <= 1, s"v=$v dt=$dt")
     }
   }
+
+  test("span dedup ≡ brute-force reference on random corpora with planted sharing") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val W = 8
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh", "ii", "jj")
+    // brute force: dup shingles by string equality, per-doc island merge
+    def bruteSpans(docs: Seq[(Long, String)]): Set[(Long, Long, Long, Long)] = {
+      val occ = docs.flatMap { case (id, text) =>
+        val t = text.split(" ", -1)
+        (0 to t.length - W).map(p => (id, p, t.slice(p, p + W).mkString(" ")))
+      }
+      val dup = occ.groupBy(_._3).filter(_._2.map(_._1).distinct.size >= 2).keySet
+      occ.filter(o => dup(o._3)).groupBy(_._1).flatMap { case (id, os) =>
+        val ps = os.map(_._2).distinct.sorted
+        val islands = ps.foldLeft(List.empty[List[Int]]) {
+          case (Nil, p)                                  => List(List(p))
+          case (cur :: done, p) if p <= cur.head + W     => (p :: cur) :: done
+          case (done, p)                                 => List(p) :: done
+        }
+        islands.map { isl =>
+          val s = isl.min.toLong; val e = isl.max.toLong + (W - 1)
+          (id, s, e, e - s + 1)
+        }
+      }.toSet
+    }
+    (1 to 8).foreach { trial =>
+      val nDocs = 6 + rnd.nextInt(8)
+      val docs = (0 until nDocs).foldLeft(Vector.empty[(Long, String)]) { (acc, i) =>
+        val own = Vector.fill(3 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size)))
+        // planted sharing: sometimes splice a slice of an earlier doc in
+        val toks =
+          if (acc.nonEmpty && rnd.nextBoolean()) {
+            val src = acc(rnd.nextInt(acc.size))._2.split(" ", -1).toVector
+            val from = rnd.nextInt(math.max(1, src.length - W))
+            val len = W + rnd.nextInt(6)
+            val cut = rnd.nextInt(own.length + 1)
+            own.take(cut) ++ src.slice(from, math.min(src.length, from + len)) ++ own.drop(cut)
+          } else own
+        acc :+ (i.toLong -> toks.mkString(" "))
+      }
+      Caches.scoped {
+        val df = docs.toDF("doc_id", "text")
+        val occ = graft.queries.CurationPack.spanOccurrences(df)
+        val dup = occ.groupBy($"sh")
+          .agg(org.apache.spark.sql.functions.min($"doc_id").as("mn"),
+            org.apache.spark.sql.functions.max($"doc_id").as("mx"))
+          .filter($"mn" =!= $"mx").select($"sh")
+        val got = graft.queries.CurationPack
+          .spansFromHits(occ.join(dup, "sh").select($"doc_id", $"pos"))
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+        assert(got == bruteSpans(docs), s"trial=$trial docs=$docs")
+      }
+    }
+  }
 }
