@@ -282,6 +282,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(pairsOf(nd2.ingest(docs(20L -> dupA), 0)) == p2)
   }
 
+  test("SpanDedupStream under a real streaming query: foreachBatch hits ≡ batch hit set") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dupP = "alpha beta gamma delta epsilon zeta eta theta"
+    val b1 = Seq((1L, s"$dupP unique1a unique1b"),
+      (2L, "ten totally unrelated filler words occupy this document right here"))
+    val b2 = Seq((10L, s"prefix10a prefix10b $dupP"))
+    val b3 = Seq((20L, s"$dupP tail20a tail20b"))
+    val input = MemoryStream[(Long, String)]
+    val st = new graft.streaming.SpanDedupStream(spark)
+    val emitted = mutable.ArrayBuffer.empty[(Long, Int)]
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        emitted ++= st.ingest(batch, bid).collect()
+          .map(r => (r.getLong(0), r.getInt(1)))
+        ()
+      }.start()
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      input.addData(b3: _*); q.processAllAvailable()
+    } finally q.stop()
+    val all = (b1 ++ b2 ++ b3).toDF("doc_id", "text")
+    val batchHits = Caches.scoped {
+      val occ = graft.queries.CurationPack.spanOccurrences(all)
+      val dup = occ.groupBy(col("sh"))
+        .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+        .filter(col("mn") =!= col("mx")).select(col("sh"))
+      occ.join(dup, "sh").select(col("doc_id"), col("pos"))
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    }
+    assert(emitted.size == emitted.toSet.size, s"duplicate emission: $emitted")
+    assert(emitted.toSet == batchHits)
+  }
+
   test("SpanDedupStream: hits exactly-once with retroactive emission; retry + restore hold") {
     import org.apache.spark.sql.DataFrame
     val dupP = "alpha beta gamma delta epsilon zeta eta theta" // one 8-gram
