@@ -129,4 +129,26 @@ class PlanContractSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
         s"fence frame must broadcast:\n$plan")
     }
   }
+
+  test("q79 cross-modal: verdicts meet in equi-joins; only the fence broadcasts NLJ-wise") {
+    Caches.scoped {
+      val plan = executed("q79_crossmodal_gate")
+      assert(collect(plan) { case c: CartesianProductExec => c }.isEmpty,
+        s"no cartesian in the cross-modal join:\n$plan")
+      // the only nested loops are the two bounded broadcasts inside the
+      // fence machinery (1-row fences; 2-row quantile targets against
+      // banded counts) — the text×embedding verdict join itself must be
+      // hash-equi on doc_id, never an NLJ
+      val nljs = collect(plan) { case j: BroadcastNestedLoopJoinExec => j }
+      assert(nljs.size <= 2, s"unexpected nested-loop join:\n$plan")
+      val hashJoins = collect(plan) {
+        case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+          if j.leftKeys.exists(_.references.exists(_.name == "doc_id")) => j
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec
+          if j.leftKeys.exists(_.references.exists(_.name == "doc_id")) => j
+      }
+      assert(hashJoins.nonEmpty,
+        s"text×embedding verdicts must meet in a doc_id equi-join:\n$plan")
+    }
+  }
 }

@@ -108,6 +108,39 @@ class WsIngestSpec extends AnyFunSuite {
     assert(seen.take()("user-agent") == Connectivity.UserAgents(2))
   }
 
+  test("a dropped feed resumes into the same spool; streaming read sees both sessions") {
+    val first = (0L until 3L).map(DecodePack.deepFrame)
+    val second = (3L until 7L).map(DecodePack.deepFrame)
+    val spool = java.nio.file.Files.createTempDirectory("graft_ws_resume").toString
+    val gov = governor()
+    // session 1 drops (EOF, no close frame) after 3 frames — spool keeps them
+    val (p1, _) = serve(first)
+    val ws1 = new WsIngest("127.0.0.1", p1, "/ws", spool, gov, framesPerPack = 2,
+      clock = () => 777L, key16 = fixedKey16, mask4 = fixedMask4)
+    val (n1, _) = ws1.run(startFrameId = 0L)
+    assert(n1 == 3L)
+    // session 2 resumes with the continuation frame id — pack names and
+    // frame ids never collide with session 1's
+    val (p2, _) = serve(second)
+    val ws2 = new WsIngest("127.0.0.1", p2, "/ws", spool, gov, framesPerPack = 2,
+      clock = () => 777L, key16 = fixedKey16, mask4 = fixedMask4)
+    val (n2, _) = ws2.run(startFrameId = n1)
+    assert(n2 == 4L)
+    // batch and AvailableNow streaming reads both see all 7 frames
+    val batchIds = spark.read.format("graft-tokens").load(spool)
+      .select(col("frame_id")).distinct().collect().map(_.getLong(0)).sorted
+    assert(batchIds.toSeq == (0L until 7L))
+    val outDir = java.nio.file.Files.createTempDirectory("graft_ws_stream").toString
+    val q = spark.readStream.format("graft-tokens").load(spool)
+      .writeStream.format("parquet")
+      .option("path", s"$outDir/data").option("checkpointLocation", s"$outDir/ck")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = spark.read.parquet(s"$outDir/data")
+      .select(col("frame_id")).distinct().collect().map(_.getLong(0)).sorted
+    assert(streamed.toSeq == (0L until 7L))
+  }
+
   test("rfc6455 codec: masked round-trip, 16/64-bit lengths, fragment reassembly") {
     import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
     def roundTrip(payload: Array[Byte], mask: Option[Array[Byte]]): (Int, Array[Byte]) = {
