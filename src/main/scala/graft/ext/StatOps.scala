@@ -29,18 +29,23 @@ import org.apache.spark.sql.functions._
   */
 object StatOps {
 
-  /** @return (p, target_rank, value) per requested percentile */
+  /** @return (p, target_rank, value) per requested percentile; `value`
+    * keeps the INPUT column's type (an int64 column never routes
+    * through a double, so quantiles of exact integer metrics stay
+    * exact past 2⁵³ — q76's norm-fence contract).
+    */
   def exactQuantiles(df: DataFrame, valueCol: String, ps: Seq[Int],
       numParts: Int = 8): DataFrame = {
     import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
     require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 100), s"bad percentiles $ps")
     val spark = df.sparkSession
+    val vType = df.schema(valueCol).dataType
     // nulls carry no rank — drop them up front (SQL quantile semantics);
     // without this the null group NPEs inside the prefix-sum pass
     val sorted = graft.Caches.persisted(
       df.filter(col(valueCol).isNotNull)
-        .groupBy(col(valueCol).cast("double").as("v"))
+        .groupBy(col(valueCol).as("v"))
         .agg(count(lit(1)).as("c"))
         .repartitionByRange(numParts, col("v"))
         .sortWithinPartitions("v"))
@@ -58,10 +63,10 @@ object StatOps {
         var running = bBases.value(pid)
         it.map { r =>
           running += r.getLong(1)
-          Row(r.getDouble(0), r.getLong(1), running)
+          Row(r.get(0), r.getLong(1), running)
         }
       },
-      StructType(Seq(StructField("v", DoubleType, nullable = false),
+      StructType(Seq(StructField("v", vType, nullable = false),
         StructField("c", LongType, nullable = false),
         StructField("cum_end", LongType, nullable = false))))
     // Long division truncates = floor for the non-negative operands here.

@@ -189,11 +189,9 @@ object VectorPack {
     * exact: int64 norms (×1000 quantization), exact distributed
     * quantiles ([[graft.ext.StatOps.exactQuantiles]] — two-pass
     * prefix-sum, no global sort), and a division-free integer fence:
-    * v < q1 − 1.5·(q3−q1) ⟺ 2v < 5·q1 − 3·q3. Exactness contract:
-    * the quantile operator routes values through a double, so norms
-    * must stay below 2⁵³ — dims·(1000·s·max|x|)² ≈ 6·10⁹ here
-    * (64 dims, |x|≲3, s≤3), five orders of margin; at higher dims or
-    * magnitudes, rescale the quantization before this gate.
+    * v < q1 − 1.5·(q3−q1) ⟺ 2v < 5·q1 − 3·q3. The quantile operator
+    * preserves the int64 norm type end to end (no double routing), so
+    * exactness holds at any norm magnitude int64 can carry.
     *
     * Scale: one narrow (vec_id, norm2) projection feeds the quantile
     * operator (its distinct-value groupBy is the only full shuffle);
