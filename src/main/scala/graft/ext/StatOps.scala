@@ -9,7 +9,9 @@ import org.apache.spark.sql.functions._
   * and the naive exact formulation — global sort, or a global
   * cumulative window — serializes onto one partition at scale. This is
   * the two-pass shape instead (same machinery as
-  * [[TextOps.packOffsets]], generalized to double-valued keys):
+  * [[TextOps.packOffsets]], generalized to keys of any orderable type
+  * — the value column's type is preserved end to end, so int64 metrics
+  * never round-trip through a double):
   *
   *   1. collapse to distinct values: groupBy(value) → (v, count) —
   *      the only full-data shuffle, combiner-friendly;

@@ -581,15 +581,6 @@ object CurationPack {
 
   // ---------------------------------------------------------------- q72
 
-  /** q72: the STREAMING corpus build, oracle-gated — the corpus ingested
-    * in three id-ordered micro-batches through
-    * [[graft.streaming.CurationStream]] (frozen LM stats and benchmark
-    * shingle set snapshotted from the same corpus), then reconciled from
-    * the accumulated logs. Hash-gated against the IDENTICAL DuckDB
-    * oracle as q68: the incremental fingerprint/band/pair/gate state
-    * machinery must land on exactly the batch build's rows — the
-    * strongest driver-visible contract the streaming layer has.
-    */
   /** Shared q72/q77 harness: split a corpus into three doc_id-ranged
     * micro-batches and feed them to a stream's ingest in order,
     * returning the per-batch results.
@@ -603,6 +594,15 @@ object CurationPack {
       ingest(docs.filter(col("doc_id") > 2 * mx / 3), 2L))
   }
 
+  /** q72: the STREAMING corpus build, oracle-gated — the corpus ingested
+    * in three id-ordered micro-batches through
+    * [[graft.streaming.CurationStream]] (frozen LM stats and benchmark
+    * shingle set snapshotted from the same corpus), then reconciled from
+    * the accumulated logs. Hash-gated against the IDENTICAL DuckDB
+    * oracle as q68: the incremental fingerprint/band/pair/gate state
+    * machinery must land on exactly the batch build's rows — the
+    * strongest driver-visible contract the streaming layer has.
+    */
   def streamReconcile(spark: SparkSession, dir: String): DataFrame = {
     val docs = graft.Caches.persisted(Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), col("text")))
@@ -625,38 +625,6 @@ object CurationPack {
   private val SpanTail =
     "end shared canonical boilerplate footer sequence appears verbatim across documents"
 
-  /** q75: cross-document EXACT-SUBSTRING span dedup — the span-grain
-    * member of the dedup family (q14 = whole-doc md5, q55 = near-dup
-    * groups, q56 = intra-doc repetition, q67 = holdout contamination):
-    * every maximal run of tokens appearing verbatim in ≥2 distinct
-    * documents, the "remove duplicated spans" pass of suffix-array
-    * corpus dedup. Single-node implementations build a corpus-wide
-    * suffix array; the distributed formulation is shingle-join-shaped
-    * and needs no global order:
-    *
-    *   1. every W=8-token shingle OCCURRENCE, position-keyed
-    *      (posexplode over the codegen'd
-    *      [[graft.functions.Shingles.WordShinglesExpr]]);
-    *   2. a shingle is duplicated when `min(doc_id) != max(doc_id)`
-    *      over its occurrences — the ≥2-distinct-docs test as two
-    *      map-side-combinable partial aggs (no count_distinct
-    *      expansion, no per-shingle doc list);
-    *   3. per doc, duplicated positions merge into maximal spans via
-    *      gaps-and-islands (break when `pos > prev + W`: token
-    *      coverage no longer overlaps or touches).
-    *
-    * Planted fixtures force every path: `% 41` docs are WRAPPED
-    * head+tail (two islands per doc), `% 37` docs get the tail phrase
-    * only (a mid/tail span), and the natural corpus contributes its
-    * shared-prefix near-dups (spans at 0).
-    *
-    * Scale: the only corpus-wide shuffle carries (md5(shingle),
-    * doc_id, pos) — fixed-width keys, never raw text; the islands
-    * window is per-doc (bounded by document length — the safe kind of
-    * window, unlike the per-source shapes this pack replaced); the dup
-    * set comes back as a keyed equi-join on the hash. Reference
-    * analog: none — brief-mandated training-data machinery.
-    */
   private[graft] val SpanW = 8
 
   /** The q75 fixture corpus: documents with the span-planting applied
@@ -695,6 +663,38 @@ object CurationPack {
       .orderBy(col("doc_id"), col("span_start"))
   }
 
+  /** q75: cross-document EXACT-SUBSTRING span dedup — the span-grain
+    * member of the dedup family (q14 = whole-doc md5, q55 = near-dup
+    * groups, q56 = intra-doc repetition, q67 = holdout contamination):
+    * every maximal run of tokens appearing verbatim in ≥2 distinct
+    * documents, the "remove duplicated spans" pass of suffix-array
+    * corpus dedup. Single-node implementations build a corpus-wide
+    * suffix array; the distributed formulation is shingle-join-shaped
+    * and needs no global order:
+    *
+    *   1. every W=8-token shingle OCCURRENCE, position-keyed
+    *      (posexplode over the codegen'd
+    *      [[graft.functions.Shingles.WordShinglesExpr]]);
+    *   2. a shingle is duplicated when `min(doc_id) != max(doc_id)`
+    *      over its occurrences — the ≥2-distinct-docs test as two
+    *      map-side-combinable partial aggs (no count_distinct
+    *      expansion, no per-shingle doc list);
+    *   3. per doc, duplicated positions merge into maximal spans via
+    *      gaps-and-islands (break when `pos > prev + W`: token
+    *      coverage no longer overlaps or touches).
+    *
+    * Planted fixtures force every path: `% 41` docs are WRAPPED
+    * head+tail (two islands per doc), `% 37` docs get the tail phrase
+    * only (a mid/tail span), and the natural corpus contributes its
+    * shared-prefix near-dups (spans at 0).
+    *
+    * Scale: the only corpus-wide shuffle carries (md5(shingle),
+    * doc_id, pos) — fixed-width keys, never raw text; the islands
+    * window is per-doc (bounded by document length — the safe kind of
+    * window, unlike the per-source shapes this pack replaced); the dup
+    * set comes back as a keyed equi-join on the hash. Reference
+    * analog: none — brief-mandated training-data machinery.
+    */
   def spanDedup(spark: SparkSession, dir: String): DataFrame = {
     val shing = graft.Caches.persisted(
       spanOccurrences(spanPlantedDocs(spark, dir)))

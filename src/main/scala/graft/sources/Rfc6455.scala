@@ -81,7 +81,9 @@ object Rfc6455 {
       if (len7 < 126) Some(len7.toLong)
       else readFully(in, if (len7 == 126) 2 else 8).map(_.foldLeft(0L)((a, b) => (a << 8) | (b & 0xff)))
     lenOpt.flatMap { len =>
-      require(len <= Int.MaxValue, s"frame too large: $len")
+      // §5.2: the 64-bit length MSB must be 0 — a negative fold here is
+      // a hostile/broken peer, not a big frame
+      require(len >= 0 && len <= Int.MaxValue, s"bad frame length: $len")
       val key = if (masked) readFully(in, 4) else Some(Array.empty[Byte])
       key.flatMap { k =>
         readFully(in, len.toInt).map { p =>
@@ -182,6 +184,7 @@ object Rfc6455 {
     }
     val headers = lines.drop(1).map { l =>
       val i = l.indexOf(':')
+      require(i > 0, s"malformed header line in handshake: '$l'")
       l.substring(0, i).trim.toLowerCase -> l.substring(i + 1).trim
     }.toMap
     (lines.headOption.getOrElse(""), headers)

@@ -78,25 +78,32 @@ final class WsIngest(
     val onControl: (Int, Array[Byte]) => Unit = (op, p) =>
       if (op == Rfc6455.OpPing) Rfc6455.writeFrame(out, Rfc6455.OpPong, p, Some(mask4()))
     var open = true
-    while (open && frameId - startFrameId < maxFrames) {
-      Rfc6455.readMessage(in, onControl) match {
-        case None => open = false // EOF without close frame: spool what we have
-        case Some((Rfc6455.OpClose, p)) =>
-          // close-ack then stop (RFC 6455 §5.5.1)
-          try Rfc6455.writeFrame(out, Rfc6455.OpClose, p, Some(mask4()))
-          catch { case scala.util.control.NonFatal(_) => () }
-          open = false
-        case Some((Rfc6455.OpText, _)) if !sawHello =>
-          sawHello = true // first recv = handshake message (scraper.py:257-263)
-        case Some((Rfc6455.OpText, _)) => () // non-binary chatter: ignored
-        case Some((Rfc6455.OpBinary, p)) =>
-          buf += ((frameId, clock(), p))
-          frameId += 1
-          if (buf.size >= framesPerPack) flush()
-        case Some((_, _)) => () // unknown opcode: skip
+    try {
+      while (open && frameId - startFrameId < maxFrames) {
+        // an abnormal disconnect (RST, protocol garbage) is the same as
+        // EOF here: the feed is non-replayable, so everything received
+        // MUST still reach the spool — the finally below flushes
+        val msg =
+          try Rfc6455.readMessage(in, onControl)
+          catch { case scala.util.control.NonFatal(_) => None }
+        msg match {
+          case None => open = false // EOF/drop without close: spool what we have
+          case Some((Rfc6455.OpClose, p)) =>
+            // close-ack then stop (RFC 6455 §5.5.1)
+            try Rfc6455.writeFrame(out, Rfc6455.OpClose, p, Some(mask4()))
+            catch { case scala.util.control.NonFatal(_) => () }
+            open = false
+          case Some((Rfc6455.OpText, _)) if !sawHello =>
+            sawHello = true // first recv = handshake message (scraper.py:257-263)
+          case Some((Rfc6455.OpText, _)) => () // non-binary chatter: ignored
+          case Some((Rfc6455.OpBinary, p)) =>
+            buf += ((frameId, clock(), p))
+            frameId += 1
+            if (buf.size >= framesPerPack) flush()
+          case Some((_, _)) => () // unknown opcode: skip
+        }
       }
-    }
-    flush()
+    } finally flush()
     (frameId - startFrameId, packs)
   }
 }

@@ -141,6 +141,34 @@ class WsIngestSpec extends AnyFunSuite {
     assert(streamed.toSeq == (0L until 7L))
   }
 
+  test("an abnormal disconnect still spools every received frame") {
+    val payloads = (0L until 3L).map(DecodePack.deepFrame)
+    val srv = new java.net.ServerSocket(0, 1,
+      java.net.InetAddress.getLoopbackAddress)
+    val t = new Thread(() => {
+      try {
+        val c = srv.accept()
+        val in = new java.io.BufferedInputStream(c.getInputStream)
+        val out = new java.io.BufferedOutputStream(c.getOutputStream)
+        Rfc6455.serverHandshake(in, out)
+        payloads.foreach(p => Rfc6455.writeFrame(out, Rfc6455.OpBinary, p))
+        // then a hostile frame: 64-bit length with the MSB set (§5.2
+        // violation) — the reader must fail WITHOUT losing the spool
+        out.write(Array[Byte](0x82.toByte, 127.toByte) ++ Array.fill(8)(0xff.toByte))
+        out.flush(); c.close()
+      } catch { case _: Throwable => () } finally srv.close()
+    })
+    t.setDaemon(true); t.start()
+    val spool = java.nio.file.Files.createTempDirectory("graft_ws_abort").toString
+    val ws = new WsIngest("127.0.0.1", srv.getLocalPort, "/ws", spool, governor(),
+      framesPerPack = 10, clock = () => 777L, // > frame count: only the final flush saves them
+      key16 = fixedKey16, mask4 = fixedMask4)
+    val (n, packs) = ws.run()
+    assert(n == 3L && packs == 1)
+    assert(spark.read.format("graft-tokens").load(spool)
+      .select(col("frame_id")).distinct().count() == 3L)
+  }
+
   test("rfc6455 codec: masked round-trip, 16/64-bit lengths, fragment reassembly") {
     import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
     def roundTrip(payload: Array[Byte], mask: Option[Array[Byte]]): (Int, Array[Byte]) = {
