@@ -141,6 +141,33 @@ class WsIngestSpec extends AnyFunSuite {
     assert(streamed.toSeq == (0L until 7L))
   }
 
+  test("spool compaction: many small packs + singles become one container, rows identical") {
+    import graft.sources.{FrameTokenSource, SpoolCompactor}
+    val spool = java.nio.file.Files.createTempDirectory("graft_ws_compact").toString
+    // a messy spool: two tiny packs (one per "session") + two singles
+    FrameTokenSource.writeFramePack(spool, "pack_000000000000_000000",
+      (0L until 2L).iterator.map(i => (i, 777L, DecodePack.deepFrame(i))))
+    FrameTokenSource.writeFramePack(spool, "pack_000000000002_000000",
+      (2L until 5L).iterator.map(i => (i, 777L, DecodePack.deepFrame(i))))
+    (5L until 7L).foreach(i =>
+      FrameTokenSource.writeFrameFile(spool, i, 777L, DecodePack.deepFrame(i)))
+    val before = spark.read.format("graft-tokens").load(spool)
+      .orderBy(col("frame_id")).collect().map(_.toSeq).toSeq
+    val (n, packs) = SpoolCompactor.compact(spool, framesPerPack = 100)
+    assert(n == 7L && packs == 1)
+    val listed = FrameTokenSource.listFrameFiles(spool,
+      new org.apache.hadoop.conf.Configuration())
+    assert(listed.length == 1 && listed.head.isPack)
+    val after = spark.read.format("graft-tokens").load(spool)
+      .orderBy(col("frame_id")).collect().map(_.toSeq).toSeq
+    assert(after == before)
+    // idempotent re-compaction: new run sequence, rows still identical
+    val (n2, p2) = SpoolCompactor.compact(spool, framesPerPack = 100)
+    assert(n2 == 7L && p2 == 1)
+    assert(spark.read.format("graft-tokens").load(spool)
+      .orderBy(col("frame_id")).collect().map(_.toSeq).toSeq == before)
+  }
+
   test("an abnormal disconnect still spools every received frame") {
     val payloads = (0L until 3L).map(DecodePack.deepFrame)
     val srv = new java.net.ServerSocket(0, 1,
