@@ -28,33 +28,58 @@ object Main {
     if (code != 0) sys.exit(code)
   }
 
-  /** Engine flags stripped before the reference-parity parse. */
-  private[cli] def splitEngineArgs(argv: Seq[String]): (Option[String], Seq[String]) = {
+  /** Engine flags stripped before the reference-parity parse:
+    * `--frames <dir>` (parquet frame replay) or `--ws <ws://host:port/path>`
+    * (LIVE ingest — where the reference dials the WebSocket itself).
+    */
+  private[cli] def splitEngineArgs(
+      argv: Seq[String]): (Option[String], Option[String], Seq[String]) = {
     val rest = Seq.newBuilder[String]
     var frames: Option[String] = None
+    var ws: Option[String] = None
     var i = 0
     while (i < argv.length) {
       if (argv(i) == "--frames" && i + 1 < argv.length) { frames = Some(argv(i + 1)); i += 2 }
+      else if (argv(i) == "--ws" && i + 1 < argv.length) { ws = Some(argv(i + 1)); i += 2 }
       else { rest += argv(i); i += 1 }
     }
-    (frames, rest.result())
+    (frames, ws, rest.result())
   }
+
+  private val WsUrl = """ws://([^:/]+):(\d+)(/.*)?""".r
+
+  private[cli] def parseWsUrl(url: String): Either[String, (String, Int, String)] =
+    url match {
+      case WsUrl(host, port, path) => Right((host, port.toInt, Option(path).getOrElse("/")))
+      case _ => Left(s"--ws expects ws://host:port[/path], got: $url")
+    }
 
   /** Exit-code-returning core (no System.exit, no session ownership) —
     * the spec drives this directly.
     */
   def run(argv: Seq[String], out: String => Unit, err: String => Unit,
       sparkOpt: Option[SparkSession] = None): Int = {
-    val (framesDirOpt, rest) = splitEngineArgs(argv)
+    val (framesDirOpt, wsOpt, rest) = splitEngineArgs(argv)
     Cli.parseArgs(rest) match {
       case Left(e) => err(e); 2
       case Right(args) =>
-        framesDirOpt match {
-          case None => err("--frames <dir> is required (engine frame source)"); 2
-          case Some(framesDir) =>
+        (framesDirOpt, wsOpt) match {
+          case (None, None) =>
+            err("--frames <dir> or --ws <url> is required (engine frame source)"); 2
+          case (Some(_), Some(_)) =>
+            err("--frames and --ws are mutually exclusive"); 2
+          case (Some(framesDir), None) =>
             val spark = sparkOpt.getOrElse(defaultSession())
             try execute(spark, framesDir, args, out, err)
             finally if (sparkOpt.isEmpty) spark.stop()
+          case (None, Some(url)) =>
+            parseWsUrl(url) match {
+              case Left(e) => err(e); 2
+              case Right((host, port, path)) =>
+                val spark = sparkOpt.getOrElse(defaultSession())
+                try executeWs(spark, host, port, path, args, out, err)
+                finally if (sparkOpt.isEmpty) spark.stop()
+            }
         }
     }
   }
@@ -94,6 +119,68 @@ object Main {
     }
   }
 
+  /** The `--ws` modes: one ingest session to server-close for `--once`
+    * (the reference's "connect, read the pairs frame, extract"),
+    * or a reconnect-looping ingest thread feeding a `graft-tokens`
+    * stream over the spool for live mode — ingest-once → durable
+    * spool → distributed everything-after, at CLI scale.
+    */
+  private def executeWs(spark: SparkSession, host: String, port: Int,
+      path: String, args: Cli.CliArgs, out: String => Unit,
+      err: String => Unit): Int = {
+    val spool = java.nio.file.Files.createTempDirectory("graft_ws_cli").toString
+    val governor = new graft.sources.Connectivity.ConnectionGovernor()
+    if (args.once) {
+      new graft.sources.WsIngest(host, port, path, spool, governor).run()
+      finishOnce(spark, spark.read.format("graft-tokens").load(spool),
+        args, out, err)
+    } else if (args.output.isDefined) {
+      err("--output is supported only with --once"); 2
+    } else {
+      val (query, _) = startWsStream(spark, host, port, path, spool,
+        governor, args, out)
+      query.awaitTermination()
+      0
+    }
+  }
+
+  /** Live streaming: a daemon ingest thread loops WebSocket sessions
+    * under the governor (resuming frame ids across drops) while the
+    * foreground streaming query tails the spool. Package-private so the
+    * spec can drive it with an injected fake-clock governor and stop it.
+    */
+  private[graft] def startWsStream(spark: SparkSession, host: String, port: Int,
+      path: String, spool: String,
+      governor: graft.sources.Connectivity.ConnectionGovernor,
+      args: Cli.CliArgs, out: String => Unit):
+      (org.apache.spark.sql.streaming.StreamingQuery, Thread) = {
+    @volatile var stopped = false
+    val ingest = new Thread(() => {
+      var next = 0L
+      var live = true
+      while (!stopped && live) {
+        try {
+          val (n, _) = new graft.sources.WsIngest(host, port, path, spool,
+            governor).run(startFrameId = next)
+          next += n
+        } catch {
+          // governor exhausted its retries: the feed is gone — stop
+          // ingesting; the query keeps serving what was spooled
+          case scala.util.control.NonFatal(_) => live = false
+        }
+      }
+    })
+    ingest.setDaemon(true)
+    ingest.start()
+    val query = Streaming.runDecodedPipeline(
+      spark.readStream.format("graft-tokens").load(spool),
+      (_, payload) => out(payload),
+      formatType = if (args.format == "ohlcv" || args.format == "ohlcvt") "json" else args.format,
+      topK = args.limit,
+      trigger = Trigger.ProcessingTime("5 seconds"))
+    (query, ingest)
+  }
+
   /** `--once`: one batch extraction → serialized output (cli.py:1060-1074).
     * Returns 1 with "Failed to extract token data" when the decode yields
     * nothing, exactly like the reference.
@@ -101,9 +188,18 @@ object Main {
   def runOnce(spark: SparkSession, framesDir: String, args: Cli.CliArgs,
       out: String => Unit, err: String => Unit): Int = {
     import spark.implicits._
-    val config = Cli.buildConfigFromArgs(args)
     val frames = spark.read.schema(Streaming.frameSchema).parquet(framesDir)
-    val decoded = Decode.tokens(spark, frames.as[Decode.Frame])
+    finishOnce(spark, Decode.tokens(spark, frames.as[Decode.Frame]), args, out, err)
+  }
+
+  /** The shared back half of `--once` over an already-decoded token
+    * frame (parquet replay decodes engine-side; the `--ws` spool
+    * decodes inside the `graft-tokens` reader).
+    */
+  private def finishOnce(spark: SparkSession, decoded: DataFrame,
+      args: Cli.CliArgs, out: String => Unit, err: String => Unit): Int = {
+    import spark.implicits._
+    val config = Cli.buildConfigFromArgs(args)
     // S2 backstop: the same Filters the URL would carry, applied engine-side.
     val filtered = decoded.filter(QueryCompiler.filterPredicate(config.filters))
 

@@ -47,8 +47,21 @@ object Streaming {
       formatType: String = "json",
       topK: Int = 10,
       trigger: Trigger = Trigger.ProcessingTime("5 seconds"),
+      checkpointDir: Option[String] = None): StreamingQuery =
+    runDecodedPipeline(tokenStream(spark, frameSource(spark, framesDir)),
+      onBatch, formatType, topK, trigger, checkpointDir)
+
+  /** The sink half of the pipeline over an ALREADY-DECODED token
+    * stream — shared by the parquet frame replay above and the live
+    * `graft-tokens` spool path (`cli.Main --ws`), whose source decodes
+    * inside the reader.
+    */
+  def runDecodedPipeline(tokens: DataFrame,
+      onBatch: (Long, String) => Unit,
+      formatType: String = "json",
+      topK: Int = 10,
+      trigger: Trigger = Trigger.ProcessingTime("5 seconds"),
       checkpointDir: Option[String] = None): StreamingQuery = {
-    val tokens = tokenStream(spark, frameSource(spark, framesDir))
     // Ring of recent top-K batches (ST6/O14): bounded driver-side state
     // feeding the TUI's session stats — scoped to THIS pipeline run, so
     // concurrent `rich` streams never interleave cycle counts and a

@@ -141,6 +141,43 @@ class WsIngestSpec extends AnyFunSuite {
     assert(streamed.toSeq == (0L until 7L))
   }
 
+  test("cli --ws --once: live feed to batch output over a real socket") {
+    val payloads = (0L until 5L).map(DecodePack.deepFrame)
+    val (port, _) = serve(payloads)
+    val outs = scala.collection.mutable.ArrayBuffer.empty[String]
+    val errs = scala.collection.mutable.ArrayBuffer.empty[String]
+    val code = graft.cli.Main.run(
+      Seq("--ws", s"ws://127.0.0.1:$port/ws", "--once", "--limit", "2"),
+      outs += _, errs += _, sparkOpt = Some(spark))
+    assert(code == 0, s"errs=$errs")
+    assert(outs.size == 1 &&
+      outs.head.startsWith("""{"type":"enhanced_tokens","""))
+    // engine-source rule intact: both or neither is an argv error
+    assert(graft.cli.Main.run(Seq("--ws", "nonsense-url", "--once"),
+      _ => (), errs += _, sparkOpt = Some(spark)) == 2)
+    assert(graft.cli.Main.run(Seq("--once"),
+      _ => (), errs += _, sparkOpt = Some(spark)) == 2)
+  }
+
+  test("cli --ws live mode: ingest thread + graft-tokens stream serve payloads") {
+    val payloads = (0L until 5L).map(DecodePack.deepFrame)
+    val (port, _) = serve(payloads)
+    val spool = java.nio.file.Files.createTempDirectory("graft_ws_cli_live").toString
+    val args = graft.cli.Cli.parseArgs(Seq("--limit", "2")).toOption.get
+    val outs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val (query, ingest) = graft.cli.Main.startWsStream(spark, "127.0.0.1", port,
+      "/ws", spool, governor(), args, outs.add(_))
+    try {
+      // session 1 drains; the reconnect loop then exhausts its retries
+      // against the closed server and the ingest thread retires
+      ingest.join(30000)
+      assert(!ingest.isAlive)
+      query.processAllAvailable()
+      val seen = outs.toArray(Array.empty[String])
+      assert(seen.nonEmpty && seen.exists(_.contains(""""type":"enhanced_tokens"""")))
+    } finally query.stop()
+  }
+
   test("spool compaction: many small packs + singles become one container, rows identical") {
     import graft.sources.{FrameTokenSource, SpoolCompactor}
     val spool = java.nio.file.Files.createTempDirectory("graft_ws_compact").toString
