@@ -53,11 +53,21 @@ object PrefixOps {
     *                  (lang, source) is a multi-column group)
     * @param numParts range partitions; <= 0 means the session's
     *                 spark.sql.shuffle.partitions
+    * @param maxCollectedSlices ENFORCED group-cardinality contract: the
+    *                  driver receives one tiny tuple per contiguous
+    *                  (partition, group) slice — O(numParts + #groups).
+    *                  That is the whole point of the operator (strata,
+    *                  domains, mixture sources — dozens to thousands of
+    *                  groups), and it breaks if a caller passes a
+    *                  near-unique key like doc_id: millions of slices
+    *                  would ship to the driver. The guard fails fast
+    *                  with the contract named instead of OOMing.
     */
   def groupedRunningAgg(df: DataFrame, groupCols: Seq[String],
       orderCols: Seq[String], sumCol: Option[String] = None,
       numParts: Int = 0, rankName: String = "rank",
-      sumName: String = "running_sum"): DataFrame = {
+      sumName: String = "running_sum",
+      maxCollectedSlices: Int = 1000000): DataFrame = {
     require(groupCols.nonEmpty, "groupedRunningAgg needs >= 1 group column")
     val spark = df.sparkSession
     val parts =
@@ -93,6 +103,13 @@ object PrefixOps {
       if (cur != null) out += ((pid, cur, c, s))
       out.iterator
     }.collect()
+    require(perSlice.length <= maxCollectedSlices,
+      s"groupedRunningAgg collected ${perSlice.length} (partition, group) " +
+        s"slices > bound $maxCollectedSlices: driver traffic is " +
+        s"O(numParts + #groups) and assumes a LOW-CARDINALITY group key " +
+        s"(strata, domains, sources) — ${groupCols.mkString("(", ",", ")")} " +
+        "looks near-unique; use a per-group window for high-cardinality " +
+        "keys, or raise maxCollectedSlices if the cardinality is intended")
 
     // driver: per-(partition, group) bases = totals over earlier slices
     val totals = scala.collection.mutable.Map.empty[Seq[Any], (Long, Long)]

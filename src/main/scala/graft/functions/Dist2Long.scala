@@ -20,10 +20,18 @@ case class Dist2Long(left: Expression, right: Expression, scale: Long)
   override def dataType: DataType = LongType
   override def prettyName: String = "dist2_long"
 
+  // Length-mismatched arrays yield NULL — same contract as the
+  // `aggregate(zip_with(...))` formulation this expression replaced: a
+  // ragged/corrupt vector must surface as null (and be filtered or
+  // flagged), never silently score as a plausible small distance over
+  // the common prefix.
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var sum = 0L
     var i = 0
     while (i < n) {
@@ -41,13 +49,17 @@ case class Dist2Long(left: Expression, right: Expression, scale: Long)
       val sum = ctx.freshName("sum")
       val d = ctx.freshName("d")
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |long $sum = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  long $d = $x.getLong($i) * ${scale}L - $y.getLong($i);
-         |  $sum += $d * $d;
+         |int $n = $x.numElements();
+         |if ($n != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $sum = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    long $d = $x.getLong($i) * ${scale}L - $y.getLong($i);
+         |    $sum += $d * $d;
+         |  }
+         |  ${ev.value} = $sum;
          |}
-         |${ev.value} = $sum;
        """.stripMargin
     })
 

@@ -142,32 +142,53 @@ object Rfc6455 {
     sb.append("\r\n")
     out.write(sb.toString.getBytes("UTF-8")); out.flush()
     val (status, headers) = readHttpHead(in)
-    require(status.contains("101"), s"handshake rejected: $status")
+    if (!status.contains("101")) throw HandshakeRejected(status, headers)
     val expect = acceptKey(key)
     val got = headers.getOrElse("sec-websocket-accept", "")
     require(got == expect, s"bad Sec-WebSocket-Accept: $got != $expect")
+    // We offer no Sec-WebSocket-Extensions, so the server MUST NOT
+    // select one (RFC 6455 §9.1). A server that does (e.g.
+    // permessage-deflate) would send transformed frames this codec
+    // would misread as garbage — fail loudly instead of misparsing.
+    headers.get("sec-websocket-extensions").foreach { ext =>
+      throw new IllegalStateException(
+        s"server selected WebSocket extension '$ext' which this client " +
+          "did not offer and does not implement (RFC 6455 §9.1); " +
+          "refusing to read transformed frames")
+    }
     headers
   }
+
+  /** Non-101 upgrade response — carries the status line (e.g. the
+    * anti-bot 403 the cookie session refreshes on) and headers so the
+    * caller can branch on the rejection kind.
+    */
+  final case class HandshakeRejected(status: String,
+      headers: Map[String, String])
+      extends RuntimeException(s"handshake rejected: $status")
 
   /** Server side of the opening handshake: parses the request head,
     * answers 101 with the computed accept key. Returns the request
     * headers (lower-cased names) for assertion/inspection.
     */
-  def serverHandshake(in: InputStream, out: OutputStream): Map[String, String] = {
+  def serverHandshake(in: InputStream, out: OutputStream,
+      extraResponseHeaders: Seq[(String, String)] = Nil): Map[String, String] = {
     val (_, headers) = readHttpHead(in)
     val key = headers.getOrElse("sec-websocket-key",
       throw new IllegalArgumentException("no Sec-WebSocket-Key"))
+    val extra = extraResponseHeaders.map { case (k, v) => s"$k: $v\r\n" }.mkString
     out.write(("HTTP/1.1 101 Switching Protocols\r\n" +
       "Upgrade: websocket\r\nConnection: Upgrade\r\n" +
-      s"Sec-WebSocket-Accept: ${acceptKey(key)}\r\n\r\n").getBytes("UTF-8"))
+      s"Sec-WebSocket-Accept: ${acceptKey(key)}\r\n$extra\r\n").getBytes("UTF-8"))
     out.flush()
     headers
   }
 
   /** Read an HTTP message head (request or status line + headers) up to
-    * the blank line; header names lower-cased.
+    * the blank line; header names lower-cased. Shared with the proxy
+    * CONNECT response parse in [[WsDial]].
     */
-  private def readHttpHead(in: InputStream): (String, Map[String, String]) = {
+  private[sources] def readHttpHead(in: InputStream): (String, Map[String, String]) = {
     val lines = scala.collection.mutable.ArrayBuffer.empty[String]
     val cur = new java.io.ByteArrayOutputStream()
     var prev = -1

@@ -91,6 +91,34 @@ class AgreementSpec extends AnyFunSuite {
     assert(graft.ext.VectorOps.thresholdPairs(vecs, -1.0, maxRows = 100).count() == 190)
   }
 
+  test("bruteForceTopK refuses query sides above its broadcast bound") {
+    import spark.implicits._
+    val vecs = (1 to 20).map(i => (i.toLong, Seq(i.toLong, 1L)))
+    val queries = vecs.toDF("q_id", "q_vec")
+    val corpus = vecs.toDF("c_id", "c_vec")
+    val err = intercept[IllegalArgumentException] {
+      graft.ext.VectorOps.bruteForceTopK(queries, corpus, 3, maxQueryRows = 10)
+    }
+    assert(err.getMessage.contains("lshTopK"))
+    // under the bound: every query gets k neighbors (self excluded)
+    Caches.scoped {
+      assert(graft.ext.VectorOps.bruteForceTopK(
+        queries, corpus, 3, maxQueryRows = 100).count() == 20 * 3)
+    }
+  }
+
+  test("dist2_long yields NULL on length-mismatched vectors (no silent truncation)") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(1L, 2L, 3L), Seq(1L, 2L, 4L)), // equal dims: (3-4)^2 = 1
+      (2L, Seq(1L, 2L, 3L), Seq(1L, 2L)) // ragged: must surface as null
+    ).toDF("id", "a", "b")
+      .withColumn("d2", graft.functions.Dist2Long(col("a"), col("b"), 1L))
+    val got = df.orderBy(col("id")).select(col("d2")).collect()
+    assert(got(0).getLong(0) == 1L)
+    assert(got(1).isNullAt(0), "ragged vectors must score null, not a prefix distance")
+  }
+
   test("planesForCorpus keeps expected bucket occupancy roughly constant") {
     import graft.ext.VectorOps.planesForCorpus
     assert(planesForCorpus(1000) == 4) // min floor

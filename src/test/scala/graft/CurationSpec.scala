@@ -170,6 +170,22 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("groupedRunningAgg refuses near-unique group keys (slice-count contract)") {
+    import spark.implicits._
+    import graft.ext.PrefixOps
+    // a per-document key: one slice per row — exactly the misuse the
+    // O(numParts + #groups) driver-traffic contract must refuse
+    val df = (1L to 500L).map(i => (i, i % 7 + 1)).toDF("doc_id", "n")
+    val err = intercept[IllegalArgumentException] {
+      Caches.scoped {
+        PrefixOps.groupedRunningAgg(df, Seq("doc_id"), Seq("doc_id"),
+          sumCol = Some("n"), maxCollectedSlices = 100)
+      }
+    }
+    assert(err.getMessage.contains("O(numParts + #groups)") &&
+      err.getMessage.contains("doc_id"))
+  }
+
   test("interval join: inclusive bounds, bucket straddling, misses drop") {
     import spark.implicits._
     import graft.operators.IntervalJoin

@@ -266,6 +266,34 @@ class WsIngestSpec extends AnyFunSuite {
       "s3pPLMBiTxaQ9kYGzzhZRbK+xOo=")
   }
 
+  test("a server selecting an unoffered extension is refused, not misparsed") {
+    // permessage-deflate frames would read as garbage through this
+    // codec — the handshake must fail loudly naming the extension
+    val srv = new java.net.ServerSocket(0, 1,
+      java.net.InetAddress.getLoopbackAddress)
+    val t = new Thread(() => {
+      try {
+        val c = srv.accept()
+        Rfc6455.serverHandshake(
+          new java.io.BufferedInputStream(c.getInputStream),
+          new java.io.BufferedOutputStream(c.getOutputStream),
+          extraResponseHeaders = Seq("Sec-WebSocket-Extensions" -> "permessage-deflate"))
+      } catch { case _: Throwable => () } finally srv.close()
+    })
+    t.setDaemon(true); t.start()
+    val s = new java.net.Socket("127.0.0.1", srv.getLocalPort)
+    try {
+      val ex = intercept[IllegalStateException] {
+        Rfc6455.clientHandshake(
+          new java.io.BufferedInputStream(s.getInputStream),
+          new java.io.BufferedOutputStream(s.getOutputStream),
+          s"127.0.0.1:${srv.getLocalPort}", "/ws", Nil, fixedKey16())
+      }
+      assert(ex.getMessage.contains("permessage-deflate") &&
+        ex.getMessage.contains("extension"))
+    } finally s.close()
+  }
+
   test("connect gives up after maxRetries and surfaces the trace") {
     // nothing listens on this port (bound then closed)
     val tmp = new java.net.ServerSocket(0); val port = tmp.getLocalPort; tmp.close()
