@@ -29,8 +29,10 @@ object Main {
   }
 
   /** Engine flags stripped before the reference-parity parse:
-    * `--frames <dir>` (parquet frame replay) or `--ws <ws://host:port/path>`
-    * (LIVE ingest — where the reference dials the WebSocket itself).
+    * `--frames <dir>` (parquet frame replay) or `--ws <url>` with
+    * `ws://` or `wss://` scheme (LIVE ingest — where the reference
+    * dials the WebSocket itself; its real endpoint is `wss://`,
+    * config.py:254).
     */
   private[cli] def splitEngineArgs(
       argv: Seq[String]): (Option[String], Option[String], Seq[String]) = {
@@ -46,19 +48,38 @@ object Main {
     (frames, ws, rest.result())
   }
 
-  private val WsUrl = """ws://([^:/]+):(\d+)(/.*)?""".r
+  private val WsUrl = """(wss?)://([^:/]+)(?::(\d+))?(/.*)?""".r
 
-  private[cli] def parseWsUrl(url: String): Either[String, (String, Int, String)] =
+  /** `ws://` / `wss://` URL → (tls, host, port, path). The port is
+    * range-checked through the argv-error exit path (a 20-digit "port"
+    * must produce exit code 2, not a NumberFormatException stack
+    * trace); omitted ports default per scheme (80 / 443).
+    */
+  private[cli] def parseWsUrl(url: String): Either[String, (Boolean, String, Int, String)] =
     url match {
-      case WsUrl(host, port, path) => Right((host, port.toInt, Option(path).getOrElse("/")))
-      case _ => Left(s"--ws expects ws://host:port[/path], got: $url")
+      case WsUrl(scheme, host, portStr, path) =>
+        val tls = scheme == "wss"
+        Option(portStr) match {
+          case None => Right((tls, host, if (tls) 443 else 80, Option(path).getOrElse("/")))
+          case Some(p) =>
+            p.toIntOption.filter(x => x >= 1 && x <= 65535) match {
+              case Some(port) => Right((tls, host, port, Option(path).getOrElse("/")))
+              case None => Left(s"--ws port out of range (1-65535): $p")
+            }
+        }
+      case _ => Left(s"--ws expects ws[s]://host[:port][/path], got: $url")
     }
 
   /** Exit-code-returning core (no System.exit, no session ownership) —
     * the spec drives this directly.
     */
+  /** @param sslContext test seam for `wss://` against a loopback TLS
+    *                    server with a self-signed trust anchor; None =
+    *                    the JVM default trust store (production)
+    */
   def run(argv: Seq[String], out: String => Unit, err: String => Unit,
-      sparkOpt: Option[SparkSession] = None): Int = {
+      sparkOpt: Option[SparkSession] = None,
+      sslContext: Option[javax.net.ssl.SSLContext] = None): Int = {
     val (framesDirOpt, wsOpt, rest) = splitEngineArgs(argv)
     Cli.parseArgs(rest) match {
       case Left(e) => err(e); 2
@@ -75,9 +96,9 @@ object Main {
           case (None, Some(url)) =>
             parseWsUrl(url) match {
               case Left(e) => err(e); 2
-              case Right((host, port, path)) =>
+              case Right((tls, host, port, path)) =>
                 val spark = sparkOpt.getOrElse(defaultSession())
-                try executeWs(spark, host, port, path, args, out, err)
+                try executeWs(spark, tls, host, port, path, args, out, err, sslContext)
                 finally if (sparkOpt.isEmpty) spark.stop()
             }
         }
@@ -123,49 +144,72 @@ object Main {
     * (the reference's "connect, read the pairs frame, extract"),
     * or a reconnect-looping ingest thread feeding a `graft-tokens`
     * stream over the spool for live mode — ingest-once → durable
-    * spool → distributed everything-after, at CLI scale.
+    * spool → distributed everything-after, at CLI scale. The proxy
+    * override rides the reference's environment contract
+    * (DEXSCRAPER_PROXY, scraper.py:162-175).
     */
-  private def executeWs(spark: SparkSession, host: String, port: Int,
-      path: String, args: Cli.CliArgs, out: String => Unit,
-      err: String => Unit): Int = {
+  private def executeWs(spark: SparkSession, tls: Boolean, host: String,
+      port: Int, path: String, args: Cli.CliArgs, out: String => Unit,
+      err: String => Unit,
+      sslContext: Option[javax.net.ssl.SSLContext]): Int = {
     val spool = java.nio.file.Files.createTempDirectory("graft_ws_cli").toString
     val governor = new graft.sources.Connectivity.ConnectionGovernor()
+    val proxy = graft.sources.Connectivity.proxyOverride(
+      sys.env.get("DEXSCRAPER_PROXY"))
     if (args.once) {
-      new graft.sources.WsIngest(host, port, path, spool, governor).run()
+      new graft.sources.WsIngest(host, port, path, spool, governor,
+        tls = tls, proxy = proxy, sslContext = sslContext).run()
       finishOnce(spark, spark.read.format("graft-tokens").load(spool),
         args, out, err)
     } else if (args.output.isDefined) {
       err("--output is supported only with --once"); 2
     } else {
-      val (query, _) = startWsStream(spark, host, port, path, spool,
-        governor, args, out)
-      query.awaitTermination()
-      0
+      val handle = startWsStream(spark, tls, host, port, path, spool,
+        governor, args, out, proxy, sslContext)
+      try { handle.query.awaitTermination(); 0 }
+      finally handle.stop()
     }
   }
+
+  /** A running `--ws` live session: the streaming query, the ingest
+    * thread, and the stop handle that retires both halves (sets the
+    * loop flag AND closes the active socket so a blocked read returns;
+    * received frames still flush to the spool).
+    */
+  private[graft] final case class WsStreamHandle(
+      query: org.apache.spark.sql.streaming.StreamingQuery,
+      ingest: Thread,
+      stop: () => Unit)
 
   /** Live streaming: a daemon ingest thread loops WebSocket sessions
     * under the governor (resuming frame ids across drops) while the
     * foreground streaming query tails the spool. Package-private so the
     * spec can drive it with an injected fake-clock governor and stop it.
     */
-  private[graft] def startWsStream(spark: SparkSession, host: String, port: Int,
-      path: String, spool: String,
+  private[graft] def startWsStream(spark: SparkSession, tls: Boolean,
+      host: String, port: Int, path: String, spool: String,
       governor: graft.sources.Connectivity.ConnectionGovernor,
-      args: Cli.CliArgs, out: String => Unit):
-      (org.apache.spark.sql.streaming.StreamingQuery, Thread) = {
+      args: Cli.CliArgs, out: String => Unit,
+      proxy: graft.sources.Connectivity.ProxyOverride = graft.sources.Connectivity.UseDefault,
+      sslContext: Option[javax.net.ssl.SSLContext] = None): WsStreamHandle = {
     @volatile var stopped = false
+    @volatile var current: graft.sources.WsIngest = null
     val ingest = new Thread(() => {
       var next = 0L
       var live = true
       while (!stopped && live) {
         try {
-          val (n, _) = new graft.sources.WsIngest(host, port, path, spool,
-            governor).run(startFrameId = next)
-          next += n
+          val ws = new graft.sources.WsIngest(host, port, path, spool,
+            governor, tls = tls, proxy = proxy, sslContext = sslContext)
+          current = ws
+          if (!stopped) {
+            val (n, _) = ws.run(startFrameId = next)
+            next += n
+          }
         } catch {
-          // governor exhausted its retries: the feed is gone — stop
-          // ingesting; the query keeps serving what was spooled
+          // governor exhausted its retries (or abort() closed the
+          // socket mid-dial): the feed is gone — stop ingesting; the
+          // query keeps serving what was spooled
           case scala.util.control.NonFatal(_) => live = false
         }
       }
@@ -178,7 +222,11 @@ object Main {
       formatType = if (args.format == "ohlcv" || args.format == "ohlcvt") "json" else args.format,
       topK = args.limit,
       trigger = Trigger.ProcessingTime("5 seconds"))
-    (query, ingest)
+    WsStreamHandle(query, ingest, () => {
+      stopped = true
+      val ws = current
+      if (ws != null) ws.abort()
+    })
   }
 
   /** `--once`: one batch extraction → serialized output (cli.py:1060-1074).

@@ -213,6 +213,39 @@ object Connectivity {
   def cookieHeader(cookies: Map[String, String]): String =
     cookies.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString("; ")
 
+  /** Mutable binding of the pure [[sessionCookies]] flow for a live
+    * connector: one instance per ingest process owns the TTL'd jar and
+    * the generation counter. `invalidate()` is the anti-bot feedback
+    * edge — a 403 on the WebSocket UPGRADE (not just on the cookie
+    * fetch) discards the jar and rotates the generation, so the next
+    * governed attempt re-fetches under a fresh session, mirroring
+    * `_refresh_session` (cloudflare_bypass.py:66-76).
+    *
+    * @param fetch generation → Some((httpStatus, cookies)) or None —
+    *              the injected site GET (tests pin it; a deployment
+    *              wires its HTTP client)
+    */
+  final class CookieSession(
+      fetch: Int => Option[(Int, Map[String, String])],
+      supportsV3: Boolean = true,
+      clock: () => Double = () => System.nanoTime() / 1e9) {
+    private var state = SessionState()
+
+    /** Current jar, fetching/refreshing under the TTL policy. */
+    def cookies(): Map[String, String] = synchronized {
+      val (c, s2) = sessionCookies(state, supportsV3, clock(), fetch)
+      state = s2
+      c
+    }
+
+    /** Discard the jar and rotate the session (upgrade-403 feedback). */
+    def invalidate(): Unit = synchronized {
+      state = SessionState(Map.empty, 0.0, state.generation + 1)
+    }
+
+    def generation: Int = synchronized(state.generation)
+  }
+
   // ------------------------------------------------------------ wiring
 
   /** Per-connection governor: owns the limiter + rotation counter and

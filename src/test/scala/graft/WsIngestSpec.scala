@@ -165,17 +165,270 @@ class WsIngestSpec extends AnyFunSuite {
     val spool = java.nio.file.Files.createTempDirectory("graft_ws_cli_live").toString
     val args = graft.cli.Cli.parseArgs(Seq("--limit", "2")).toOption.get
     val outs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
-    val (query, ingest) = graft.cli.Main.startWsStream(spark, "127.0.0.1", port,
-      "/ws", spool, governor(), args, outs.add(_))
+    val handle = graft.cli.Main.startWsStream(spark, tls = false, "127.0.0.1",
+      port, "/ws", spool, governor(), args, outs.add(_))
     try {
       // session 1 drains; the reconnect loop then exhausts its retries
       // against the closed server and the ingest thread retires
-      ingest.join(30000)
-      assert(!ingest.isAlive)
-      query.processAllAvailable()
+      handle.ingest.join(30000)
+      assert(!handle.ingest.isAlive)
+      handle.query.processAllAvailable()
       val seen = outs.toArray(Array.empty[String])
       assert(seen.nonEmpty && seen.exists(_.contains(""""type":"enhanced_tokens"""")))
-    } finally query.stop()
+    } finally { handle.query.stop(); handle.stop() }
+  }
+
+  test("the stop handle retires a live ingest loop against a still-open feed") {
+    // a server that handshakes and then sits silent: without the stop
+    // handle the reader blocks forever (the r6 gap — nothing ever set
+    // the stopped flag); with it, the thread retires promptly and the
+    // frames received before the stop are in the spool
+    val srv = new java.net.ServerSocket(0, 2,
+      java.net.InetAddress.getLoopbackAddress)
+    val t = new Thread(() => {
+      try {
+        while (true) {
+          val c = srv.accept()
+          val in = new java.io.BufferedInputStream(c.getInputStream)
+          val out = new java.io.BufferedOutputStream(c.getOutputStream)
+          Rfc6455.serverHandshake(in, out)
+          Rfc6455.writeFrame(out, Rfc6455.OpText,
+            """{"type":"handshake"}""".getBytes("UTF-8"))
+          (0L until 2L).foreach(i =>
+            Rfc6455.writeFrame(out, Rfc6455.OpBinary, DecodePack.deepFrame(i)))
+          // then: silence — never closes, never sends more
+        }
+      } catch { case _: Throwable => () }
+    })
+    t.setDaemon(true); t.start()
+    val spool = java.nio.file.Files.createTempDirectory("graft_ws_stop").toString
+    val args = graft.cli.Cli.parseArgs(Seq("--limit", "2")).toOption.get
+    val handle = graft.cli.Main.startWsStream(spark, tls = false, "127.0.0.1",
+      srv.getLocalPort, "/ws", spool, governor(), args, _ => ())
+    try {
+      // give the session time to handshake and receive both frames
+      // (they sit in the pack buffer until the abort-triggered flush —
+      // the spool is intentionally NOT yet visible here)
+      Thread.sleep(1500)
+      assert(handle.ingest.isAlive, "ingest should be blocked on the silent feed")
+      handle.stop()
+      handle.ingest.join(10000)
+      assert(!handle.ingest.isAlive, "stop handle must retire the ingest thread")
+      // everything received before the stop reached the spool
+      assert(spark.read.format("graft-tokens").load(spool)
+        .select(col("frame_id")).distinct().count() == 2L)
+    } finally { handle.query.stop(); handle.stop(); srv.close() }
+  }
+
+  // ---- TLS (wss://), proxy CONNECT, cookie session -----------------
+
+  /** (serverCtx with the key, clientCtx trusting only that cert) from
+    * the checked-in self-signed PKCS12 (SAN=IP:127.0.0.1 so HTTPS
+    * endpoint identification passes on loopback).
+    */
+  private lazy val (serverTlsCtx, clientTlsCtx) = {
+    val ks = java.security.KeyStore.getInstance("PKCS12")
+    val is = getClass.getResourceAsStream("/graft-test.p12")
+    ks.load(is, "graftpass".toCharArray); is.close()
+    val kmf = javax.net.ssl.KeyManagerFactory.getInstance(
+      javax.net.ssl.KeyManagerFactory.getDefaultAlgorithm)
+    kmf.init(ks, "graftpass".toCharArray)
+    val ts = java.security.KeyStore.getInstance(
+      java.security.KeyStore.getDefaultType)
+    ts.load(null, null)
+    ts.setCertificateEntry("graft-test", ks.getCertificate("graft-test"))
+    val tmf = javax.net.ssl.TrustManagerFactory.getInstance(
+      javax.net.ssl.TrustManagerFactory.getDefaultAlgorithm)
+    tmf.init(ts)
+    val server = javax.net.ssl.SSLContext.getInstance("TLS")
+    server.init(kmf.getKeyManagers, null, null)
+    val client = javax.net.ssl.SSLContext.getInstance("TLS")
+    client.init(null, tmf.getTrustManagers, null)
+    (server, client)
+  }
+
+  /** One TLS WebSocket session on loopback; records the ALPN protocol
+    * the handshake actually negotiated.
+    */
+  private def serveTls(payloads: Seq[Array[Byte]]):
+      (Int, java.util.concurrent.BlockingQueue[String]) = {
+    val srv = serverTlsCtx.getServerSocketFactory
+      .createServerSocket(0, 2, java.net.InetAddress.getLoopbackAddress)
+    val alpn = new java.util.concurrent.LinkedBlockingQueue[String]()
+    val t = new Thread(() => {
+      try {
+        val c = srv.accept().asInstanceOf[javax.net.ssl.SSLSocket]
+        val sp = c.getSSLParameters
+        sp.setApplicationProtocols(Array("http/1.1"))
+        c.setSSLParameters(sp)
+        val in = new java.io.BufferedInputStream(c.getInputStream)
+        val out = new java.io.BufferedOutputStream(c.getOutputStream)
+        Rfc6455.serverHandshake(in, out) // first read drives the TLS handshake
+        alpn.put(Option(c.getApplicationProtocol).getOrElse("<none>"))
+        Rfc6455.writeFrame(out, Rfc6455.OpText,
+          """{"type":"handshake"}""".getBytes("UTF-8"))
+        payloads.foreach(p => Rfc6455.writeFrame(out, Rfc6455.OpBinary, p))
+        Rfc6455.writeFrame(out, Rfc6455.OpClose, Array.empty)
+        Rfc6455.readMessage(in)
+        c.close()
+      } catch { case _: Throwable => () } finally srv.close()
+    })
+    t.setDaemon(true); t.start()
+    (srv.asInstanceOf[java.net.ServerSocket].getLocalPort, alpn)
+  }
+
+  /** Read an HTTP request head off a raw stream (test-side twin of the
+    * client's handshake writer): (request line, lower-cased headers).
+    */
+  private def readHead(in: java.io.InputStream): (String, Map[String, String]) = {
+    val buf = new java.io.ByteArrayOutputStream()
+    var tail = Seq.empty[Int]
+    var done = false
+    while (!done) {
+      val b = in.read()
+      require(b >= 0, "EOF in request head")
+      buf.write(b)
+      tail = (tail :+ b).takeRight(4)
+      done = tail == Seq(13, 10, 13, 10)
+    }
+    val lines = buf.toString("UTF-8").split("\r\n").filter(_.nonEmpty)
+    val headers = lines.drop(1).map { l =>
+      val i = l.indexOf(':')
+      l.substring(0, i).trim.toLowerCase -> l.substring(i + 1).trim
+    }.toMap
+    (lines.head, headers)
+  }
+
+  test("wss: TLS loopback with ALPN http/1.1 — spool parity with the plaintext path") {
+    val payloads = (0L until 10L).map(DecodePack.deepFrame)
+    val (port, alpn) = serveTls(payloads)
+    val spool = java.nio.file.Files.createTempDirectory("graft_wss_spool").toString
+    val ws = new WsIngest("127.0.0.1", port, "/ws", spool, governor(),
+      framesPerPack = 4, clock = () => 777L,
+      key16 = fixedKey16, mask4 = fixedMask4,
+      tls = true, sslContext = Some(clientTlsCtx))
+    val (n, packs) = ws.run(startFrameId = 0L)
+    assert(n == 10L && packs == 3)
+    // the client offered ALPN http/1.1 and the handshake selected it —
+    // the reference forces exactly this on its SSL context
+    // (scraper.py:183-186, curl-parity anti-bot posture)
+    assert(alpn.poll(5, java.util.concurrent.TimeUnit.SECONDS) == "http/1.1")
+    // decode parity with a directly-written pack of the same payloads
+    val direct = java.nio.file.Files.createTempDirectory("graft_wss_direct").toString
+    FrameTokenSource.writeFramePack(direct, "pack_000000",
+      payloads.zipWithIndex.iterator.map { case (p, i) => (i.toLong, 777L, p) })
+    val viaTls = spark.read.format("graft-tokens").load(spool)
+      .orderBy(col("frame_id")).collect().map(_.toSeq).toSeq
+    val viaWriter = spark.read.format("graft-tokens").load(direct)
+      .orderBy(col("frame_id")).collect().map(_.toSeq).toSeq
+    assert(viaTls.nonEmpty && viaTls == viaWriter)
+  }
+
+  test("cli --ws wss://: --once end to end over TLS") {
+    val payloads = (0L until 5L).map(DecodePack.deepFrame)
+    val (port, _) = serveTls(payloads)
+    val outs = scala.collection.mutable.ArrayBuffer.empty[String]
+    val errs = scala.collection.mutable.ArrayBuffer.empty[String]
+    val code = graft.cli.Main.run(
+      Seq("--ws", s"wss://127.0.0.1:$port/ws", "--once", "--limit", "2"),
+      outs += _, errs += _, sparkOpt = Some(spark),
+      sslContext = Some(clientTlsCtx))
+    assert(code == 0, s"errs=$errs")
+    assert(outs.size == 1 &&
+      outs.head.startsWith("""{"type":"enhanced_tokens","""))
+    // port hardening: a >10-digit port takes the argv error path (exit
+    // 2), never a NumberFormatException stack trace
+    assert(graft.cli.Main.run(
+      Seq("--ws", "ws://127.0.0.1:99999999999999999999/ws", "--once"),
+      _ => (), errs += _, sparkOpt = Some(spark)) == 2)
+    assert(errs.exists(_.contains("port out of range")))
+  }
+
+  test("proxy CONNECT: the upgrade tunnels through the proxy, not a direct dial") {
+    val payloads = Seq(DecodePack.deepFrame(0L))
+    // the target port is BOUND TO NOTHING — only the tunnel can work
+    val ghost = new java.net.ServerSocket(0)
+    val targetPort = ghost.getLocalPort
+    ghost.close()
+    val proxySrv = new java.net.ServerSocket(0, 2,
+      java.net.InetAddress.getLoopbackAddress)
+    val connectLines = new java.util.concurrent.LinkedBlockingQueue[String]()
+    val t = new Thread(() => {
+      try {
+        val c = proxySrv.accept()
+        val in = new java.io.BufferedInputStream(c.getInputStream)
+        val out = new java.io.BufferedOutputStream(c.getOutputStream)
+        val (reqLine, _) = readHead(in)
+        connectLines.put(reqLine)
+        out.write("HTTP/1.1 200 Connection Established\r\n\r\n".getBytes("UTF-8"))
+        out.flush()
+        // the "tunnel": this proxy IS the origin from here on
+        Rfc6455.serverHandshake(in, out)
+        Rfc6455.writeFrame(out, Rfc6455.OpText,
+          """{"type":"handshake"}""".getBytes("UTF-8"))
+        payloads.foreach(p => Rfc6455.writeFrame(out, Rfc6455.OpBinary, p))
+        Rfc6455.writeFrame(out, Rfc6455.OpClose, Array.empty)
+        Rfc6455.readMessage(in)
+        c.close()
+      } catch { case _: Throwable => () } finally proxySrv.close()
+    })
+    t.setDaemon(true); t.start()
+    val spool = java.nio.file.Files.createTempDirectory("graft_ws_proxy").toString
+    val ws = new WsIngest("127.0.0.1", targetPort, "/ws", spool, governor(),
+      clock = () => 777L, key16 = fixedKey16, mask4 = fixedMask4,
+      proxy = Connectivity.ProxyVia(s"http://127.0.0.1:${proxySrv.getLocalPort}"))
+    val (n, _) = ws.run()
+    assert(n == 1L)
+    // RFC 9110 §9.3.6 request line names the ORIGIN, not the proxy
+    assert(connectLines.poll(5, java.util.concurrent.TimeUnit.SECONDS) ==
+      s"CONNECT 127.0.0.1:$targetPort HTTP/1.1")
+  }
+
+  test("cookie session rides the upgrade; a 403 upgrade refreshes it on the wire") {
+    val payloads = Seq(DecodePack.deepFrame(0L))
+    val srv = new java.net.ServerSocket(0, 2,
+      java.net.InetAddress.getLoopbackAddress)
+    val cookiesSeen = new java.util.concurrent.LinkedBlockingQueue[String]()
+    val t = new Thread(() => {
+      try {
+        // connection 1: anti-bot wall — read the upgrade, answer 403
+        val c1 = srv.accept()
+        val in1 = new java.io.BufferedInputStream(c1.getInputStream)
+        val (_, h1) = readHead(in1)
+        cookiesSeen.put(h1.getOrElse("cookie", "<none>"))
+        val out1 = new java.io.BufferedOutputStream(c1.getOutputStream)
+        out1.write("HTTP/1.1 403 Forbidden\r\n\r\n".getBytes("UTF-8"))
+        out1.flush(); c1.close()
+        // connection 2: refreshed session passes
+        val c2 = srv.accept()
+        val in2 = new java.io.BufferedInputStream(c2.getInputStream)
+        val out2 = new java.io.BufferedOutputStream(c2.getOutputStream)
+        val h2 = Rfc6455.serverHandshake(in2, out2)
+        cookiesSeen.put(h2.getOrElse("cookie", "<none>"))
+        Rfc6455.writeFrame(out2, Rfc6455.OpText,
+          """{"type":"handshake"}""".getBytes("UTF-8"))
+        payloads.foreach(p => Rfc6455.writeFrame(out2, Rfc6455.OpBinary, p))
+        Rfc6455.writeFrame(out2, Rfc6455.OpClose, Array.empty)
+        Rfc6455.readMessage(in2)
+        c2.close()
+      } catch { case _: Throwable => () } finally srv.close()
+    })
+    t.setDaemon(true); t.start()
+    // generation-tagged jar: the wire shows which session each attempt ran under
+    val session = new Connectivity.CookieSession(
+      fetch = g => Some((200, Map("cf_clearance" -> s"g$g"))))
+    val spool = java.nio.file.Files.createTempDirectory("graft_ws_cookie").toString
+    val ws = new WsIngest("127.0.0.1", srv.getLocalPort, "/ws", spool, governor(),
+      clock = () => 777L, key16 = fixedKey16, mask4 = fixedMask4,
+      cookies = Some(session))
+    val (n, _) = ws.run()
+    assert(n == 1L)
+    // attempt 1 carried the generation-0 jar; the 403 refreshed the
+    // session (cloudflare_bypass.py:109-127) and attempt 2 carried the
+    // generation-1 jar — observable on the wire, not just in state
+    assert(cookiesSeen.poll(5, java.util.concurrent.TimeUnit.SECONDS) == "cf_clearance=g0")
+    assert(cookiesSeen.poll(5, java.util.concurrent.TimeUnit.SECONDS) == "cf_clearance=g1")
+    assert(session.generation == 1)
   }
 
   test("spool compaction: many small packs + singles become one container, rows identical") {
