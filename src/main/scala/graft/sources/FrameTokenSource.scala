@@ -962,11 +962,26 @@ class FrameTokenMicroBatchStream(path: String, partitions: Int,
   }
   private val N = """\{"files":(\d+)\}""".r
 
-  private def governedCount(): Int =
+  // SpoolLocks reader marker: the offset is a COUNT over the sorted
+  // listing, so a compaction rewriting the spool under this stream
+  // would silently duplicate/drop frames — the marker makes the
+  // compactor refuse instead. Registered on first real poll (not at
+  // planning-time construction, which Spark may discard), released in
+  // stop(); acquisition itself refuses a spool mid-compaction.
+  @volatile private var readerMarker: Path = null
+  private def ensureMarker(): Unit =
+    if (readerMarker == null) synchronized {
+      if (readerMarker == null)
+        readerMarker = SpoolLocks.acquireReader(path, "stream", hconf.value)
+    }
+
+  private def governedCount(): Int = {
+    ensureMarker()
     governor.connect { _ =>
       scala.util.Try(listFrameFiles(path, hconf.value).length).toOption
     }.getOrElse(throw new IllegalStateException(
       s"frame listing failed after ${governor.maxRetries} attempts: $path"))
+  }
 
   override def initialOffset(): Offset = FilesOffset(0)
   override def latestOffset(): Offset = FilesOffset(governedCount())
@@ -1009,6 +1024,7 @@ class FrameTokenMicroBatchStream(path: String, partitions: Int,
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    ensureMarker()
     val s = start.asInstanceOf[FilesOffset].n
     val e = end.asInstanceOf[FilesOffset].n
     val files = listFrameFiles(path, hconf.value).slice(s, e)
@@ -1019,5 +1035,8 @@ class FrameTokenMicroBatchStream(path: String, partitions: Int,
     new FrameTokenReaderFactory(hconf, required, filters, topN)
 
   override def commit(end: Offset): Unit = ()
-  override def stop(): Unit = ()
+  override def stop(): Unit = {
+    val m = readerMarker
+    if (m != null) { readerMarker = null; SpoolLocks.release(m, hconf.value) }
+  }
 }

@@ -70,6 +70,15 @@ final class WsIngest(
     * whichever first.
     */
   def run(startFrameId: Long = 0L, maxFrames: Long = Long.MaxValue): (Long, Int) = {
+    // register on the spool (and refuse a spool mid-compaction): the
+    // compactor must never rewrite the listing under a live appender
+    val hconf = new org.apache.hadoop.conf.Configuration()
+    val marker = SpoolLocks.acquireReader(spoolDir, "ingest", hconf)
+    try runMarked(startFrameId, maxFrames)
+    finally SpoolLocks.release(marker, hconf)
+  }
+
+  private def runMarked(startFrameId: Long, maxFrames: Long): (Long, Int) = {
     val conn = governor.connect { _ =>
       // rotation advances per ATTEMPT, like the reference's
       // per-connect header refresh (scraper.py:126-146)

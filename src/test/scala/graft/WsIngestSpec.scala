@@ -458,6 +458,68 @@ class WsIngestSpec extends AnyFunSuite {
       .orderBy(col("frame_id")).collect().map(_.toSeq).toSeq == before)
   }
 
+  test("compaction refuses a spool a live stream is tailing; allowed after stop") {
+    import graft.sources.{FrameTokenSource, SpoolCompactor}
+    val spool = java.nio.file.Files.createTempDirectory("graft_ws_guard").toString
+    FrameTokenSource.writeFramePack(spool, "pack_000000000000_000000",
+      (0L until 3L).iterator.map(i => (i, 777L, DecodePack.deepFrame(i))))
+    val outDir = java.nio.file.Files.createTempDirectory("graft_ws_guard_out").toString
+    val q = spark.readStream.format("graft-tokens").load(spool)
+      .writeStream.format("parquet")
+      .option("path", s"$outDir/data").option("checkpointLocation", s"$outDir/ck")
+      .start()
+    try {
+      q.processAllAvailable() // the stream has polled: its marker is down
+      val err = intercept[IllegalStateException](SpoolCompactor.compact(spool))
+      assert(err.getMessage.contains("offline-only") &&
+        err.getMessage.contains("_reader_stream_"))
+    } finally q.stop()
+    // stop released the marker; compaction now runs (and the spool
+    // still reads identically)
+    val (n, packs) = SpoolCompactor.compact(spool, framesPerPack = 100)
+    assert(n == 3L && packs == 1)
+    assert(spark.read.format("graft-tokens").load(spool).count() == 3L)
+  }
+
+  test("ingest refuses a spool mid-compaction (compact lock present)") {
+    import graft.sources.SpoolLocks
+    val spool = java.nio.file.Files.createTempDirectory("graft_ws_lock").toString
+    val conf = new org.apache.hadoop.conf.Configuration()
+    SpoolLocks.acquireCompact(spool, conf)
+    val ws = new WsIngest("127.0.0.1", 1, "/ws", spool, governor(),
+      key16 = fixedKey16, mask4 = fixedMask4)
+    val err = intercept[IllegalStateException](ws.run())
+    assert(err.getMessage.contains("being compacted"))
+    SpoolLocks.releaseCompact(spool, conf)
+    // and a reader marker can be taken again once the lock is gone
+    val m = SpoolLocks.acquireReader(spool, "ingest", conf)
+    assert(SpoolLocks.activeReaders(spool, conf).size == 1)
+    SpoolLocks.release(m, conf)
+    assert(SpoolLocks.activeReaders(spool, conf).isEmpty)
+  }
+
+  test("re-pack after the rename/delete crash window dedups on frame_id") {
+    import graft.sources.{FrameTokenSource, SpoolCompactor}
+    val spool = java.nio.file.Files.createTempDirectory("graft_ws_crash").toString
+    FrameTokenSource.writeFramePack(spool, "pack_000000000000_000000",
+      (0L until 5L).iterator.map(i => (i, 777L, DecodePack.deepFrame(i))))
+    val before = spark.read.format("graft-tokens").load(spool)
+      .orderBy(col("frame_id")).collect().map(_.toSeq).toSeq
+    // simulate a compaction that crashed between rename and delete:
+    // the compacted copy landed, the source pack was never removed
+    val src = java.nio.file.Paths.get(spool, "pack_000000000000_000000.binpack")
+    java.nio.file.Files.copy(src,
+      java.nio.file.Paths.get(spool, "compact_000000_000000.binpack"))
+    assert(spark.read.format("graft-tokens").load(spool).count() == 10L,
+      "crash window visibly duplicates frames (reader has no dedup)")
+    // the RERUN converges: duplicates collapse on frame_id
+    val (n, packs) = SpoolCompactor.compact(spool, framesPerPack = 100)
+    assert(n == 5L && packs == 1)
+    val after = spark.read.format("graft-tokens").load(spool)
+      .orderBy(col("frame_id")).collect().map(_.toSeq).toSeq
+    assert(after == before)
+  }
+
   test("an abnormal disconnect still spools every received frame") {
     val payloads = (0L until 3L).map(DecodePack.deepFrame)
     val srv = new java.net.ServerSocket(0, 1,
