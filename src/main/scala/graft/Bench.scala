@@ -65,12 +65,14 @@ object Bench {
       }
       (name, samples.min, samples.head)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    // 4-decimal seconds (0.1 ms): keeps the artifact line short — the
+    // driver's capture tail-truncated the full-precision form twice.
+    def f(v: Double) = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val firstRunTotal = results.map(_._3).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","repeats":$repeats,"first_run_total":$firstRunTotal}"""
-    println(json)
+    val json = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","repeats":$repeats,"first_run_total":${f(firstRunTotal)}}"""
     // Also write the artifact to a file: stdout capture has truncated a
     // round's per-query tail before; the file is never capture-limited.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json")
@@ -81,6 +83,11 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }
+    // The JSON line is printed LAST — after spark.stop()'s shutdown
+    // chatter — so a tail-capture of stdout always ends with a parseable
+    // artifact (BENCH_r5/r6 recorded "parsed": null from mid-line cuts).
     spark.stop()
+    println(json)
+    System.out.flush()
   }
 }
