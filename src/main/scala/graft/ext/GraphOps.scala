@@ -74,8 +74,16 @@ object GraphOps {
     * range (an int64 sum could wrap at 10¹² 2⁶³-scale ids and alias a
     * non-converged round onto a converged-looking sum).
     */
+  /** @param fallbackToStar when the round budget runs out (graph
+    *        diameter too deep for label propagation even with the
+    *        shortcut), hand the ORIGINAL edges to [[starComponents]] —
+    *        the O(log² n)-round contraction — instead of failing. The
+    *        converged fast path is untouched; only the would-have-failed
+    *        path pays the restart. `false` restores the loud failure for
+    *        callers that budget rounds deliberately.
+    */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
-      maxIters: Int = 20): DataFrame = {
+      maxIters: Int = 20, fallbackToStar: Boolean = true): DataFrame = {
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
     // Symmetric closure once, distinct to kill duplicate pairs from
@@ -122,6 +130,17 @@ object GraphOps {
       unpersistCheckpoint(labels) // next is materialized; free the old round
       labels = next
       iter += 1
+    }
+    if (!converged && fallbackToStar) {
+      // the labels computed so far are NOT reusable as a contraction
+      // seed (starComponents starts from edges), so free them and rerun
+      // on the original edge set; the convergence trace still surfaces
+      // so a 100 TB operator sees why the restart happened
+      System.err.println(s"[graft] connectedComponents hit the $maxIters-round " +
+        s"budget (label-mass delta per round: ${deltaPerRound.mkString(", ")}) — " +
+        "falling back to starComponents, the large-star/small-star contraction")
+      unpersistCheckpoint(labels)
+      return starComponents(edges, srcCol, dstCol)
     }
     require(converged, s"connectedComponents did not converge in $maxIters rounds " +
       s"(label-mass delta per round: ${deltaPerRound.mkString(", ")} — " +

@@ -12,10 +12,12 @@ import org.scalatest.funsuite.AnyFunSuite
 class CurationSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
 
-  private def components(edges: Seq[(Long, Long)], maxIters: Int = 20): Map[Long, Long] = {
+  private def components(edges: Seq[(Long, Long)], maxIters: Int = 20,
+      fallback: Boolean = false): Map[Long, Long] = {
     import spark.implicits._
     Caches.scoped {
-      GraphOps.connectedComponents(edges.toDF("src", "dst"), "src", "dst", maxIters)
+      GraphOps.connectedComponents(edges.toDF("src", "dst"), "src", "dst", maxIters,
+          fallbackToStar = fallback)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     }
   }
@@ -50,6 +52,19 @@ class CurationSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](components(path, maxIters = 3))
     assert(e.getMessage.contains("did not converge"))
     assert(components(path).forall(_._2 == 0L)) // default bound converges
+  }
+
+  test("connectedComponents: deep chain auto-falls-back to starComponents") {
+    // 120-hop path, 3-round budget: label propagation cannot close it,
+    // and with the default fallback the caller still gets correct labels
+    // (the contraction path) without intervening. A correct shallow
+    // graph in the same call proves the fast path is unaffected.
+    val path = (0L until 120L).map(i => (i, i + 1))
+    val pair = Seq((500L, 501L))
+    val got = components(path ++ pair, maxIters = 3, fallback = true)
+    assert(got.size == 123)
+    assert((0L to 120L).forall(n => got(n) == 0L))
+    assert(got(500L) == 500L && got(501L) == 500L)
   }
 
   private def starComponents(edges: Seq[(Long, Long)]): Map[Long, Long] = {
@@ -132,7 +147,7 @@ class CurationSpec extends AnyFunSuite {
     val ex = intercept[IllegalArgumentException] {
       Caches.scoped {
         GraphOps.connectedComponents(path.toDF("src", "dst"), "src", "dst",
-          maxIters = 3).collect()
+          maxIters = 3, fallbackToStar = false).collect()
       }
     }
     assert(ex.getMessage.contains("label-mass delta per round"))
