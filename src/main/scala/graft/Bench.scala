@@ -68,18 +68,30 @@ object Bench {
     // 4-decimal seconds (0.1 ms): keeps the artifact line short — the
     // driver's capture tail-truncated the full-precision form twice.
     def f(v: Double) = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f(v) }
-      .mkString("{", ",", "}")
+    // Stdout line uses the short `qNN` key (the full-precision rounding
+    // alone was not enough: 79 long keys × ~28 chars overflowed the
+    // driver's ~2 KB tail window even with the JSON printed last, so
+    // BENCH_r07 still recorded "parsed": null). The file copy keeps
+    // full names for human diffing. Falls back to full names if the
+    // prefixes ever collide.
+    val shortKeys = results.map { case (k, _, _) => k.takeWhile(_ != '_') }
+    val useShort = shortKeys.distinct.length == shortKeys.length
+    def qsJson(short: Boolean) = results.zip(shortKeys).map { case ((k, v, _), sk) =>
+      "\"" + (if (short) sk else k) + "\":" + f(v)
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val firstRunTotal = results.map(_._3).sum
-    val json = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","repeats":$repeats,"first_run_total":${f(firstRunTotal)}}"""
+    def jsonLine(short: Boolean) =
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":${qsJson(short)},"sf":"$sfDir","repeats":$repeats,"first_run_total":${f(firstRunTotal)}}"""
+    val json = jsonLine(short = useShort)
+    val jsonFull = jsonLine(short = false)
     // Also write the artifact to a file: stdout capture has truncated a
     // round's per-query tail before; the file is never capture-limited.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json")
     try {
       val p = java.nio.file.Paths.get(outPath)
       if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
-      java.nio.file.Files.writeString(p, json + "\n")
+      java.nio.file.Files.writeString(p, jsonFull + "\n")
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }
