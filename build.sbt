@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify artifact contract: the forked main prints one bare
+// JSON line on stdout. sbt's default BufferedOutput decorates every
+// forked line with "[info] ", which breaks the driver's "line starting
+// with '{'" parse (BENCH_r07/r08 "parsed": null). StdoutOutput passes
+// the child's stdout through verbatim.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -56,14 +56,24 @@ object Bench {
     }
 
     val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt.max(1)
-    val results = names.map { name =>
-      val samples = (1 to repeats).map { _ =>
+    // A failed query must surface as an error, never as a (fast)
+    // time-to-exception "success": BENCH_r07/r08 reported 11 analysis-
+    // failing queries as 0.06-0.26s runs. On the first failing sample we
+    // stop sampling that query, record the message, and exclude it from
+    // every total.
+    val results: Seq[(String, Either[String, (Double, Double)])] = names.map { name =>
+      var err: Option[String] = None
+      val samples = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var i = 0
+      while (i < repeats && err.isEmpty) {
         val t0 = System.nanoTime()
-        try run(name, sfDir)
-        catch { case _: Throwable => }
-        (System.nanoTime() - t0) / 1e9
+        try { run(name, sfDir); samples += (System.nanoTime() - t0) / 1e9 }
+        catch { case e: Throwable =>
+          err = Some(Option(e.getMessage).getOrElse(e.getClass.getName).replaceAll("\\s+", " ").take(200))
+        }
+        i += 1
       }
-      (name, samples.min, samples.head)
+      (name, err.toLeft((samples.min, samples.head)))
     }
     // 4-decimal seconds (0.1 ms): keeps the artifact line short — the
     // driver's capture tail-truncated the full-precision form twice.
@@ -74,15 +84,31 @@ object Bench {
     // BENCH_r07 still recorded "parsed": null). The file copy keeps
     // full names for human diffing. Falls back to full names if the
     // prefixes ever collide.
-    val shortKeys = results.map { case (k, _, _) => k.takeWhile(_ != '_') }
+    val shortKeys = results.map { case (k, _) => k.takeWhile(_ != '_') }
     val useShort = shortKeys.distinct.length == shortKeys.length
-    def qsJson(short: Boolean) = results.zip(shortKeys).map { case ((k, v, _), sk) =>
-      "\"" + (if (short) sk else k) + "\":" + f(v)
+    // Failed queries appear as the string "err" (full message only in the
+    // file copy, to keep the stdout line inside the driver's tail window)
+    // and are listed in top-level "failed".
+    def qsJson(short: Boolean) = results.zip(shortKeys).map { case ((k, r), sk) =>
+      val v = r match {
+        case Right((minS, _)) => f(minS)
+        case Left(_)          => "\"err\""
+      }
+      "\"" + (if (short) sk else k) + "\":" + v
     }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val firstRunTotal = results.map(_._3).sum
-    def jsonLine(short: Boolean) =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":${qsJson(short)},"sf":"$sfDir","repeats":$repeats,"first_run_total":${f(firstRunTotal)}}"""
+    val ok = results.collect { case (_, Right(v)) => v }
+    val errsJson = results.collect { case (k, Left(m)) =>
+      "\"" + k + "\":\"" + m.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    }.mkString("{", ",", "}")
+    val total = ok.map(_._1).sum
+    val firstRunTotal = ok.map(_._2).sum
+    def failedJson(short: Boolean) = results.zip(shortKeys)
+      .collect { case ((k, Left(_)), sk) => if (short) sk else k }
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    def jsonLine(short: Boolean) = {
+      val errs = if (short) "" else s""","errors":$errsJson"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":${qsJson(short)},"sf":"$sfDir","repeats":$repeats,"first_run_total":${f(firstRunTotal)},"failed":${failedJson(short)}$errs}"""
+    }
     val json = jsonLine(short = useShort)
     val jsonFull = jsonLine(short = false)
     // Also write the artifact to a file: stdout capture has truncated a

@@ -25,15 +25,24 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
-  /** `events.parquet` stores `ts` as TIMESTAMP(NANOS), which Spark's
-    * parquet reader rejects outright; read nanos as long and convert to a
-    * microsecond TimestampType column (the source data is µs-precision,
-    * so `div 1000` is lossless and matches DuckDB's µs timestamps).
+  /** `events.parquet`'s `ts` physical type has drifted across fixture
+    * generations: TIMESTAMP(NANOS) (which Spark's parquet reader only
+    * surfaces as a nanos long under `legacy.parquet.nanosAsLong`), and
+    * later TIMESTAMP(MICROS) (surfaced as TIMESTAMP_NTZ). Dispatch on the
+    * resolved schema instead of assuming either: a long is nanos (µs
+    * payload, so `div 1000` is lossless), a timestamp is used directly,
+    * cast to session-tz TimestampType (session tz is UTC, so the instant
+    * matches DuckDB's µs-precision oracle timestamps bit-for-bit).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = table(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampType => df
+      case _ => df.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
