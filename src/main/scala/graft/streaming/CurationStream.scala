@@ -81,14 +81,16 @@ final class CurationStream(spark: SparkSession,
     val batch = graft.Caches.persisted(batchDocs
       .select(col("doc_id").cast("long").as("doc_id"), col("source"), col("text")))
 
-    // exact dedup: unseen fingerprint AND first (min doc_id) in batch
+    // exact dedup: unseen fingerprint AND first (min doc_id) in batch.
+    // One groupBy then one anti join — min-doc-per-fp of an unseen fp is
+    // the same doc the row-wise form elects, without the per-row anti
+    // join + doc_id semi-join round trip. No `.distinct()` on the log
+    // side: an anti join ignores key multiplicity, and a per-batch
+    // distinct over the ACCUMULATED log is O(corpus) work per batch.
     val fps = batch.select(md5(col("text")).as("fp"), col("doc_id"))
-    val batchFirst = fps.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+    val exactKeep = fps.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+      .join(fpLog.cur.select(col("fp")), Seq("fp"), "left_anti")
       .select(col("doc_id"))
-    val exactKeep = fps
-      .join(fpLog.cur.select(col("fp")).distinct(), Seq("fp"), "left_anti")
-      .select(col("doc_id"))
-      .join(batchFirst, Seq("doc_id"), "left_semi")
 
     // near-dup: the batch's new candidate pairs from the band log
     val pairs = nd.ingest(batch.select(col("doc_id"), col("text")), batchId)
@@ -99,11 +101,12 @@ final class CurationStream(spark: SparkSession,
     // drop a batch member linked to an earlier-emitted doc, or to a
     // smaller id within its own batch (in-id-order arrival this is the
     // batch min-member election; reconcile() is exact regardless)
+    // no `.distinct()`: the tagged-union groupBy below dedups doc_ids
     val nearDrop = members
       .join(batchIds.select(col("doc_id").as("other"),
         lit(true).as("_in_batch")), Seq("other"), "left")
       .filter(col("_in_batch").isNull || col("other") < col("member"))
-      .select(col("member").as("doc_id")).distinct()
+      .select(col("member").as("doc_id"))
 
     // stateless gates, the SAME code paths the batch operators verify —
     // one shared bigram explode for both, as in the batch build
@@ -121,7 +124,7 @@ final class CurationStream(spark: SparkSession,
         batch.filter(col("doc_id") % 101 =!= 0), "doc_id", "text", 8)
       .select(col("doc_id"), col("_s").as("sh"))
       .join(bench, Seq("sh"), "left_semi")
-      .select(col("doc_id")).distinct()
+      .select(col("doc_id")) // groupBy below dedups
 
     // assemble the five gate verdicts as ONE tagged union + one
     // doc-keyed aggregation + one join — not five sequential left joins
