@@ -39,7 +39,9 @@ object Decode {
     frames.flatMap(f => LegacyDecoder.parseMessage(f.frame).map(toPairRow(f.frame_id, _)))
 
   /** Legacy chunk-scan only (D1-D3) — deterministic wire-format decode,
-    * used by the oracle-checked roundtrip.
+    * used by the oracle-checked roundtrip. Typed reference form; the
+    * benched pipeline uses [[pairsLegacyOnlyDF]] (same per-frame body,
+    * promoted to a codegen expression — DecodeSpec pins equivalence).
     */
   def pairsLegacyOnly(frames: Dataset[Frame]): Dataset[PairRow] =
     frames.flatMap { f =>
@@ -49,21 +51,32 @@ object Decode {
       else {
         val pos = pairsStart + Wire.LegacyHeaderSkip
         Iterator.range(pos, math.max(pos, f.frame.length - 512), 512).flatMap { p =>
-          LegacyDecoder.decodePair(java.util.Arrays.copyOfRange(f.frame, p, p + 512))
+          LegacyDecoder.decodePairSlice(f.frame, p, p + 512)
             .map(toPairRow(f.frame_id, _))
         }
       }
     }
 
-  /** Deep token-extraction path (EP1): one row per TokenProfile, flattened
-    * with its frame id.
+  /** Columnar form of [[pairsLegacyOnly]]: the frame column decodes
+    * inside whole-stage codegen via
+    * [[graft.functions.DecodePairs.decodeLegacyChunks]] — no
+    * object-encoder round trip around the decode.
     */
-  def tokens(spark: SparkSession, frames: Dataset[Frame]): DataFrame = {
-    implicit val enc: Encoder[(Long, TokenProfile)] =
-      Encoders.product[(Long, TokenProfile)]
-    frames.flatMap(f => TokenExtractor.extractTokens(f.frame, f.extraction_ts)
-        .map(t => (f.frame_id, t)))
-      .toDF("frame_id", "token")
+  def pairsLegacyOnlyDF(frames: Dataset[Frame]): DataFrame =
+    frames.toDF()
+      .select(col("frame_id"),
+        explode(graft.functions.DecodePairs.decodeLegacyChunks(col("frame"))).as("p"))
+      .select(col("frame_id"), col("p.*"))
+
+  /** Deep token-extraction path (EP1): one row per TokenProfile, flattened
+    * with its frame id. Decodes inside whole-stage codegen via
+    * [[graft.functions.DecodePairs.decodeTokens]] (DecodeSpec pins
+    * equivalence with the typed flatMap form).
+    */
+  def tokens(spark: SparkSession, frames: Dataset[Frame]): DataFrame =
+    frames.toDF()
+      .select(col("frame_id"),
+        explode(graft.functions.DecodePairs.decodeTokens(
+          col("frame"), col("extraction_ts"))).as("token"))
       .select(col("frame_id"), col("token.*"))
-  }
 }

@@ -34,29 +34,39 @@ object LegacyDecoder {
     * fields and non-empty metrics; validity gate = any of price/volume/
     * liquidity non-zero.
     */
-  def decodePair(data: Array[Byte]): Option[TradingPair] = {
-    var pos = 0
-    while (pos < data.length && pos < 10 && (data(pos) == 0x00 || data(pos) == 0x0a)) pos += 1
+  def decodePair(data: Array[Byte]): Option[TradingPair] =
+    decodePairSlice(data, 0, data.length)
 
-    val printable = Wire.printable(data)
-    val lower = printable.toLowerCase
-    if (printable.contains("solana") || lower.contains("pump") || lower.contains("raydium"))
-      return decodePairFromText(data)
+  /** [[decodePair]] over `[from, until)` of a shared buffer — the chunk
+    * scans call this at stride 512/256/128, so the hot loop must not
+    * copy 512 bytes per probe. Byte-for-byte the same semantics as the
+    * copying form (DecodeSpec pins agreement on random buffers):
+    * alignment is relative to the slice start, and the printable-
+    * projection marker scan is [[Wire.hasTextMarker]] — one byte pass,
+    * no 2×512-char string churn per chunk.
+    */
+  def decodePairSlice(data: Array[Byte], from: Int, until: Int): Option[TradingPair] = {
+    var pos = from
+    while (pos < until && pos - from < 10 && (data(pos) == 0x00 || data(pos) == 0x0a)) pos += 1
 
-    val fields = mutable.LinkedHashMap.empty[Int, String]
+    if (Wire.hasTextMarker(data, from, until))
+      return decodePairFromText(java.util.Arrays.copyOfRange(data, from, until))
+
+    val fields = new Array[String](FieldCount)
+    var nFields = 0
     var fieldIdx = 0
     var break = false
     while (fieldIdx < FieldCount && !break) {
-      if (pos >= data.length) break = true
+      if (pos >= until) break = true
       else {
         val strLen = data(pos) & 0xff
         pos += 1
-        if (strLen > math.min(200, data.length - pos)) break = true
+        if (strLen > math.min(200, until - pos)) break = true
         else if (strLen == 0) fieldIdx += 1
         else {
-          if (pos + strLen <= data.length) {
+          if (pos + strLen <= until) {
             val value = Wire.cleanString(new String(data, pos, strLen, "UTF-8"))
-            if (value.nonEmpty && value.length >= 2) fields(fieldIdx) = value
+            if (value.nonEmpty && value.length >= 2) { fields(fieldIdx) = value; nFields += 1 }
           }
           pos += strLen
           fieldIdx += 1
@@ -64,36 +74,42 @@ object LegacyDecoder {
       }
     }
 
-    pos = (pos + 7) & ~7
-    val metrics = decodeMetrics(data, pos)
-    if (metrics.isEmpty || fields.size < 3) return None
+    // 8-align relative to the slice start (the chunk's own offset 0)
+    pos = from + (((pos - from) + 7) & ~7)
+    // inline decodeMetrics: 7 named slots, zero ⇔ absent (zero/NaN/Inf
+    // dropped), no per-chunk Map
+    if (pos < from || pos + 64 > until) return None
+    val price = Wire.handleDouble(Wire.readDoubleLE(data, pos))
+    val priceUsd = Wire.handleDouble(Wire.readDoubleLE(data, pos + 8))
+    val chg24 = Wire.handleDouble(Wire.readDoubleLE(data, pos + 16))
+    val liq = Wire.handleDouble(Wire.readDoubleLE(data, pos + 24))
+    val vol = Wire.handleDouble(Wire.readDoubleLE(data, pos + 32))
+    val fdv = Wire.handleDouble(Wire.readDoubleLE(data, pos + 40))
+    val ts = Wire.handleDouble(Wire.readDoubleLE(data, pos + 48))
+    val metricsEmpty = price == 0 && priceUsd == 0 && chg24 == 0 && liq == 0 &&
+      vol == 0 && fdv == 0 && ts == 0
+    if (metricsEmpty || nFields < 3) return None
 
     val priceData =
-      if (metrics.contains("price") && metrics.contains("priceUsd"))
-        Some(PriceData(Some(metrics("price")), Some(metrics("priceUsd")), metrics.get("priceChangeH24")))
+      if (price != 0 && priceUsd != 0)
+        Some(PriceData(Some(price), Some(priceUsd),
+          if (chg24 != 0) Some(chg24) else None))
       else None
-    val liquidityData = metrics.get("liquidityUsd").map(v => LiquidityData(Some(v), None, None))
-    val volumeData = metrics.get("volumeH24").map(v => VolumeData(Some(v), None, None))
-    val createdAt = metrics.get("timestamp")
-      .filter(t => t >= 0 && t < 4102444800.0).map(_.toLong)
+    val liquidityData = if (liq != 0) Some(LiquidityData(Some(liq), None, None)) else None
+    val volumeData = if (vol != 0) Some(VolumeData(Some(vol), None, None)) else None
+    val createdAt = if (ts != 0 && ts >= 0 && ts < 4102444800.0) Some(ts.toLong) else None
 
+    def f(i: Int): String = { val s = fields(i); if (s == null) "" else s }
     val pair = TradingPair(
-      chain = fields.getOrElse(0, ""),
-      protocol = fields.getOrElse(1, ""),
-      pair_address = fields.getOrElse(2, ""),
-      base_token_name = fields.getOrElse(3, ""),
-      base_token_symbol = fields.getOrElse(4, ""),
-      base_token_address = fields.getOrElse(5, ""),
+      chain = f(0), protocol = f(1), pair_address = f(2),
+      base_token_name = f(3), base_token_symbol = f(4), base_token_address = f(5),
       price_data = priceData,
       liquidity_data = liquidityData,
       volume_data = volumeData,
-      fdv = metrics.get("fdv"),
+      fdv = if (fdv != 0) Some(fdv) else None,
       created_at = createdAt)
 
-    val meaningful =
-      priceData.exists(p => p.current.exists(_ != 0) || p.usd.exists(_ != 0)) ||
-        volumeData.exists(_.h24.exists(_ != 0)) ||
-        liquidityData.exists(_.usd.exists(_ != 0))
+    val meaningful = priceData.isDefined || volumeData.isDefined || liquidityData.isDefined
     if (meaningful) Some(pair) else None
   }
 
@@ -194,7 +210,7 @@ object LegacyDecoder {
       var p = pos
       var break = false
       while (!break && p < message.length - chunkSize) {
-        decodePair(java.util.Arrays.copyOfRange(message, p, p + chunkSize)) match {
+        decodePairSlice(message, p, p + chunkSize) match {
           case Some(pair) => attempt += pair; n += 1
           case None =>
         }

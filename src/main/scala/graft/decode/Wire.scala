@@ -70,6 +70,36 @@ object Wire {
     sb.toString
   }
 
+  /** One-pass byte-scan equivalent of the decode router's marker test
+    * `printable(chunk).contains("solana") || lower.contains("pump") ||
+    * lower.contains("raydium")` (protocol.py:84-90). The patterns are
+    * pure ASCII letters: the printable projection keeps those bytes
+    * verbatim and maps every other byte to ' ' (which can never match a
+    * letter), and `|0x20` ASCII case-folding maps exactly {letter,
+    * LETTER} onto the lowercase pattern bytes — high-bit bytes stay
+    * negative and match nothing. So scanning the raw bytes is exact,
+    * with none of the 2×chunk-length string allocation per probe.
+    */
+  def hasTextMarker(data: Array[Byte], from: Int, until: Int): Boolean = {
+    var i = from
+    while (i < until) {
+      val b = data(i)
+      if (b == 's' && i + 6 <= until &&
+        data(i + 1) == 'o' && data(i + 2) == 'l' && data(i + 3) == 'a' &&
+        data(i + 4) == 'n' && data(i + 5) == 'a') return true
+      val lb = b | 0x20
+      if (lb == 'p' && i + 4 <= until &&
+        (data(i + 1) | 0x20) == 'u' && (data(i + 2) | 0x20) == 'm' &&
+        (data(i + 3) | 0x20) == 'p') return true
+      if (lb == 'r' && i + 7 <= until &&
+        (data(i + 1) | 0x20) == 'a' && (data(i + 2) | 0x20) == 'y' &&
+        (data(i + 3) | 0x20) == 'd' && (data(i + 4) | 0x20) == 'i' &&
+        (data(i + 5) | 0x20) == 'u' && (data(i + 6) | 0x20) == 'm') return true
+      i += 1
+    }
+    false
+  }
+
   /** JVM mirror of the `clean_string` column function (protocol.py:23-39). */
   def cleanString(s: String): String = {
     if (s == null || s.isEmpty) return ""

@@ -54,9 +54,21 @@ object DecodePack {
       }
   }
 
-  /** Wire roundtrip: encode → legacy chunk decode → original columns. */
+  /** Wire roundtrip: encode → legacy chunk decode → original columns.
+    *
+    * Stays on the TYPED decode deliberately: the encode harness is an
+    * object-producing mapPartitions, and Catalyst pipelines it into the
+    * typed flatMap with no serialization between them — one encoder
+    * boundary total, on the SMALL pair rows. The codegen-expression form
+    * ([[Decode.pairsLegacyOnlyDF]], q12's path) would first serialize
+    * every ~50 KB frame blob into a row just to hand it to the
+    * expression — measured 2.0 s (typed) vs 2.4 s (expression) at sf0.1
+    * on the same decode kernel. When frames arrive as a COLUMN (the DSv2
+    * source, q36) the expression form has no such boundary and is the
+    * right one; DecodeSpec pins the two forms row-identical.
+    */
   def decodeRoundtrip(spark: SparkSession, dir: String): DataFrame =
-    Decode.pairsLegacyOnly(lineitemFrames(spark, dir))
+    Decode.pairsLegacyOnly(lineitemFrames(spark, dir)).toDF()
       .drop("frame_id")
       .orderBy(col("pair_address"), col("base_token_address"))
 

@@ -247,6 +247,80 @@ class DecodeSpec extends AnyFunSuite {
     assert(p.record_span.contains(500))
   }
 
+  test("decodePairSlice ≡ decodePair-on-copy at arbitrary offsets (incl. alignment + marker scan)") {
+    val rnd = new scala.util.Random(4711)
+    // structured chunks (real records), text-marker chunks, and noise —
+    // embedded at random offsets in a larger shared buffer
+    val chunks: Seq[Array[Byte]] =
+      (0 until 30).map(i => java.util.Arrays.copyOf(
+        Wire.encodeRecord(record(i.toLong, 5.0 + i)), 512)) ++
+      Seq("solana raydium tok%029d TKAB Nmlong".format(7L).getBytes("UTF-8"),
+        "PUMP mixed CASE raydium".getBytes("UTF-8"),
+        "sol ana pu mp".getBytes("UTF-8")) ++
+      (0 until 30).map { _ =>
+        val b = new Array[Byte](512); rnd.nextBytes(b); b
+      }
+    chunks.foreach { chunk =>
+      val off = rnd.nextInt(64) * 8 + rnd.nextInt(3) // aligned and misaligned
+      val buf = new Array[Byte](off + chunk.length + 17)
+      rnd.nextBytes(buf)
+      System.arraycopy(chunk, 0, buf, off, chunk.length)
+      val sliced = LegacyDecoder.decodePairSlice(buf, off, off + chunk.length)
+      val copied = LegacyDecoder.decodePair(
+        java.util.Arrays.copyOfRange(buf, off, off + chunk.length))
+      assert(sliced == copied, s"slice/copy divergence at off=$off")
+    }
+  }
+
+  test("hasTextMarker ≡ printable-projection contains() on random and crafted bytes") {
+    val rnd = new scala.util.Random(42)
+    def oracle(b: Array[Byte]): Boolean = {
+      val p = Wire.printable(b); val l = p.toLowerCase
+      p.contains("solana") || l.contains("pump") || l.contains("raydium")
+    }
+    val crafted = Seq(
+      "solana", "SOLANA", "Pump", "pUmP", "RAYDIUM", "raydium", "sol ana",
+      "xxpumpxx", "ray dium", "s", "", "RaYdIuM!").map(_.getBytes("UTF-8")) ++
+      (0 until 200).map { _ =>
+        val b = new Array[Byte](rnd.nextInt(600)); rnd.nextBytes(b); b }
+    crafted.foreach { b =>
+      assert(Wire.hasTextMarker(b, 0, b.length) == oracle(b),
+        s"marker divergence on ${b.take(24).mkString(",")}")
+    }
+  }
+
+  test("codegen expression decode ≡ typed decode (pairs and tokens)") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    implicit val frameEnc: org.apache.spark.sql.Encoder[Decode.Frame] =
+      org.apache.spark.sql.Encoders.product[Decode.Frame]
+    val frames = (0L until 40L).map { i =>
+      Decode.Frame(i, Wire.encodeFrame((0 until 5).map(j =>
+        record(i * 10 + j, 1.5 + j))), 1700000000L)
+    }
+    val ds = spark.createDataset(frames)
+    val typed = Decode.pairsLegacyOnly(ds).toDF().orderBy("frame_id", "pair_address")
+    val expr = Decode.pairsLegacyOnlyDF(ds).orderBy("frame_id", "pair_address")
+    assert(typed.schema == expr.schema)
+    assert(typed.collect().toSeq == expr.collect().toSeq)
+
+    val deepFrames = spark.createDataset((1L to 50L).map(c =>
+      Decode.Frame(c, graft.queries.DecodePack.deepFrame(c), 1700000000L)))
+    // typed reference form of Decode.tokens (pre-promotion), inlined here
+    implicit val enc: org.apache.spark.sql.Encoder[(Long, TokenProfile)] =
+      org.apache.spark.sql.Encoders.product[(Long, TokenProfile)]
+    val typedTokens = deepFrames
+      .flatMap(f => TokenExtractor.extractTokens(f.frame, f.extraction_ts)
+        .map(t => (f.frame_id, t)))
+      .toDF("frame_id", "token")
+      .select(org.apache.spark.sql.functions.col("frame_id"),
+        org.apache.spark.sql.functions.col("token.*"))
+      .orderBy("frame_id")
+    val exprTokens = Decode.tokens(spark, deepFrames).orderBy("frame_id")
+    assert(typedTokens.schema == exprTokens.schema)
+    assert(typedTokens.collect().toSeq == exprTokens.collect().toSeq)
+  }
+
   test("profile folds: txns/volume take max, price/liquidity first (scraper.py:1409-1425)") {
     import ClusterExtractor._
     val cl = Cluster(100, 600, Vector.empty, Classified(
