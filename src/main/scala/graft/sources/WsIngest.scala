@@ -100,8 +100,12 @@ final class WsIngest(
           try {
             val in = new java.io.BufferedInputStream(s.getInputStream)
             val out = new java.io.BufferedOutputStream(s.getOutputStream)
-            Rfc6455.clientHandshake(in, out, s"$host:$port", path, headers, key16())
-            Some((s, in, out))
+            // offer permessage-deflate like the reference's `websockets`
+            // client does on every connect (RFC 7692); the response
+            // decides whether this connection inflates
+            val respHeaders = Rfc6455.clientHandshake(
+              in, out, s"$host:$port", path, headers, key16(), offerDeflate = true)
+            Some((s, in, out, Rfc6455.negotiatedInflater(respHeaders)))
           } catch {
             case Rfc6455.HandshakeRejected(status, _) =>
               // anti-bot rejection: refresh the cookie session so the
@@ -113,15 +117,16 @@ final class WsIngest(
           }
         } catch { case scala.util.control.NonFatal(_) => None }
     }
-    val (sock, in, out) = conn.getOrElse(throw new IllegalStateException(
+    val (sock, in, out, inflater) = conn.getOrElse(throw new IllegalStateException(
       if (aborted) "ingest aborted"
       else s"connect failed after ${governor.maxRetries} retries; trace=${governor.trace}"))
-    try drain(in, out, startFrameId, maxFrames)
+    try drain(in, out, startFrameId, maxFrames, inflater)
     finally { active = null; sock.close() }
   }
 
   private def drain(in: java.io.InputStream, out: java.io.OutputStream,
-      startFrameId: Long, maxFrames: Long): (Long, Int) = {
+      startFrameId: Long, maxFrames: Long,
+      inflater: Option[Rfc6455.PmdInflater]): (Long, Int) = {
     val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Array[Byte])]
     var frameId = startFrameId
     var packs = 0
@@ -142,7 +147,7 @@ final class WsIngest(
         // EOF here: the feed is non-replayable, so everything received
         // MUST still reach the spool — the finally below flushes
         val msg =
-          try Rfc6455.readMessage(in, onControl)
+          try Rfc6455.readMessage(in, onControl, inflater)
           catch { case scala.util.control.NonFatal(_) => None }
         msg match {
           case None => open = false // EOF/drop without close: spool what we have

@@ -92,6 +92,86 @@ class WsIngestSpec extends AnyFunSuite {
     assert(viaWs.nonEmpty && viaWs == viaWriter)
   }
 
+  test("permessage-deflate: deflating server → inflated spool ≡ written pack (RFC 7692)") {
+    val payloads = (0L until 8L).map(DecodePack.deepFrame)
+    // deflating loopback server: accepts the client's offer WITH
+    // server_no_context_takeover, compresses every data frame (RSV1)
+    val srv = new java.net.ServerSocket(0, 2,
+      java.net.InetAddress.getLoopbackAddress)
+    val seen = new java.util.concurrent.LinkedBlockingQueue[Map[String, String]]()
+    val t = new Thread(() => {
+      try {
+        val c = srv.accept()
+        val in = new java.io.BufferedInputStream(c.getInputStream)
+        val out = new java.io.BufferedOutputStream(c.getOutputStream)
+        seen.put(Rfc6455.serverHandshake(in, out, extraResponseHeaders = Seq(
+          "Sec-WebSocket-Extensions" ->
+            "permessage-deflate; server_no_context_takeover")))
+        val defl = new Rfc6455.PmdDeflater(noContextTakeover = true)
+        Rfc6455.writeFrame(out, Rfc6455.OpText,
+          defl("""{"type":"handshake"}""".getBytes("UTF-8")), rsv1 = true)
+        payloads.foreach(p =>
+          Rfc6455.writeFrame(out, Rfc6455.OpBinary, defl(p), rsv1 = true))
+        Rfc6455.writeFrame(out, Rfc6455.OpClose, Array.empty)
+        Rfc6455.readMessage(in)
+        c.close()
+      } catch { case _: Throwable => () } finally srv.close()
+    })
+    t.setDaemon(true); t.start()
+
+    val spool = java.nio.file.Files.createTempDirectory("graft_ws_pmd").toString
+    val ws = new WsIngest("127.0.0.1", srv.getLocalPort, "/ws", spool, governor(),
+      framesPerPack = 4, clock = () => 777L,
+      key16 = fixedKey16, mask4 = fixedMask4)
+    val (n, _) = ws.run(startFrameId = 0L)
+    assert(n == 8L)
+    // the client's offer reached the server
+    assert(seen.take()("sec-websocket-extensions") == Rfc6455.DeflateOffer)
+    // the spool holds the INFLATED original bytes — identical decode to
+    // a directly-written pack of the uncompressed payloads
+    val direct = java.nio.file.Files.createTempDirectory("graft_ws_pmd_direct").toString
+    FrameTokenSource.writeFramePack(direct, "pack_000000",
+      payloads.zipWithIndex.iterator.map { case (p, i) => (i.toLong, 777L, p) })
+    val viaWs = spark.read.format("graft-tokens").load(spool)
+      .orderBy(col("frame_id")).collect().map(_.toSeq).toSeq
+    val viaWriter = spark.read.format("graft-tokens").load(direct)
+      .orderBy(col("frame_id")).collect().map(_.toSeq).toSeq
+    assert(viaWs.nonEmpty && viaWs == viaWriter)
+  }
+
+  test("permessage-deflate codec: context takeover, reset semantics, negotiation parse") {
+    // context takeover: the second message's back-references reach into
+    // the first message's window — only a SHARED inflater context decodes
+    // the stream (a fresh-per-message one must fail or mis-decode)
+    val m1 = ("the quick brown fox " * 20).getBytes("UTF-8")
+    val m2 = ("the quick brown fox jumps once more " * 10).getBytes("UTF-8")
+    val defl = new Rfc6455.PmdDeflater(noContextTakeover = false)
+    val c1 = defl(m1); val c2 = defl(m2)
+    val inf = new Rfc6455.PmdInflater(Rfc6455.PmdParams(serverNoContextTakeover = false))
+    assert(inf(c1).toSeq == m1.toSeq && inf(c2).toSeq == m2.toSeq)
+    // no-context-takeover on both sides: every message self-contained
+    val defl2 = new Rfc6455.PmdDeflater(noContextTakeover = true)
+    val infFresh = new Rfc6455.PmdInflater(Rfc6455.PmdParams(serverNoContextTakeover = true))
+    assert(infFresh(defl2(m1)).toSeq == m1.toSeq)
+    assert(infFresh(defl2(m2)).toSeq == m2.toSeq)
+    // negotiation response parsing (RFC 7692 §7.1)
+    assert(Rfc6455.parseDeflateResponse("permessage-deflate")
+      .contains(Rfc6455.PmdParams(false)))
+    assert(Rfc6455.parseDeflateResponse(
+      "permessage-deflate; server_no_context_takeover; server_max_window_bits=12")
+      .contains(Rfc6455.PmdParams(true)))
+    assert(Rfc6455.parseDeflateResponse("permessage-deflate; server_max_window_bits=99").isEmpty)
+    assert(Rfc6455.parseDeflateResponse("x-webkit-deflate-frame").isEmpty)
+    assert(Rfc6455.parseDeflateResponse("permessage-deflate, foo").isEmpty)
+    // RSV1 without negotiation fails loudly instead of surfacing garbage
+    val raw = new java.io.ByteArrayOutputStream()
+    Rfc6455.writeFrame(raw, Rfc6455.OpBinary, defl2(m1), rsv1 = true)
+    val ex = intercept[IllegalStateException] {
+      Rfc6455.readMessage(new java.io.ByteArrayInputStream(raw.toByteArray))
+    }
+    assert(ex.getMessage.contains("RSV1"))
+  }
+
   test("refused connections retry under the governor with rotated headers") {
     val payloads = Seq(DecodePack.deepFrame(0L))
     val (port, seen) = serve(payloads, rejects = 2)
