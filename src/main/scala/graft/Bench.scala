@@ -82,10 +82,19 @@ object Bench {
     // alone was not enough: 79 long keys × ~28 chars overflowed the
     // driver's ~2 KB tail window even with the JSON printed last, so
     // BENCH_r07 still recorded "parsed": null). The file copy keeps
-    // full names for human diffing. Falls back to full names if the
-    // prefixes ever collide.
-    val shortKeys = results.map { case (k, _) => k.takeWhile(_ != '_') }
-    val useShort = shortKeys.distinct.length == shortKeys.length
+    // full names for human diffing. Colliding prefixes get an a/b/c
+    // suffix (never a fall-back to full names, which would silently
+    // reintroduce the tail-window overflow).
+    val prefixes = results.map { case (k, _) => k.takeWhile(_ != '_') }
+    val collides = prefixes.groupBy(identity).view.mapValues(_.size > 1).toMap
+    val seen = scala.collection.mutable.Map.empty[String, Int]
+    val shortKeys = prefixes.map { p =>
+      if (!collides(p)) p
+      else {
+        val i = seen.getOrElse(p, 0); seen(p) = i + 1
+        s"$p${('a' + i).toChar}"
+      }
+    }
     // Failed queries appear as the string "err" (full message only in the
     // file copy, to keep the stdout line inside the driver's tail window)
     // and are listed in top-level "failed".
@@ -109,7 +118,7 @@ object Bench {
       val errs = if (short) "" else s""","errors":$errsJson"""
       s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":${qsJson(short)},"sf":"$sfDir","repeats":$repeats,"first_run_total":${f(firstRunTotal)},"failed":${failedJson(short)}$errs}"""
     }
-    val json = jsonLine(short = useShort)
+    val json = jsonLine(short = true)
     val jsonFull = jsonLine(short = false)
     // Also write the artifact to a file: stdout capture has truncated a
     // round's per-query tail before; the file is never capture-limited.
