@@ -36,6 +36,12 @@ object Tables {
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // surface TIMESTAMP(MICROS, isAdjustedToUTC=false) directly as the
+    // session-tz TimestampType (session is UTC, so the instant is the
+    // same) instead of TIMESTAMP_NTZ: a cast on top of an NTZ column
+    // would sit between every ts predicate and the parquet scan and
+    // block filter pushdown
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     val df = table(spark, dir, "events")
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
