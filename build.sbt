@@ -17,6 +17,9 @@ run / fork := true
 // with '{'" parse (BENCH_r07/r08 "parsed": null). StdoutOutput passes
 // the child's stdout through verbatim.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ...and suppress the "[success] Total time" epilogue so the JSON line is
+// also the LAST stdout line (the driver tail-parses either form).
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
