@@ -50,6 +50,19 @@ private[streaming] final class AppendLog(spark: SparkSession, schema: StructType
     segments :+= seg
   }
 
+  /** Append a frame the CALLER already localCheckpoint'ed, taking
+    * ownership of it (the log unpersists it on rollback/compaction).
+    * Skips [[append]]'s re-checkpoint — one fewer copy job per batch on
+    * the ingest hot path. Requires an exact column-name match so `cur`'s
+    * union stays positionally sound; falls back to [[append]] otherwise.
+    */
+  def appendOwned(seg: DataFrame): Unit =
+    if (seg.schema.fieldNames.sameElements(schema.fieldNames)) {
+      compactIfWide()
+      committedCount = segments.length
+      segments :+= seg
+    } else append(seg)
+
   def rollback(): Unit = {
     segments.drop(committedCount)
       .foreach(graft.ext.GraphOps.unpersistCheckpoint)

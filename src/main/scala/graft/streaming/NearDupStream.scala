@@ -89,8 +89,7 @@ final class NearDupStream(spark: SparkSession) {
       .groupBy(col("doc1"), col("doc2"))
       .agg(count(lit(1)).as("n_shared_bands"))
       .localCheckpoint(eager = true)
-    bandLog.append(bands)
-    graft.ext.GraphOps.unpersistCheckpoint(bands) // folded into the log
+    bandLog.appendOwned(bands) // log takes the checkpoint — no re-copy
     lastBatchId = batchId
     pairs
   }

@@ -95,8 +95,7 @@ final class SpanDedupStream(spark: SparkSession) {
     val fresh = occ.join(dupSh, "sh").select(col("doc_id"), col("pos"))
     val retro = seen.join(newlySh, "sh").select(col("doc_id"), col("pos"))
     val hits = fresh.union(retro).localCheckpoint(eager = true)
-    occLog.append(occ)
-    graft.ext.GraphOps.unpersistCheckpoint(occ) // folded into the log
+    occLog.appendOwned(occ) // log takes the checkpoint — no re-copy
     lastBatchId = batchId
     hits
   }

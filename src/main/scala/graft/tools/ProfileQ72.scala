@@ -37,8 +37,9 @@ object ProfileQ72 {
     def phase[A](name: String)(f: => A): A = {
       Thread.sleep(200); val j0 = jobs.get(); val t0 = System.nanoTime()
       val r = f
+      val dt = (System.nanoTime() - t0) / 1e9 // before the settle sleep
       Thread.sleep(200)
-      println(f"  $name%-18s ${(System.nanoTime() - t0) / 1e9}%6.2fs  ${jobs.get() - j0}%4d jobs")
+      println(f"  $name%-18s $dt%6.2fs  ${jobs.get() - j0}%4d jobs")
       r
     }
 
