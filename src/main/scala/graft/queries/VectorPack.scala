@@ -131,6 +131,54 @@ object VectorPack {
       .select(col("vec_id"), col("label"))
       .orderBy(col("vec_id"))
 
+  private val SemThreshold = Threshold // cosine gate for semantic groups
+
+  /** q82: SEMANTIC dedup — the SemDeDup shape (Abbas et al., "SemDeDup:
+    * Data-efficient learning at web-scale through semantic
+    * deduplication", 2023): cluster the embedding space with the SAME
+    * trained k-means codebook as q38/q48, generate candidate pairs only
+    * WITHIN a cluster (the paper's O(n²/k) reduction — semantically
+    * distant vectors never meet), gate on exact cosine, collapse pairs
+    * into duplicate GROUPS with connected components, keep each group's
+    * min vec_id. Output: every vector with its cell, its semantic-group
+    * label, and the keep bit.
+    *
+    * Scale: the codebook is tiny and broadcast; the pair join is an
+    * equi-join on `cell`; within-cell work is quadratic BY DESIGN, so at
+    * scale k grows with the corpus (k ≈ n/target_cell_size, exactly like
+    * [[VectorOps.planesForCorpus]] sizes SRP buckets) — here k is pinned
+    * to q38's oracle-shared codebook. Components run on the
+    * already-sparse pair set, never the corpus.
+    */
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = graft.Caches.persisted(
+      quantized(spark, dir).select(col("vec_id"), col("qvec")))
+    val codebook = VectorOps.kmeansCodebook(vecs, KmK, KmIters)
+    val assigned = graft.Caches.persisted(
+      VectorOps.assignToCodebook(vecs, codebook)
+        .select(col("vec_id"), col("cell"))
+        .join(vecs, "vec_id")
+        .withColumn("nrm", VectorOps.normInt(col("qvec"))))
+    val a = assigned.select(col("cell"), col("vec_id").as("id1"),
+      col("qvec").as("v1"), col("nrm").as("n1"))
+    val b = assigned.select(col("cell"), col("vec_id").as("id2"),
+      col("qvec").as("v2"), col("nrm").as("n2"))
+    val pairs = a.join(b, "cell")
+      .filter(col("id1") < col("id2"))
+      .filter(VectorOps.dotInt(col("v1"), col("v2")).cast("double") /
+        (col("n1") * col("n2")) >= SemThreshold)
+      .select(col("id1"), col("id2"))
+    val comps = graft.ext.GraphOps.connectedComponents(pairs, "id1", "id2")
+      .select(col("node").as("vec_id"), col("comp").as("sem_group"))
+    assigned.select(col("vec_id"), col("cell"))
+      .join(comps, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("sem_group"), col("vec_id")).as("sem_group"))
+      .withColumn("keep",
+        (col("sem_group") === col("vec_id")).cast("long"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Int8-quantized ANN with a recall gate: brute-force cosine top-k over
     * per-vector symmetric int8 vectors ([[VectorOps.int8Quantize]] — the
     * 8×-smaller index that makes broadcast/memory-resident ANN viable at
@@ -249,7 +297,8 @@ object VectorPack {
     "q38_kmeans_codebook" -> kmeansCells _,
     "q39_embedding_dedup" -> embeddingDedup _,
     "q48_ivf_trained_ann" -> ivfTrainedAnn _,
-    "q73_stream_ann" -> streamAnn _)
+    "q73_stream_ann" -> streamAnn _,
+    "q82_semantic_dedup" -> semanticDedup _)
 
   // cast to double BEFORE the multiply: DuckDB would otherwise keep
   // FLOAT×DECIMAL in single precision (0.3195f·1000 = 319.5f → 320),
@@ -505,6 +554,29 @@ object VectorPack {
          |SELECT e.vec_id, e.label FROM embeddings e
          |WHERE e.vec_id NOT IN (SELECT vec_id FROM dropped)
          |ORDER BY e.vec_id""".stripMargin,
+    "q82_semantic_dedup" ->
+      s"""WITH RECURSIVE $kmTrainedCtes,
+         |${kmAssignCte("af", "cb2")},
+         |w AS (SELECT v.vec_id, v.qvec, af.cell
+         |      FROM v JOIN af USING (vec_id)),
+         |pairs AS (
+         |  SELECT a.vec_id AS src, b.vec_id AS dst
+         |  FROM w a JOIN w b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE cast(${dot("a.qvec", "b.qvec")} AS double) /
+         |      (sqrt(cast(${dot("a.qvec", "a.qvec")} AS double)) *
+         |       sqrt(cast(${dot("b.qvec", "b.qvec")} AS double))) >= $SemThreshold),
+         |sym AS (SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT src, dst FROM sym
+         |  UNION
+         |  SELECT r.a, s.dst FROM reach r JOIN sym s ON s.src = r.b),
+         |grp AS (SELECT a AS vec_id, least(a, min(b)) AS sem_group
+         |        FROM reach GROUP BY a)
+         |SELECT w.vec_id, w.cell,
+         |  coalesce(grp.sem_group, w.vec_id) AS sem_group,
+         |  (CASE WHEN coalesce(grp.sem_group, w.vec_id) = w.vec_id
+         |        THEN 1 ELSE 0 END)::bigint AS keep
+         |FROM w LEFT JOIN grp USING (vec_id) ORDER BY w.vec_id""".stripMargin,
     "q24_label_centroids" ->
       s"""WITH e AS (
          |  SELECT label, dim, sum(v) AS s, count(*) AS n FROM (

@@ -168,6 +168,26 @@ class AgreementSpec extends AnyFunSuite {
     assert(survivors.contains(0L) || !droppedExact.contains(0L))
   }
 
+  test("q82 semanticDedup: groups are within-cell, min-id kept, labels consistent") {
+    Caches.scoped {
+      val rows = graft.queries.VectorPack.semanticDedup(spark, "/root/testdata/sf0.001")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(rows.nonEmpty)
+      val byGroup = rows.groupBy(_._3)
+      assert(byGroup.exists(_._2.length > 1), "fixture should contain semantic dups")
+      byGroup.foreach { case (g, members) =>
+        // the group label IS its smallest member, and only that member keeps
+        assert(members.map(_._1).min == g)
+        assert(members.filter(_._4 == 1L).map(_._1).toSeq == Seq(g))
+        // SemDeDup contract: pairs only form within a k-means cell, so a
+        // multi-member group can never span cells
+        assert(members.map(_._2).distinct.length == 1)
+      }
+      // exhaustive: every vector labeled exactly once
+      assert(rows.map(_._1).distinct.length == rows.length)
+    }
+  }
+
   test("kmeansCodebook: offset/sparse id domains still seed a full codebook") {
     import graft.ext.VectorOps
     val dir = "/root/testdata/sf0.001"
