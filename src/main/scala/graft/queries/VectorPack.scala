@@ -150,24 +150,40 @@ object VectorPack {
     * to q38's oracle-shared codebook. Components run on the
     * already-sparse pair set, never the corpus.
     */
-  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
-    val vecs = graft.Caches.persisted(
-      quantized(spark, dir).select(col("vec_id"), col("qvec")))
-    val codebook = VectorOps.kmeansCodebook(vecs, KmK, KmIters)
-    val assigned = graft.Caches.persisted(
-      VectorOps.assignToCodebook(vecs, codebook)
-        .select(col("vec_id"), col("cell"))
-        .join(vecs, "vec_id")
-        .withColumn("nrm", VectorOps.normInt(col("qvec"))))
+  /** The candidate-pair stage of [[semanticDedup]], exposed so
+    * PlanContractSpec can pin its physical shape (the whole-query plan
+    * can't show it: components materialize the pair join eagerly inside
+    * the label-propagation loop, so the final plan only sees the
+    * checkpointed labels).
+    */
+  private[graft] def semanticPairs(assigned: DataFrame): DataFrame = {
     val a = assigned.select(col("cell"), col("vec_id").as("id1"),
       col("qvec").as("v1"), col("nrm").as("n1"))
     val b = assigned.select(col("cell"), col("vec_id").as("id2"),
       col("qvec").as("v2"), col("nrm").as("n2"))
-    val pairs = a.join(b, "cell")
+    a.join(b, "cell")
       .filter(col("id1") < col("id2"))
       .filter(VectorOps.dotInt(col("v1"), col("v2")).cast("double") /
         (col("n1") * col("n2")) >= SemThreshold)
       .select(col("id1"), col("id2"))
+  }
+
+  /** The assignment stage of [[semanticDedup]]: every vector with its
+    * trained cell, quantized vector and precomputed norm.
+    */
+  private[graft] def semanticAssigned(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = graft.Caches.persisted(
+      quantized(spark, dir).select(col("vec_id"), col("qvec")))
+    val codebook = VectorOps.kmeansCodebook(vecs, KmK, KmIters)
+    VectorOps.assignToCodebook(vecs, codebook)
+      .select(col("vec_id"), col("cell"))
+      .join(vecs, "vec_id")
+      .withColumn("nrm", VectorOps.normInt(col("qvec")))
+  }
+
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val assigned = graft.Caches.persisted(semanticAssigned(spark, dir))
+    val pairs = semanticPairs(assigned)
     val comps = graft.ext.GraphOps.connectedComponents(pairs, "id1", "id2")
       .select(col("node").as("vec_id"), col("comp").as("sem_group"))
     assigned.select(col("vec_id"), col("cell"))

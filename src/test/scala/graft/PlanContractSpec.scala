@@ -151,4 +151,73 @@ class PlanContractSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
         s"text×embedding verdicts must meet in a doc_id equi-join:\n$plan")
     }
   }
+
+  test("q80 corpus split: map-side assignment — one aggregate, no join, no window") {
+    Caches.scoped {
+      val plan = executed("q80_corpus_split")
+      // split assignment is a pure per-row function; anything join- or
+      // window-shaped means the corpus got shuffled to decide membership
+      assert(collect(plan) {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+        case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+        case c: CartesianProductExec => c
+      }.isEmpty, s"q80 must not join:\n$plan")
+      assert(collect(plan) {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }.isEmpty, s"q80 must not window:\n$plan")
+    }
+  }
+
+  test("q81 importance scoring: weights broadcast, selection is TakeOrdered, no global sort") {
+    Caches.scoped {
+      val plan = executed("q81_importance_resample")
+      // the 1024-bucket weight table must reach the bigram stream as a
+      // broadcast — a shuffled join here re-partitions the corpus by
+      // bucket for a KB-sized build side
+      assert(collect(plan) { case b: BroadcastExchangeLike => b }.nonEmpty,
+        s"weight table must broadcast:\n$plan")
+      assert(collect(plan) {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      }.isEmpty, s"no shuffle join for the weight lookup:\n$plan")
+      // top-K must be TakeOrderedAndProject (per-partition top-K + driver
+      // merge), never a global SortExec under the limit
+      assert(collect(plan) {
+        case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+      }.nonEmpty, s"selection must plan as TakeOrderedAndProject:\n$plan")
+    }
+  }
+
+  test("q82 semantic dedup: codebook broadcast-assigns, pair join is a cell equi-join") {
+    Caches.scoped {
+      val plan = executed("q82_semantic_dedup")
+      assert(collect(plan) { case c: CartesianProductExec => c }.isEmpty,
+        s"no cartesian anywhere in SemDeDup:\n$plan")
+      // the only nested loop allowed is the broadcast codebook argmin
+      // (k rows against the corpus); the candidate join itself must be
+      // an equi-join on cell
+      val nlj = collect(plan) { case j: BroadcastNestedLoopJoinExec => j }
+      assert(nlj.forall(_.right.output.exists(_.name == "cvec")) ||
+        nlj.forall(_.left.output.exists(_.name == "cvec")),
+        s"the only NLJ may be the broadcast codebook:\n$plan")
+      // the pair stage runs eagerly inside component propagation, so its
+      // shape is pinned on the exposed sub-frame, not the final plan
+      val pairsDf = graft.queries.VectorPack.semanticPairs(
+        graft.queries.VectorPack.semanticAssigned(spark, dir))
+      pairsDf.collect()
+      val pairsPlan = pairsDf.queryExecution.executedPlan
+      assert(collect(pairsPlan) { case c: CartesianProductExec => c }.isEmpty,
+        s"candidate generation must never go quadratic across cells:\n$pairsPlan")
+      val cellJoins = collect(pairsPlan) {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec
+          if j.leftKeys.exists(_.references.exists(_.name == "cell")) => j
+        case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+          if j.leftKeys.exists(_.references.exists(_.name == "cell")) => j
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+          if j.leftKeys.exists(_.references.exists(_.name == "cell")) => j
+      }
+      assert(cellJoins.nonEmpty,
+        s"candidate pairs must come from a cell equi-join:\n$pairsPlan")
+    }
+  }
 }
