@@ -885,6 +885,40 @@ object CurationPack {
       .limit(DsirTopK)
   }
 
+  // ---------------------------------------------------------------- q83
+
+  /** q83: quality-decile binning — the curriculum/quality-bucketing
+    * stage (FineWeb-style quality tiers, Ask-LLM bucket sampling):
+    * score every document (type-token ratio in exact fixed point),
+    * find the corpus's EXACT decile boundaries with the distributed
+    * prefix-sum quantile operator ([[graft.ext.StatOps.exactQuantiles]]
+    * — no approx_percentile drift between engines), and label each doc
+    * with its bin (count of boundaries ≤ score, deterministic under
+    * ties). Output is the per-bin census.
+    *
+    * Scale: scoring is map-side; boundaries are 9 rows → broadcast;
+    * binning is a 9-row broadcast theta-join + one aggregate. The only
+    * corpus shuffles are the quantile operator's value-histogram
+    * groupBy and the final fixed-cardinality census.
+    */
+  def qualityDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val s = graft.Caches.persisted(Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"),
+        floor(lit(1000000.0) * size(array_distinct(col("toks"))).cast("double") /
+          size(col("toks")).cast("double")).cast("long").as("score_fp")))
+    val qs = graft.ext.StatOps.exactQuantiles(s, "score_fp", 10 to 90 by 10)
+      .select(col("value").as("qv"))
+    s.join(broadcast(qs), col("qv") <= col("score_fp"), "left")
+      .groupBy(col("doc_id"), col("score_fp"))
+      .agg(count(col("qv")).as("bin"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("score_fp")).as("min_score"),
+        max(col("score_fp")).as("max_score"))
+      .orderBy(col("bin"))
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -906,7 +940,8 @@ object CurationPack {
     "q78_span_removal" -> spanRemoval _,
     "q79_crossmodal_gate" -> crossModalGate _,
     "q80_corpus_split" -> corpusSplit _,
-    "q81_importance_resample" -> importanceResample _)
+    "q81_importance_resample" -> importanceResample _,
+    "q83_quality_deciles" -> qualityDeciles _)
 
   private val baseOracles: Map[String, String] = Map(
     "q79_crossmodal_gate" ->
@@ -1396,7 +1431,34 @@ object CurationPack {
          |        count(*)::bigint AS n_bigrams
          |      FROM bk JOIN w ON w.b = bk.b GROUP BY 1)
          |SELECT doc_id, score_fp, n_bigrams FROM s
-         |ORDER BY score_fp DESC, doc_id LIMIT $DsirTopK""".stripMargin)
+         |ORDER BY score_fp DESC, doc_id LIMIT $DsirTopK""".stripMargin,
+    "q83_quality_deciles" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    floor(1000000.0::double * len(list_distinct(toks))::double
+        |          / len(toks)::double)::bigint AS score_fp
+        |  FROM t),
+        |c AS (SELECT score_fp AS v, count(*)::bigint AS c FROM s GROUP BY 1),
+        |o AS (SELECT v, c, sum(c) OVER (ORDER BY v)::bigint AS cum_end FROM c),
+        |n AS (SELECT sum(c)::bigint AS n FROM c),
+        |r AS (
+        |  SELECT p::bigint AS p,
+        |    (floor((n.n - 1) * p / 100) + 1)::bigint AS target_rank
+        |  FROM (SELECT unnest([10,20,30,40,50,60,70,80,90]) AS p)
+        |    CROSS JOIN n),
+        |q AS (
+        |  SELECT r.p, min(o.v) AS qv FROM r JOIN o
+        |    ON o.cum_end >= r.target_rank AND o.cum_end - o.c < r.target_rank
+        |  GROUP BY 1),
+        |b AS (
+        |  SELECT s.doc_id, s.score_fp,
+        |    (SELECT count(*) FROM q WHERE q.qv <= s.score_fp)::bigint AS bin
+        |  FROM s)
+        |SELECT bin, count(*)::bigint AS n_docs,
+        |  min(score_fp) AS min_score, max(score_fp) AS max_score
+        |FROM b GROUP BY 1 ORDER BY bin""".stripMargin)
 
   /** q72 shares q68's oracle verbatim (streaming reconcile ≡ batch
     * corpus build), and q77 shares q75's (streamed span hits ≡ batch
