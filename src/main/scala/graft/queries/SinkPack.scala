@@ -92,20 +92,19 @@ object SinkPack {
     * Planted values use q46's repr-closed-form families (x.5 halves and
     * integer-valued doubles) so DuckDB can spell the Python reprs; the
     * double-math columns (ath, price_BNB, taker) compare BITWISE.
-    * row_number/window run at gate scale; a production export would
-    * carry a precomputed rank column instead of a global window.
+    * The global ordinal and the envelope rank both run through the
+    * range-partitioned prefix rank ([[graft.ext.PrefixOps]]) — no
+    * single-partition window anywhere in the sink path.
     */
   def exportValueMath(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val c = col("c_custkey")
-    val iW = Window.orderBy(c)
     val tvW = Window.partitionBy(c % 10).orderBy(c)
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val tvRank = Window.partitionBy(c % 10).orderBy(c)
 
-    val base = Tables.customer(spark, dir).select(
+    val base0 = Tables.customer(spark, dir).select(
       c,
-      (row_number().over(iW) - 1).cast("long").as("i"),
       concat(lit("TK"), c.cast("string")).as("symbol"),
       when(c % 11 === 0, lit(null).cast("string"))
         .when(c % 5 === 0, concat(lit("Tok, "), c.cast("string")))
@@ -133,6 +132,14 @@ object SinkPack {
       // only values where Java (HALF_UP) and C (HALF_EVEN) %.8f diverge.
       // An even numerator CAN tie (e.g. 180/2048*1.25 = 0.087890625).
       (((c % 32) * 2 + 129).cast("double") / 2048.0).as("open"))
+    // the global ordinal `i` via the range-partitioned prefix rank — a
+    // bare `row_number().over(Window.orderBy(c))` serializes the whole
+    // export through one task (the WindowExec single-partition warning)
+    val base = graft.ext.PrefixOps.groupedRunningAgg(
+        base0.withColumn("_g", lit(0L)), Seq("_g"), Seq("c_custkey"),
+        rankName = "_rk")
+      .withColumn("i", (col("_rk") - 1).cast("long"))
+      .drop("_g", "_rk")
 
     val hasPrice = col("price").isNotNull && col("price") =!= 0.0
     val psOk = col("address") =!= "" && hasPrice
@@ -189,9 +196,9 @@ object SinkPack {
     *
     * Envelope scalars (total_extracted / high_confidence_count) come
     * from a 1-row broadcast aggregate; the top-10-by-(confidence,
-    * field_count) selection is the reference's sort, as a global
-    * row_number at gate scale (a production export carries a
-    * precomputed rank — q49's documented contract).
+    * field_count) selection ranks through the range-partitioned prefix
+    * pass (PrefixOps, negated keys for the desc order) — the
+    * reference's sort without a single-partition window.
     *
     * Planted doubles are dyadic (x.5 / x.25 / x.0625 steps / integer-
     * valued) and < 1e7, where Java's Double.toString and DuckDB's
@@ -271,10 +278,17 @@ object SinkPack {
       count(lit(1)).as("env_total_extracted"),
       sum(when(col("confidence_score") >= 0.5, 1L).otherwise(0L))
         .as("env_high_confidence_count"))
-    val w = Window.orderBy(col("confidence_score").desc,
-      col("field_count").desc, c.asc)
+    // rank by (confidence desc, field_count desc, key asc) via the
+    // range-partitioned prefix rank (negated keys give the desc order)
+    // instead of a single-partition global window
     val noNulls = Map("ignoreNullFields" -> "false")
-    base.withColumn("rk", row_number().over(w).cast("long"))
+    graft.ext.PrefixOps.groupedRunningAgg(
+        base.withColumn("_g", lit(0L))
+          .withColumn("_nc", -col("confidence_score"))
+          .withColumn("_nf", -col("field_count")),
+        Seq("_g"), Seq("_nc", "_nf", "c_custkey"), rankName = "rk")
+      .drop("_g", "_nc", "_nf")
+      .withColumn("rk", col("rk").cast("long"))
       .crossJoin(broadcast(stats))
       .select(
         c,

@@ -59,6 +59,15 @@ class PlanContractSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("q71 envelope: ranks via the prefix pass — no window at all in the plan") {
+    Caches.scoped {
+      val plan = executed("q71_json_envelope")
+      assert(collect(plan) {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }.isEmpty, s"q71 must not plan a window (global rank = one task):\n$plan")
+    }
+  }
+
   test("q63 interval join: pure equi-join — no nested loop, no cartesian") {
     Caches.scoped {
       val plan = executed("q63_interval_join")
