@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.Tables._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -409,7 +409,46 @@ object Relational {
     sketch.join(exact, "event_type").orderBy(col("event_type"))
   }
 
+  /** q84: greedy ordered FUNNEL over the event stream — the classic
+    * product-analytics sequence operator (view → click → purchase):
+    * stage 1 is each user's earliest view; stage k>1 is the earliest
+    * stage-k event STRICTLY AFTER the user's stage-(k−1) time. Output
+    * is the per-stage census (users remaining + total stage-to-stage
+    * lag in exact epoch microseconds — integer arithmetic, so both
+    * engines land the identical sums).
+    *
+    * Scale shape: no per-user window/sort anywhere — each stage is one
+    * type-filtered scan (predicate pushed to parquet), one user-keyed
+    * equi-join against the previous stage's 1-row-per-user frame, and
+    * one groupBy-min; all three stages shuffle on the SAME user_id
+    * key, so a co-partitioned layout (or AQE exchange reuse) makes the
+    * chain one-shuffle deep. The alternative — collect each user's
+    * full event list and walk it — serializes a 10⁸-event user through
+    * one task; the min-per-stage formulation has no such hot key.
+    */
+  def funnelStages(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir).select(col("user_id"), col("event_type"), col("ts"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+      .filter(col("ts") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"), min(col("t1")).as("t1"))
+    val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+      .filter(col("ts") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"), min(col("t2")).as("t2"))
+    def stageRow(df: DataFrame, stage: Long, name: String, lag: Column): DataFrame =
+      df.agg(count(lit(1)).as("n_users"),
+          coalesce(sum(lag), lit(0L)).as("sum_lag_us"))
+        .select(lit(stage).as("stage"), lit(name).as("stage_name"),
+          col("n_users"), col("sum_lag_us"))
+    stageRow(v, 1L, "view", lit(0L))
+      .unionByName(stageRow(c, 2L, "click", unix_micros(col("t2")) - unix_micros(col("t1"))))
+      .unionByName(stageRow(p, 3L, "purchase", unix_micros(col("t3")) - unix_micros(col("t2"))))
+      .orderBy(col("stage"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q84_funnel_stages" -> funnelStages _,
     "q63_interval_join" -> intervalAttribution _,
     "q62_hll_distinct" -> hllDistinct _,
     "q60_sessionize" -> sessionize _,
@@ -687,5 +726,26 @@ object Relational {
          |  arg_max(value, event_id) AS close,
          |  ${sqlExactSum("value", 2)} AS volume,
          |  count(*) AS trades
-         |FROM events GROUP BY 1, 2 ORDER BY bar_ts, event_type""".stripMargin)
+         |FROM events GROUP BY 1, 2 ORDER BY bar_ts, event_type""".stripMargin,
+    "q84_funnel_stages" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (
+        |  SELECT e.user_id, min(e.ts) AS t2, min(v.t1) AS t1
+        |  FROM events e JOIN v ON v.user_id = e.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1),
+        |p AS (
+        |  SELECT e.user_id, min(e.ts) AS t3, min(c.t2) AS t2
+        |  FROM events e JOIN c ON c.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1)
+        |SELECT 1::bigint AS stage, 'view' AS stage_name,
+        |  count(*)::bigint AS n_users, 0::bigint AS sum_lag_us FROM v
+        |UNION ALL
+        |SELECT 2::bigint, 'click', count(*)::bigint,
+        |  coalesce(sum(epoch_us(t2) - epoch_us(t1)), 0)::bigint FROM c
+        |UNION ALL
+        |SELECT 3::bigint, 'purchase', count(*)::bigint,
+        |  coalesce(sum(epoch_us(t3) - epoch_us(t2)), 0)::bigint FROM p
+        |ORDER BY stage""".stripMargin)
 }
