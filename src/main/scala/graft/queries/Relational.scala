@@ -447,7 +447,42 @@ object Relational {
       .orderBy(col("stage"))
   }
 
+  /** q85: retention COHORT matrix over the event stream — the second
+    * classic product-analytics operator (q84 is the funnel): cohort =
+    * each user's first-signup day; every later activity day contributes
+    * the user to cell (cohort_day, day_offset). Offsets are exact
+    * integer arithmetic on epoch microseconds (both days are
+    * `date_trunc('day')` instants, so the difference is an exact
+    * 86 400 000 000 multiple — the double division is exact and both
+    * engines truncate to the identical bigint).
+    *
+    * Scale shape: one pushed signup scan → per-user min (groupBy), one
+    * user-keyed equi-join back to the activity stream, then ONE
+    * two-key aggregate with an exact distinct-user count — Spark plans
+    * count(DISTINCT) as a two-level partial-then-merge expand, never a
+    * per-cohort collect; the matrix itself is O(days²) rows, tiny at
+    * any corpus scale.
+    */
+  def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400L * 1000000L
+    val ev = events(spark, dir).select(col("user_id"), col("event_type"), col("ts"))
+    val cohort = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(date_trunc("day", min(col("ts"))).as("cd"))
+    ev.select(col("user_id"), date_trunc("day", col("ts")).as("ad"))
+      .join(cohort, "user_id")
+      .filter(col("ad") >= col("cd"))
+      .select(col("user_id"), col("cd"),
+        ((unix_micros(col("ad")) - unix_micros(col("cd"))) / lit(dayUs))
+          .cast("long").as("day_offset"))
+      .groupBy(col("cd"), col("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active_users"))
+      .select(date_format(col("cd"), "yyyy-MM-dd").as("cohort_day"),
+        col("day_offset"), col("n_active_users"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q85_retention_cohorts" -> retentionCohorts _,
     "q84_funnel_stages" -> funnelStages _,
     "q63_interval_join" -> intervalAttribution _,
     "q62_hll_distinct" -> hllDistinct _,
@@ -747,5 +782,17 @@ object Relational {
         |UNION ALL
         |SELECT 3::bigint, 'purchase', count(*)::bigint,
         |  coalesce(sum(epoch_us(t3) - epoch_us(t2)), 0)::bigint FROM p
-        |ORDER BY stage""".stripMargin)
+        |ORDER BY stage""".stripMargin,
+    "q85_retention_cohorts" ->
+      """WITH s AS (
+        |  SELECT user_id, date_trunc('day', min(ts)) AS cd FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |a AS (
+        |  SELECT e.user_id, s.cd, date_trunc('day', e.ts) AS ad
+        |  FROM events e JOIN s USING (user_id)
+        |  WHERE date_trunc('day', e.ts) >= s.cd)
+        |SELECT strftime(cd, '%Y-%m-%d') AS cohort_day,
+        |  ((epoch_us(ad) - epoch_us(cd)) / 86400000000)::bigint AS day_offset,
+        |  count(DISTINCT user_id)::bigint AS n_active_users
+        |FROM a GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin)
 }
