@@ -108,6 +108,52 @@ object VectorOps {
       qId, "top", cId, "cosine")
   }
 
+  /** Semi-hard negative mining — the triplet-mining operator a
+    * contrastive-training data pipeline runs over its embedding corpus
+    * (Schroff et al., "FaceNet: A Unified Embedding for Face Recognition
+    * and Clustering", CVPR 2015, §3.2): for each anchor, (a) the cosine
+    * of its nearest SAME-label neighbor (the positive), and (b) its k
+    * highest-cosine DIFFERENT-label neighbors (the hard negatives), each
+    * flagged `semi_hard` = 1 when its cosine sits strictly below the
+    * positive's — the band the triplet loss trains on (closer than the
+    * positive = "too hard", typically noise/label errors).
+    *
+    * Inputs: anchors (q_id, q_label, q_vec-quantized), corpus (c_id,
+    * c_label, c_vec-quantized). Anchors with no same-label neighbor get
+    * pos_cosine = −2.0 (below any real cosine), so every negative is
+    * non-semi-hard — deterministic, null-free.
+    *
+    * Scale shape: the anchor side broadcasts (bounded by the same eager
+    * guard as [[bruteForceTopK]]); the corpus is scanned twice — once for
+    * the positives (a max aggregate: shuffle carries one double per
+    * anchor per partition) and once for the negatives (the bounded top-k
+    * aggregate: ≤k entries per anchor per partition) — and never
+    * shuffles itself. The final join is anchor-sized.
+    */
+  def hardNegatives(anchors: DataFrame, corpus: DataFrame, k: Int,
+      maxAnchorRows: Long = 100000L): DataFrame = {
+    val aSide = graft.Caches.persisted(anchors)
+    val nAnchors = aSide.count()
+    require(nAnchors <= maxAnchorRows,
+      s"hardNegatives broadcasts the anchor side: $nAnchors rows > bound $maxAnchorRows; " +
+        "mine in anchor batches when the anchor set is corpus-sized")
+    val q = aSide.withColumn("q_nrm", normInt(col("q_vec")))
+    val c = corpus.withColumn("c_nrm", normInt(col("c_vec")))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("cosine", cosinePre(col("q_vec"), col("q_nrm"), col("c_vec"), col("c_nrm")))
+    val pos = scored.filter(col("q_label") === col("c_label"))
+      .groupBy(col("q_id")).agg(max(col("cosine")).as("pos_cosine"))
+    val topk = udaf(new graft.functions.TopKAgg(k))
+    val neg = explodeTopK(
+      scored.filter(col("q_label") =!= col("c_label"))
+        .groupBy(col("q_id")).agg(topk(col("c_id"), col("cosine")).as("top")),
+      "q_id", "top", "c_id", "cosine")
+    neg.join(pos, Seq("q_id"), "left")
+      .withColumn("pos_cosine", coalesce(col("pos_cosine"), lit(-2.0)))
+      .withColumn("semi_hard", (col("cosine") < col("pos_cosine")).cast("long"))
+  }
+
   /** All pairs above a cosine threshold (near-duplicate detection).
     * Quadratic candidate set — intended for bounded corpora / within-
     * bucket refinement; `lshTopK` is the scale path. The bound is

@@ -195,6 +195,24 @@ object VectorPack {
       .orderBy(col("vec_id"))
   }
 
+  /** q86: semi-hard negative mining for contrastive training
+    * ([[VectorOps.hardNegatives]]) — per anchor (vec_id < 10, same
+    * query-set convention as q21/q30/q48), the nearest same-label
+    * positive's cosine plus the TopK hardest different-label negatives,
+    * each flagged semi-hard (below the positive, the FaceNet band).
+    */
+  def hardNegativeMining(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = graft.Caches.persisted(quantized(spark, dir))
+    val anchors = vecs.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("qvec").as("q_vec"))
+    val corpus = vecs.select(col("vec_id").as("c_id"),
+      col("label").as("c_label"), col("qvec").as("c_vec"))
+    VectorOps.hardNegatives(anchors, corpus, TopK)
+      .withColumn("rank", col("rank").cast("long"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** Int8-quantized ANN with a recall gate: brute-force cosine top-k over
     * per-vector symmetric int8 vectors ([[VectorOps.int8Quantize]] — the
     * 8×-smaller index that makes broadcast/memory-resident ANN viable at
@@ -303,6 +321,7 @@ object VectorPack {
       .orderBy(col("vec_id"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q86_hard_negatives" -> hardNegativeMining _,
     "q76_embedding_outliers" -> embeddingOutliers _,
     "q54_int8_ann" -> int8Ann _,
     "q21_ann_topk" -> annTopK _,
@@ -435,6 +454,30 @@ object VectorPack {
          |  ON r8.q_id = e.q_id AND r8.c_id = e.c_id
          |WHERE r8.rank <= $TopK
          |ORDER BY r8.q_id, r8.rank""".stripMargin,
+    "q86_hard_negatives" ->
+      s"""WITH v AS (SELECT vec_id, label, $qv AS qvec FROM embeddings),
+         |scored AS (
+         |  SELECT q.vec_id AS q_id, q.label AS q_label,
+         |    c.vec_id AS c_id, c.label AS c_label,
+         |    cast(${dot("q.qvec", "c.qvec")} AS double) /
+         |      (sqrt(cast(${dot("q.qvec", "q.qvec")} AS double)) *
+         |       sqrt(cast(${dot("c.qvec", "c.qvec")} AS double))) AS cosine
+         |  FROM v q CROSS JOIN v c
+         |  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+         |pos AS (
+         |  SELECT q_id, max(cosine) AS pos_cosine FROM scored
+         |  WHERE q_label = c_label GROUP BY q_id),
+         |neg AS (
+         |  SELECT q_id, c_id, cosine,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS rank
+         |  FROM scored WHERE q_label <> c_label)
+         |SELECT n.q_id, n.rank, n.c_id, n.cosine,
+         |  coalesce(p.pos_cosine, -2.0) AS pos_cosine,
+         |  (CASE WHEN n.cosine < coalesce(p.pos_cosine, -2.0)
+         |        THEN 1 ELSE 0 END)::bigint AS semi_hard
+         |FROM neg n LEFT JOIN pos p USING (q_id)
+         |WHERE n.rank <= $TopK
+         |ORDER BY n.q_id, n.rank""".stripMargin,
     "q21_ann_topk" ->
       s"""WITH q AS (SELECT vec_id AS q_id, $qv AS qvec FROM embeddings WHERE vec_id < 10),
          |c AS (SELECT vec_id AS c_id, $qv AS cvec FROM embeddings),

@@ -107,6 +107,40 @@ class AgreementSpec extends AnyFunSuite {
     }
   }
 
+  test("hardNegatives: positives bound the semi-hard band, no same-label leakage") {
+    import spark.implicits._
+    // planted 2-D geometry: anchor 1 (label 0) has a same-label neighbor
+    // (id 2, cos≈0.995) and a DIFFERENT-label vector even closer (id 3,
+    // cos≈0.99995 → harder than the positive → semi_hard = 0); anchor 5
+    // (label 2) has no same-label neighbor at all → pos_cosine = −2.0.
+    val vecs = Seq(
+      (1L, 0, Seq(1000L, 0L)),
+      (2L, 0, Seq(990L, 100L)),
+      (3L, 1, Seq(1000L, 10L)),
+      (4L, 1, Seq(0L, 1000L)),
+      (5L, 2, Seq(0L, 1000L))).toDF("vec_id", "label", "qvec")
+    val anchors = vecs.filter(col("vec_id").isin(1L, 5L))
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"), col("qvec").as("q_vec"))
+    val corpus = vecs.select(col("vec_id").as("c_id"),
+      col("label").as("c_label"), col("qvec").as("c_vec"))
+    val rows = Caches.scoped {
+      graft.ext.VectorOps.hardNegatives(anchors, corpus, 2)
+        .orderBy(col("q_id"), col("rank"))
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          r.getDouble(3), r.getDouble(4), r.getLong(5)))
+    }
+    // anchor 1: rank 1 = id 3 (too hard, flag 0), rank 2 = id 4 at cos 0
+    // (tie with id 5 on cosine broken by id asc; below pos → flag 1)
+    val a1 = rows.filter(_._1 == 1L)
+    assert(a1.map(t => (t._2, t._3, t._6)).toSeq == Seq((1, 3L, 0L), (2, 4L, 1L)))
+    assert(a1.forall(t => t._5 > 0.99 && t._5 < 1.0)) // pos = cos(1,2)
+    // anchor 5: no same-label neighbor → pos_cosine −2.0, nothing semi-hard
+    val a5 = rows.filter(_._1 == 5L)
+    assert(a5.map(t => (t._2, t._3, t._6)).toSeq == Seq((1, 4L, 0L), (2, 2L, 0L)))
+    assert(a5.forall(_._5 == -2.0))
+  }
+
   test("dist2_long yields NULL on length-mismatched vectors (no silent truncation)") {
     import spark.implicits._
     val df = Seq(
