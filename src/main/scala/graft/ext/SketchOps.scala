@@ -104,6 +104,51 @@ object SketchOps {
       .agg(min(col("__cms_c")).as("cms_estimate"))
   }
 
+  // ----------------------------------------------------------------- kmv
+
+  val KmvK = 64 // kept minima per group — same memory bound as the HLL's m
+  val KmvRange = 1L << 32 // hash32 value space
+
+  /** KMV / bottom-k distinct sketch (Bar-Yossef et al., "Counting
+    * distinct elements in a data stream", RANDOM 2002) — the third
+    * sketch in the family (HLL estimates cardinality from register
+    * maxima, CMS estimates frequencies, KMV keeps the k smallest
+    * distinct hash values): if the k-th smallest of n uniform hashes in
+    * [0, R) sits at h_k, then n ≈ (k−1)·R/h_k. Unlike the HLL it also
+    * yields a mergeable Jaccard/overlap estimator (bottom-k of a union
+    * is the union of bottom-k sets), which is why curation pipelines
+    * carry it next to the HLL.
+    *
+    * Exactness contract (same discipline as the HLL): 32-bit md5-derived
+    * hashes keep (k−1)·R inside int64, so the estimate is ONE truncating
+    * integer division — no floating point anywhere. Groups with fewer
+    * than k distinct values are exact by construction (estimate =
+    * distinct count).
+    *
+    * Scale shape: the hash-dedup is a map-side-combinable groupBy on
+    * (group, hash) — the same shuffle `count(distinct)` pays — but the
+    * per-group state afterwards is ≤k rows via the bounded top-k
+    * aggregate (score = −hash), so the second aggregation's shuffle
+    * carries ≤k entries per group per partition and the sketch, not the
+    * value set, is what reaches the reducer. Columns: groupCols*,
+    * n_kept, kth_hash, est_distinct.
+    */
+  def kmvDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      k: Int = KmvK): DataFrame = {
+    val h = TextOps.hash32(concat(lit("kmv:"), col(valueCol).cast("string")))
+    val distinctHashes = df.select(groupCols.map(col) :+ h.as("h"): _*).distinct()
+    val bottomK = udaf(new graft.functions.TopKAgg(k))
+    distinctHashes
+      .groupBy(groupCols.map(col): _*)
+      .agg(bottomK(col("h"), -col("h").cast("double")).as("top"))
+      .withColumn("n_kept", size(col("top")).cast("long"))
+      .withColumn("kth_hash", element_at(col("top"), size(col("top"))).getField("id"))
+      .withColumn("est_distinct",
+        when(col("n_kept") < k, col("n_kept"))
+          .otherwise(expr(s"(${k - 1}L * $KmvRange) div greatest(kth_hash, 1L)")))
+      .drop("top")
+  }
+
   /** Per group: register checksum + the cardinality estimate.
     * Columns: groupCols*, n_nonzero_buckets, n_zero_buckets, z, estimate.
     */

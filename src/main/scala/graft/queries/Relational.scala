@@ -409,6 +409,20 @@ object Relational {
     sketch.join(exact, "event_type").orderBy(col("event_type"))
   }
 
+  /** q87: the KMV / bottom-k distinct sketch ([[graft.ext.SketchOps
+    * .kmvDistinct]]) gated state-for-state: per event_type the kept-set
+    * size, the k-th smallest hash, and the integer estimate, joined
+    * against the true distinct count it approximates — the same
+    * sketch-AND-ground-truth contract as q62's HLL gate.
+    */
+  def kmvDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir).select(col("event_type"), col("user_id"))
+    val sketch = graft.ext.SketchOps.kmvDistinct(ev, Seq("event_type"), "user_id")
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_distinct"))
+    sketch.join(exact, "event_type").orderBy(col("event_type"))
+  }
+
   /** q84: greedy ordered FUNNEL over the event stream — the classic
     * product-analytics sequence operator (view → click → purchase):
     * stage 1 is each user's earliest view; stage k>1 is the earliest
@@ -486,6 +500,7 @@ object Relational {
     "q84_funnel_stages" -> funnelStages _,
     "q63_interval_join" -> intervalAttribution _,
     "q62_hll_distinct" -> hllDistinct _,
+    "q87_kmv_distinct" -> kmvDistinct _,
     "q60_sessionize" -> sessionize _,
     "q61_exact_quantiles" -> exactQuantiles _,
     "q53_asof_join" -> asofPurchaseView _,
@@ -538,6 +553,29 @@ object Relational {
          |FROM p JOIN sess ON sess.user_id = p.user_id
          |  AND p.purchase_ts_us BETWEEN sess.session_start_us AND sess.session_end_us
          |ORDER BY purchase_id""".stripMargin,
+    "q87_kmv_distinct" ->
+      """WITH h AS (
+        |  SELECT DISTINCT event_type,
+        |    ('0x' || substr(md5('kmv:' || user_id), 1, 8))::bigint AS h
+        |  FROM events),
+        |r AS (
+        |  SELECT event_type, h,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        |  FROM h),
+        |s AS (
+        |  SELECT event_type, count(*)::bigint AS n_kept,
+        |    max(h)::bigint AS kth_hash
+        |  FROM r WHERE rn <= 64 GROUP BY event_type),
+        |x AS (
+        |  SELECT event_type, count(DISTINCT user_id)::bigint AS exact_distinct
+        |  FROM events GROUP BY event_type)
+        |SELECT s.event_type, s.n_kept, s.kth_hash,
+        |  (CASE WHEN s.n_kept < 64 THEN s.n_kept
+        |        ELSE (63::bigint * 4294967296) // greatest(s.kth_hash, 1) END
+        |  )::bigint AS est_distinct,
+        |  x.exact_distinct
+        |FROM s JOIN x USING (event_type)
+        |ORDER BY s.event_type""".stripMargin,
     "q62_hll_distinct" ->
       """WITH h AS (
         |  SELECT event_type,

@@ -230,6 +230,32 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("kmv sketch: exact below k, duplicate-blind, within 2/sqrt(k) above k") {
+    import spark.implicits._
+    import graft.ext.SketchOps
+    // below k: the sketch IS the distinct set — estimate exact, even
+    // with every value duplicated
+    val small = (0 until 40).flatMap(i => Seq((1, i.toLong), (1, i.toLong)))
+      .toDF("g", "v")
+    val sRow = SketchOps.kmvDistinct(small, Seq("g"), "v").head()
+    assert(sRow.getAs[Long]("n_kept") == 40L)
+    assert(sRow.getAs[Long]("est_distinct") == 40L)
+    // above k: estimate within ~2/sqrt(k) relative error across decades
+    for (n <- Seq(2000, 20000)) {
+      val df = (0 until n).map(i => (1, i * 31L + 7)).toDF("g", "v")
+      val row = Caches.scoped {
+        SketchOps.kmvDistinct(df, Seq("g"), "v").head()
+      }
+      assert(row.getAs[Long]("n_kept") == SketchOps.KmvK.toLong)
+      val est = row.getAs[Long]("est_distinct")
+      val err = math.abs(est - n).toDouble / n
+      assert(err < 0.25, s"n=$n estimate=$est err=$err") // 2/sqrt(64)
+      // the estimator is the pure integer division of the kept state
+      val kth = row.getAs[Long]("kth_hash")
+      assert(est == (SketchOps.KmvK - 1).toLong * SketchOps.KmvRange / kth)
+    }
+  }
+
   test("count-min: never underestimates, and split-merge equals one-shot") {
     import spark.implicits._
     import graft.ext.SketchOps
