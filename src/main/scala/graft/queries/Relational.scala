@@ -423,6 +423,43 @@ object Relational {
     sketch.join(exact, "event_type").orderBy(col("event_type"))
   }
 
+  /** q88: Markov TRANSITION MATRIX over per-user event sequences — the
+    * third classic sequence operator beside the funnel (q84) and
+    * retention (q85): for every ordered pair of consecutive events of
+    * one user, count the (prev_type → next_type) transition, the
+    * distinct users making it, and the row-normalized probability in
+    * exact ppm (integer `div`, so both engines land identical values —
+    * no floating-point division anywhere).
+    *
+    * Scale shape: the only per-user work is ONE `lag` window whose
+    * partitions are each a single user's events (the same posture as
+    * sessionize q60 — a hash shuffle on user_id into user-sized groups,
+    * never a global sort; the hot-key ceiling is the busiest single
+    * user, not the corpus). Everything after is two tiny aggregations:
+    * the transition counts (|types|² rows) and their row totals, joined
+    * broadcast-small.
+    */
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val pairs = ev
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .select(col("user_id"), col("prev_type"), col("event_type").as("next_type"))
+    val counts = pairs.groupBy(col("prev_type"), col("next_type"))
+      .agg(count(lit(1)).as("n_transitions"),
+        countDistinct(col("user_id")).as("n_users"))
+    val totals = counts.groupBy(col("prev_type"))
+      .agg(sum(col("n_transitions")).as("row_total"))
+    counts.join(broadcast(totals), "prev_type")
+      .withColumn("ppm", expr("(n_transitions * 1000000L) div row_total"))
+      .select(col("prev_type"), col("next_type"), col("n_transitions"),
+        col("n_users"), col("ppm"))
+      .orderBy(col("prev_type"), col("next_type"))
+  }
+
   /** q84: greedy ordered FUNNEL over the event stream — the classic
     * product-analytics sequence operator (view → click → purchase):
     * stage 1 is each user's earliest view; stage k>1 is the earliest
@@ -501,6 +538,7 @@ object Relational {
     "q63_interval_join" -> intervalAttribution _,
     "q62_hll_distinct" -> hllDistinct _,
     "q87_kmv_distinct" -> kmvDistinct _,
+    "q88_event_transitions" -> eventTransitions _,
     "q60_sessionize" -> sessionize _,
     "q61_exact_quantiles" -> exactQuantiles _,
     "q53_asof_join" -> asofPurchaseView _,
@@ -553,6 +591,23 @@ object Relational {
          |FROM p JOIN sess ON sess.user_id = p.user_id
          |  AND p.purchase_ts_us BETWEEN sess.session_start_us AND sess.session_end_us
          |ORDER BY purchase_id""".stripMargin,
+    "q88_event_transitions" ->
+      """WITH p AS (
+        |  SELECT user_id,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev_type,
+        |    event_type AS next_type
+        |  FROM events),
+        |c AS (
+        |  SELECT prev_type, next_type, count(*)::bigint AS n_transitions,
+        |    count(DISTINCT user_id)::bigint AS n_users
+        |  FROM p WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT prev_type, sum(n_transitions)::bigint AS row_total
+        |      FROM c GROUP BY 1)
+        |SELECT c.prev_type, c.next_type, c.n_transitions, c.n_users,
+        |  ((c.n_transitions * 1000000) // t.row_total)::bigint AS ppm
+        |FROM c JOIN t USING (prev_type)
+        |ORDER BY c.prev_type, c.next_type""".stripMargin,
     "q87_kmv_distinct" ->
       """WITH h AS (
         |  SELECT DISTINCT event_type,
