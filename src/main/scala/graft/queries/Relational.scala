@@ -423,6 +423,66 @@ object Relational {
     sketch.join(exact, "event_type").orderBy(col("event_type"))
   }
 
+  /** q89: the STREAMING half of q60's gap sessionization, oracle-gated —
+    * the real stateful engine path ([[graft.streaming.Streaming
+    * .sessionStream]]: `session_window` + watermark, append mode), fed
+    * the same events through a file stream and hash-gated against q60's
+    * own DuckDB oracle: closed streamed sessions must equal the batch
+    * lag/cumsum formulation row-for-row.
+    *
+    * Two deliberate mechanics make stream ≡ batch EXACT:
+    *   - gap = 30 min + 1 µs: `session_window` merges on diff < gap
+    *     (strict), the batch rule keeps a session on diff ≤ 30 min —
+    *     the +1 µs aligns the boundary case;
+    *   - a far-future sentinel row (user −1, filtered from the output)
+    *     drives the watermark past every real session's close, so
+    *     append mode emits them all; the sentinel's own session never
+    *     closes and stays in the (discarded) state store.
+    *
+    * `session_seq` (the batch output's per-user ordinal) is assigned in
+    * a batch post-pass over the CLOSED sessions (a per-user window over
+    * session counts, not events). Staging the fixture through a temp
+    * dir is harness plumbing — production reads an actual stream.
+    */
+  def streamSessions(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Caches.persisted(events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id")))
+    val maxTs = ev.agg(max(unix_micros(col("ts")))).head.getLong(0)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q89-").toString
+    ev.write.mode("overwrite").parquet(tmp)
+    ev.sparkSession.range(1)
+      .select(lit(-1L).as("event_id"),
+        timestamp_micros(lit(maxTs + 86400L * 1000000L)).as("ts"),
+        lit(-1L).as("user_id"))
+      .write.mode("append").parquet(tmp)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType, nullable = false),
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val src = spark.readStream.schema(schema).parquet(tmp)
+    val gapUs = SessionGapUs + 1L
+    val sessions = graft.streaming.Streaming.sessionStream(
+      src, s"$gapUs microseconds", "0 seconds", keyCols = Seq("user_id"))
+    val sinkName = s"graft_q89_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName(sinkName).start()
+    try { q.processAllAvailable() } finally q.stop()
+    val closed = spark.table(sinkName)
+      .filter(col("user_id") =!= -1L)
+      .select(col("user_id"),
+        unix_micros(col("session_start")).as("session_start_us"),
+        (unix_micros(col("session_end")) - gapUs).as("session_end_us"),
+        col("n_events"), col("first_event_id"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("session_start_us").asc)
+    closed.withColumn("session_seq", row_number().over(w).cast("long"))
+      .select(col("user_id"), col("session_seq"), col("session_start_us"),
+        col("session_end_us"), col("n_events"), col("first_event_id"))
+      .orderBy(col("user_id"), col("session_seq"))
+  }
+
   /** q88: Markov TRANSITION MATRIX over per-user event sequences — the
     * third classic sequence operator beside the funnel (q84) and
     * retention (q85): for every ordered pair of consecutive events of
@@ -539,6 +599,7 @@ object Relational {
     "q62_hll_distinct" -> hllDistinct _,
     "q87_kmv_distinct" -> kmvDistinct _,
     "q88_event_transitions" -> eventTransitions _,
+    "q89_stream_sessions" -> streamSessions _,
     "q60_sessionize" -> sessionize _,
     "q61_exact_quantiles" -> exactQuantiles _,
     "q53_asof_join" -> asofPurchaseView _,
@@ -556,7 +617,7 @@ object Relational {
     "q44_scalar_functions" -> scalarFunctions _,
     "q45_output_gate" -> outputGate _)
 
-  val oracles: Map[String, String] = Map(
+  private val oraclesBase: Map[String, String] = Map(
     // Deliberately the BETWEEN theta-join the engine's bucketized
     // equi-join avoids.
     "q63_interval_join" ->
@@ -888,4 +949,10 @@ object Relational {
         |  ((epoch_us(ad) - epoch_us(cd)) / 86400000000)::bigint AS day_offset,
         |  count(DISTINCT user_id)::bigint AS n_active_users
         |FROM a GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin)
+
+  /** q89 shares q60's oracle verbatim: closed streamed session_windows
+    * must equal the batch lag/cumsum sessionization row-for-row.
+    */
+  val oracles: Map[String, String] =
+    oraclesBase + ("q89_stream_sessions" -> oraclesBase("q60_sessionize"))
 }
