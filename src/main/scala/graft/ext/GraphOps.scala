@@ -254,4 +254,60 @@ object GraphOps {
     nodes.join(parents, Seq("node"), "left")
       .select(col("node"), coalesce(col("c"), col("node")).as("comp"))
   }
+
+  /** Weighted PageRank (Brin & Page 1998; damped power iteration) in
+    * EXACT integer fixed point, so any SQL engine reproduces every
+    * iterate bit-for-bit: ranks live at `scale` (default 10¹²), the
+    * per-edge contribution is `(rank · w) div w_out` (truncating), and
+    * the damped update is `(base·(100−d) + d·Σcontrib) div 100` with
+    * integer damping percent d — no floating point anywhere. Truncation
+    * loses ≤1 ulp of mass per edge per round: deterministic, identical
+    * in both engines, and irrelevant at rank scale 10¹².
+    *
+    * @param edges (srcCol, dstCol, wCol) — DIRECTED weighted edges; for
+    *              an undirected graph (TextRank) pass the symmetric
+    *              closure. Nodes are whatever appears in src/dst (any
+    *              type); every such node must have out-edges when it
+    *              should emit rank (isolated-dst nodes just receive).
+    * @param iters full power-iteration rounds, unrolled; each round's
+    *              rank frame is node-sized and localCheckpoint'ed so
+    *              plan depth stays constant and prior rounds' blocks
+    *              are released ([[unpersistCheckpoint]]).
+    *
+    * Scale shape: one groupBy for out-weights, then per round ONE
+    * equi-join of the node-sized rank frame against the edge list and
+    * ONE groupBy-sum on dst — the Pregel message-passing shape; edges
+    * never replicate and the only per-round driver traffic is the
+    * checkpoint bookkeeping. The single up-front `count()` (node total,
+    * needed for the teleport term) is one metadata-light job.
+    */
+  def weightedPageRank(edges: DataFrame, iters: Int,
+      srcCol: String = "src", dstCol: String = "dst", wCol: String = "w",
+      scale: Long = 1000000000000L, dampingPct: Int = 85): DataFrame = {
+    require(iters >= 0 && dampingPct >= 0 && dampingPct <= 100,
+      "iters must be >= 0 and dampingPct in [0, 100]")
+    val e = graft.Caches.persisted(edges.select(
+      col(srcCol).as("src"), col(dstCol).as("dst"), col(wCol).as("w")))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val n = nodes.count()
+    require(n > 0, "weightedPageRank needs a non-empty edge list")
+    val base = scale / n // truncating — matches the oracle's integer //
+    val wout = e.groupBy(col("src")).agg(sum(col("w")).as("wout"))
+    val ew = e.join(wout, "src")
+    var ranks = nodes.withColumn("rank", lit(base))
+    (0 until iters).foreach { _ =>
+      val contribs = ew.join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), expr("(rank * w) div wout").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("sumc"))
+      val next = nodes.join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          expr(s"(${base}L * ${100 - dampingPct} + $dampingPct * coalesce(sumc, 0L)) div 100")
+            .as("rank"))
+        .localCheckpoint(true)
+      unpersistCheckpoint(ranks)
+      ranks = next
+    }
+    ranks
+  }
 }

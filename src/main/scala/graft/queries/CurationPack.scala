@@ -901,6 +901,43 @@ object CurationPack {
     * corpus shuffles are the quantile operator's value-histogram
     * groupBy and the final fixed-cardinality census.
     */
+  // ---------------------------------------------------------------- q90
+
+  private val TextRankIters = 3
+  private val TextRankTopK = 50
+
+  /** q90: TextRank keyword extraction (Mihalcea & Tarau, "TextRank:
+    * Bringing Order into Text", EMNLP 2004) — corpus-level salient
+    * terms as the stationary weights of a damped random walk on the
+    * word co-occurrence graph: nodes = tokens, undirected edges =
+    * adjacent-token bigrams weighted by corpus count (self-loops from
+    * immediate repeats dropped), ranked by [[graft.ext.GraphOps
+    * .weightedPageRank]] in exact integer fixed point (3 unrolled
+    * power-iteration rounds, damping 85/100) — no floating point, so
+    * the oracle re-derives every iterate bit-for-bit. Output: the top
+    * 50 tokens by (rank desc, token asc).
+    *
+    * Scale shape: the graph build reuses the codegen'd bigram explode
+    * ([[bigramRows]]) + two count aggregates; each PageRank round is
+    * one rank-frame equi-join + one groupBy-sum (the Pregel shape —
+    * see weightedPageRank's scaladoc); the final top-k is a
+    * TakeOrdered over the vocabulary-sized rank frame, never a window.
+    */
+  def textrankKeywords(spark: SparkSession, dir: String): DataFrame = {
+    val dir1 = bigramRows(Tables.documents(spark, dir))
+      .select(col("w1").as("src"),
+        substring_index(col("bg"), " ", -1).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+    val sym = dir1.unionByName(
+        dir1.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+      .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+    graft.ext.GraphOps.weightedPageRank(sym, TextRankIters)
+      .orderBy(col("rank").desc, col("node").asc)
+      .limit(TextRankTopK)
+      .select(col("node").as("token"), col("rank").as("rank_scaled"))
+  }
+
   def qualityDeciles(spark: SparkSession, dir: String): DataFrame = {
     val s = graft.Caches.persisted(Tables.documents(spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
@@ -941,9 +978,45 @@ object CurationPack {
     "q79_crossmodal_gate" -> crossModalGate _,
     "q80_corpus_split" -> corpusSplit _,
     "q81_importance_resample" -> importanceResample _,
-    "q83_quality_deciles" -> qualityDeciles _)
+    "q83_quality_deciles" -> qualityDeciles _,
+    "q90_textrank_keywords" -> textrankKeywords _)
+
+  /** One unrolled PageRank round for the q90 oracle: the identical
+    * integer update as [[graft.ext.GraphOps.weightedPageRank]]
+    * ((base·15 + 85·Σ(rank·w // wout)) // 100).
+    */
+  private def textrankIterCte(prev: String, cur: String): String =
+    s"""$cur AS (
+       |  SELECT no.node,
+       |    (((SELECT base FROM bb) * 15 + 85 * coalesce(c.sumc, 0)) // 100)::bigint AS rank
+       |  FROM nodes no LEFT JOIN (
+       |    SELECT e.dst AS node, sum((r.rank * e.w) // wo.wout)::bigint AS sumc
+       |    FROM e JOIN $prev r ON r.node = e.src JOIN wout wo ON wo.src = e.src
+       |    GROUP BY e.dst) c ON c.node = no.node)""".stripMargin
 
   private val baseOracles: Map[String, String] = Map(
+    "q90_textrank_keywords" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |bgd AS (
+         |  SELECT unnest([toks[i] for i in range(1, len(toks))]) AS src,
+         |         unnest([toks[i+1] for i in range(1, len(toks))]) AS dst
+         |  FROM t),
+         |ed AS (SELECT src, dst, count(*)::bigint AS w
+         |       FROM bgd WHERE src <> dst GROUP BY 1, 2),
+         |e AS (SELECT src, dst, sum(w)::bigint AS w FROM (
+         |        SELECT src, dst, w FROM ed
+         |        UNION ALL
+         |        SELECT dst AS src, src AS dst, w FROM ed)
+         |      GROUP BY 1, 2),
+         |nodes AS (SELECT DISTINCT src AS node FROM e),
+         |bb AS (SELECT (1000000000000 // count(*))::bigint AS base FROM nodes),
+         |wout AS (SELECT src, sum(w)::bigint AS wout FROM e GROUP BY 1),
+         |r0 AS (SELECT node, (SELECT base FROM bb) AS rank FROM nodes),
+         |${textrankIterCte("r0", "r1")},
+         |${textrankIterCte("r1", "r2")},
+         |${textrankIterCte("r2", "r3")}
+         |SELECT node AS token, rank AS rank_scaled FROM r3
+         |ORDER BY rank_scaled DESC, token ASC LIMIT $TextRankTopK""".stripMargin,
     "q79_crossmodal_gate" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
          |base AS (

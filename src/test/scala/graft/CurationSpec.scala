@@ -230,6 +230,37 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("weightedPageRank: matches a sequential integer reference, hub outranks leaves") {
+    import spark.implicits._
+    import graft.ext.GraphOps
+    // undirected star a-{b,c,d} plus a b-c side edge, as symmetric
+    // directed input (the TextRank shape)
+    val und = Seq(("a", "b", 3L), ("a", "c", 1L), ("a", "d", 1L), ("b", "c", 2L))
+    val sym = und ++ und.map { case (s, d, w) => (d, s, w) }
+    val iters = 3
+    val got = Caches.scoped {
+      GraphOps.weightedPageRank(sym.toDF("src", "dst", "w"), iters)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    // sequential reference: same integer fixed-point update
+    val scale = 1000000000000L
+    val nodes = sym.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val base = scale / nodes.length
+    val wout = sym.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
+    var rank = nodes.map(_ -> base).toMap
+    (0 until iters).foreach { _ =>
+      val sums = sym.groupBy(_._2).map { case (d, es) =>
+        d -> es.map(e => rank(e._1) * e._3 / wout(e._1)).sum
+      }
+      rank = nodes.map(n => n -> (base * 15 + 85 * sums.getOrElse(n, 0L)) / 100).toMap
+    }
+    assert(got == rank)
+    // the hub holds the most mass; total mass stays within truncation loss
+    assert(got("a") == got.values.max)
+    val mass = got.values.sum
+    assert(mass <= scale && mass > scale - 1000L)
+  }
+
   test("kmv sketch: exact below k, duplicate-blind, within 2/sqrt(k) above k") {
     import spark.implicits._
     import graft.ext.SketchOps
