@@ -901,6 +901,33 @@ object CurationPack {
     * corpus shuffles are the quantile operator's value-histogram
     * groupBy and the final fixed-cardinality census.
     */
+  // ---------------------------------------------------------------- q91
+
+  /** q91: INVERTED-INDEX build stats — the index layer q57's BM25
+    * retrieval reads, materialized as a first-class output: per term
+    * its document frequency, collection frequency, and the champion
+    * document (max tf, ties to the smaller doc_id — the "champion
+    * list" head a WAND/impact-ordered index keeps per posting list).
+    *
+    * Scale shape: two map-side-combinable aggregations — (term,
+    * doc_id)→tf then term→(df, cf, argmax) with the argmax as a
+    * min-struct fold (no per-term window, no collect); both shuffles
+    * key on the term, so the second reuses the first's partitioning.
+    */
+  def invertedIndex(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val postings = t.select(col("doc_id"), explode(col("toks")).as("term"))
+      .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+    postings.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"),
+        sum(col("tf")).as("cf"),
+        min(struct((-col("tf")).as("neg"), col("doc_id"))).as("m"))
+      .select(col("term"), col("df"), col("cf"),
+        (-col("m.neg")).as("top_tf"), col("m.doc_id").as("top_doc_id"))
+      .orderBy(col("term"))
+  }
+
   // ---------------------------------------------------------------- q90
 
   private val TextRankIters = 3
@@ -979,7 +1006,8 @@ object CurationPack {
     "q80_corpus_split" -> corpusSplit _,
     "q81_importance_resample" -> importanceResample _,
     "q83_quality_deciles" -> qualityDeciles _,
-    "q90_textrank_keywords" -> textrankKeywords _)
+    "q90_textrank_keywords" -> textrankKeywords _,
+    "q91_inverted_index" -> invertedIndex _)
 
   /** One unrolled PageRank round for the q90 oracle: the identical
     * integer update as [[graft.ext.GraphOps.weightedPageRank]]
@@ -995,6 +1023,24 @@ object CurationPack {
        |    GROUP BY e.dst) c ON c.node = no.node)""".stripMargin
 
   private val baseOracles: Map[String, String] = Map(
+    "q91_inverted_index" ->
+      """WITH p AS (
+        |  SELECT term, doc_id, count(*)::bigint AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |    FROM documents)
+        |  GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT term, count(*)::bigint AS df, sum(tf)::bigint AS cf
+        |  FROM p GROUP BY 1),
+        |champ AS (
+        |  SELECT term, tf AS top_tf, doc_id AS top_doc_id FROM (
+        |    SELECT term, doc_id, tf,
+        |      row_number() OVER (PARTITION BY term
+        |        ORDER BY tf DESC, doc_id ASC) AS rn
+        |    FROM p) WHERE rn = 1)
+        |SELECT agg.term, agg.df, agg.cf, champ.top_tf, champ.top_doc_id
+        |FROM agg JOIN champ USING (term)
+        |ORDER BY agg.term""".stripMargin,
     "q90_textrank_keywords" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
          |bgd AS (

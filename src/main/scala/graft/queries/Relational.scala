@@ -483,6 +483,46 @@ object Relational {
       .orderBy(col("user_id"), col("session_seq"))
   }
 
+  /** q92: time-DECAYED trending aggregate over the event stream — the
+    * distributed form of the reference's trending-score family
+    * (recency-weighted activity; `config/QueryConfig.scala`'s
+    * trendingScore h1/h6/h24 normalization is the batch-window
+    * cousin): per event_type, Σ value·2^(−age_days) — a one-day
+    * half-life.
+    *
+    * Exactness: the weight is a POWER OF TWO with an integer exponent
+    * (ages clamp at 62 so shifts stay in int64), the value is
+    * integer-scaled (×100), and the decayed numerator is carried at
+    * the common denominator 2^horizon as exact arbitrary-precision
+    * integers — decimal(38,0) here, HUGEINT in the oracle — emitted
+    * as a STRING so the gate compares digits, not engine decimal
+    * types. No floating point anywhere: ln/exp-based decay would
+    * never hash-match across engines.
+    *
+    * Scale shape: one narrow scan + ONE broadcast 1-row (max, horizon)
+    * frame + one groupBy — the decayed sum is order-independent
+    * integer addition, so it partial-aggregates map-side like any sum
+    * (the property running-window EWMA formulations lose).
+    */
+  def decayedTrend(spark: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400L * 1000000L
+    val ev = events(spark, dir).select(col("event_type"),
+      unix_micros(date_trunc("day", col("ts"))).as("day_us"),
+      round(col("value") * 100).cast("long").as("v_int"))
+    val bounds = ev.agg(max(col("day_us")).as("mx"),
+      least(expr(s"(max(day_us) - min(day_us)) div $dayUs"), lit(62L)).as("a"))
+    ev.crossJoin(broadcast(bounds))
+      .withColumn("age_c", least(expr(s"(mx - day_us) div $dayUs"), lit(62L)))
+      .groupBy(col("event_type"))
+      .agg(max(col("a")).as("horizon_days"),
+        count(lit(1)).as("n_events"),
+        sum(col("v_int")).as("sum_v_int"),
+        sum(col("v_int").cast("decimal(38,0)") *
+          expr("shiftleft(1L, cast(a - age_c as int))").cast("decimal(38,0)"))
+          .cast("string").as("decayed_num"))
+      .orderBy(col("event_type"))
+  }
+
   /** q88: Markov TRANSITION MATRIX over per-user event sequences — the
     * third classic sequence operator beside the funnel (q84) and
     * retention (q85): for every ordered pair of consecutive events of
@@ -600,6 +640,7 @@ object Relational {
     "q87_kmv_distinct" -> kmvDistinct _,
     "q88_event_transitions" -> eventTransitions _,
     "q89_stream_sessions" -> streamSessions _,
+    "q92_decayed_trend" -> decayedTrend _,
     "q60_sessionize" -> sessionize _,
     "q61_exact_quantiles" -> exactQuantiles _,
     "q53_asof_join" -> asofPurchaseView _,
@@ -652,6 +693,26 @@ object Relational {
          |FROM p JOIN sess ON sess.user_id = p.user_id
          |  AND p.purchase_ts_us BETWEEN sess.session_start_us AND sess.session_end_us
          |ORDER BY purchase_id""".stripMargin,
+    "q92_decayed_trend" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    epoch_us(date_trunc('day', ts))::bigint AS day_us,
+        |    cast(round(value * 100) AS bigint) AS v_int
+        |  FROM events),
+        |b AS (SELECT max(day_us) AS mx,
+        |        least((max(day_us) - min(day_us)) // 86400000000, 62)::bigint AS a
+        |      FROM e),
+        |w AS (
+        |  SELECT event_type, v_int, (SELECT a FROM b) AS a,
+        |    least(((SELECT mx FROM b) - day_us) // 86400000000, 62)::bigint AS age_c
+        |  FROM e)
+        |SELECT event_type,
+        |  max(a)::bigint AS horizon_days,
+        |  count(*)::bigint AS n_events,
+        |  sum(v_int)::bigint AS sum_v_int,
+        |  (sum(v_int::hugeint * ((1::bigint << (a - age_c))::hugeint)))::varchar
+        |    AS decayed_num
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
     "q88_event_transitions" ->
       """WITH p AS (
         |  SELECT user_id,
