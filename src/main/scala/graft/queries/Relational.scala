@@ -5,6 +5,7 @@ import graft.Tables._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 /** Relational query pack: exercises the reference's filter DSL (SURVEY
   * §2.4 F1/F2), top-K ranking (§2.7 T1/T2), conditional-count batch stats
@@ -483,6 +484,71 @@ object Relational {
       .orderBy(col("user_id"), col("session_seq"))
   }
 
+  /** q93: the STREAMING half of q84's funnel, oracle-gated — the event
+    * log replays through [[graft.streaming.StatefulOps.funnelStates]]
+    * (`flatMapGroupsWithState`, one O(1) stage-triple per user in the
+    * state store) in three event-time terciles, each a micro-batch
+    * (`maxFilesPerTrigger` 1; file names AND modtimes ascend, so the
+    * source replays them in ts order — the operator's feed contract).
+    * The final per-user stage times are a max-fold over emitted
+    * snapshots (stages only ever get set), and the stage census must
+    * hash-equal the batch funnel against q84's own DuckDB oracle.
+    */
+  def streamFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = graft.Caches.persisted(events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type")))
+    val b = ev.agg(min(col("ts_us")), max(col("ts_us"))).head
+    val (lo, span) = (b.getLong(0), b.getLong(1) - b.getLong(0) + 1)
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-q93-")
+    val cuts = Seq(lo, lo + span / 3, lo + 2 * span / 3, lo + span)
+    (0 until 3).foreach { i =>
+      val stageDir = java.nio.file.Files.createTempDirectory("graft-q93-stage-")
+      ev.filter(col("ts_us") >= cuts(i) && col("ts_us") < cuts(i + 1))
+        .coalesce(1).write.mode("overwrite").parquet(stageDir.toString)
+      val part = java.nio.file.Files.list(stageDir).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet"))
+        .getOrElse(sys.error(s"q93: no parquet part written for tercile $i"))
+      val dst = streamDir.resolve(s"t$i.parquet")
+      java.nio.file.Files.move(part, dst)
+      dst.toFile.setLastModified(1700000000000L + i * 60000L)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("ts_us",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType, nullable = false)))
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
+    val snaps = graft.streaming.StatefulOps.funnelStates(
+      src.select(col("user_id").as("userId"), col("event_id").as("eventId"),
+          col("ts_us").as("tsUs"), col("event_type").as("eventType"))
+        .as[graft.streaming.StatefulOps.FunnelEvent],
+      Seq("view", "click", "purchase"))
+    val sinkName = s"graft_q93_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = snaps.toDF().writeStream.outputMode("append")
+      .format("memory").queryName(sinkName).start()
+    try { q.processAllAvailable() } finally q.stop()
+    val fin = spark.table(sinkName).groupBy(col("userId"))
+      .agg(max(col("t1")).as("t1"), max(col("t2")).as("t2"), max(col("t3")).as("t3"))
+    def stageRow(df: DataFrame, stage: Long, name: String, lag: Column): DataFrame =
+      df.agg(count(lit(1)).as("n_users"),
+          coalesce(sum(lag), lit(0L)).as("sum_lag_us"))
+        .select(lit(stage).as("stage"), lit(name).as("stage_name"),
+          col("n_users"), col("sum_lag_us"))
+    stageRow(fin.filter(col("t1") >= 0), 1L, "view", lit(0L))
+      .unionByName(stageRow(fin.filter(col("t2") >= 0), 2L, "click",
+        col("t2") - col("t1")))
+      .unionByName(stageRow(fin.filter(col("t3") >= 0), 3L, "purchase",
+        col("t3") - col("t2")))
+      .orderBy(col("stage"))
+  }
+
   /** q92: time-DECAYED trending aggregate over the event stream — the
     * distributed form of the reference's trending-score family
     * (recency-weighted activity; `config/QueryConfig.scala`'s
@@ -641,6 +707,7 @@ object Relational {
     "q88_event_transitions" -> eventTransitions _,
     "q89_stream_sessions" -> streamSessions _,
     "q92_decayed_trend" -> decayedTrend _,
+    "q93_stream_funnel" -> streamFunnel _,
     "q60_sessionize" -> sessionize _,
     "q61_exact_quantiles" -> exactQuantiles _,
     "q53_asof_join" -> asofPurchaseView _,
@@ -1011,9 +1078,12 @@ object Relational {
         |  count(DISTINCT user_id)::bigint AS n_active_users
         |FROM a GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin)
 
-  /** q89 shares q60's oracle verbatim: closed streamed session_windows
-    * must equal the batch lag/cumsum sessionization row-for-row.
+  /** q89 shares q60's oracle verbatim (closed streamed session_windows
+    * ≡ the batch lag/cumsum sessionization) and q93 shares q84's (the
+    * replayed stateful funnel ≡ the batch min-per-stage funnel).
     */
   val oracles: Map[String, String] =
-    oraclesBase + ("q89_stream_sessions" -> oraclesBase("q60_sessionize"))
+    oraclesBase +
+      ("q89_stream_sessions" -> oraclesBase("q60_sessionize")) +
+      ("q93_stream_funnel" -> oraclesBase("q84_funnel_stages"))
 }

@@ -37,6 +37,53 @@ object StatefulOps {
       keyCols: Seq[String], tsCol: String, delay: String): org.apache.spark.sql.DataFrame =
     df.withWatermark(tsCol, delay).dropDuplicatesWithinWatermark(keyCols)
 
+  final case class FunnelEvent(userId: Long, eventId: Long, tsUs: Long,
+    eventType: String)
+  /** −1 = stage not reached. Stages only ever get SET (never revised)
+    * under the ts-ordered-feed contract, which is what makes the
+    * batch post-pass a plain max-aggregate.
+    */
+  final case class FunnelSnap(userId: Long, t1: Long, t2: Long, t3: Long)
+
+  /** Incremental greedy ordered FUNNEL (the streaming half of the
+    * batch funnel operator): per user, stage 1 is the first `stages(0)`
+    * event, stage k>1 the first `stages(k-1)` event STRICTLY AFTER
+    * stage k−1's time. State is one (t1, t2, t3) triple per user —
+    * O(1), never the event list; each micro-batch sorts only ITS OWN
+    * rows for the user (bounded by batch size) and folds them into the
+    * state machine, emitting a snapshot when any stage advances.
+    *
+    * Contract: the feed must be non-decreasing in event time ACROSS
+    * batches (within a batch, order is free — the fold sorts). That is
+    * the natural shape of a replayed log or a watermarked upstream;
+    * under it, "first qualifying event seen" ≡ "minimum qualifying
+    * event", so the streamed stages equal the batch min-per-stage
+    * formulation exactly — the q93 gate proves it against the batch
+    * funnel's own oracle.
+    */
+  def funnelStates(ds: Dataset[FunnelEvent], stages: Seq[String]): Dataset[FunnelSnap] = {
+    require(stages.length == 3, "funnelStates tracks a 3-stage funnel")
+    implicit val stateEnc: Encoder[FunnelSnap] = Encoders.product[FunnelSnap]
+    ds.groupByKey(_.userId)(Encoders.scalaLong)
+      .flatMapGroupsWithState[FunnelSnap, FunnelSnap](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[FunnelEvent], state: GroupState[FunnelSnap]) =>
+          val sorted = rows.toArray.sortBy(e => (e.tsUs, e.eventId))
+          var s = state.getOption.getOrElse(FunnelSnap(uid, -1L, -1L, -1L))
+          val before = s
+          sorted.foreach { e =>
+            if (e.eventType == stages(0) && s.t1 < 0)
+              s = s.copy(t1 = e.tsUs)
+            else if (e.eventType == stages(1) && s.t1 >= 0 && s.t2 < 0 && e.tsUs > s.t1)
+              s = s.copy(t2 = e.tsUs)
+            else if (e.eventType == stages(2) && s.t2 >= 0 && s.t3 < 0 && e.tsUs > s.t2)
+              s = s.copy(t3 = e.tsUs)
+          }
+          if (s != before) { state.update(s); Iterator.single(s) }
+          else Iterator.empty
+      }
+  }
+
   /** Cross-batch first-seen dedup: the first row per key (in stream
     * arrival order) is emitted; later rows only bump a duplicate counter
     * in state. The streaming analog of the exact-dedup operator for

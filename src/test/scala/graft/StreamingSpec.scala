@@ -91,6 +91,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stateful funnel: within-batch disorder sorts, stages never regress, emits on change only") {
+    import graft.streaming.StatefulOps
+    import graft.streaming.StatefulOps.{FunnelEvent, FunnelSnap}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[FunnelEvent]
+    val snaps = StatefulOps.funnelStates(input.toDS(), Seq("view", "click", "purchase"))
+    val q = snaps.writeStream.format("memory").queryName("funnel_snaps")
+      .outputMode("append").start()
+    try {
+      // batch 1 arrives DISORDERED: the click lands before the view in
+      // the iterator but after it in event time — the in-batch sort must
+      // still produce t1 < t2; a click at exactly t1 must NOT count
+      input.addData(
+        FunnelEvent(1L, 11L, 200L, "click"),
+        FunnelEvent(1L, 10L, 100L, "view"),
+        FunnelEvent(1L, 12L, 100L, "click"), // ts == t1 → strictly-after fails
+        FunnelEvent(2L, 20L, 150L, "view"))
+      q.processAllAvailable()
+      // batch 2: user 1 purchases; user 2 has no qualifying event (a
+      // purchase before any click) → no state change, no emission
+      input.addData(
+        FunnelEvent(1L, 13L, 300L, "purchase"),
+        FunnelEvent(2L, 21L, 250L, "purchase"))
+      q.processAllAvailable()
+      val rows = spark.table("funnel_snaps").as[FunnelSnap].collect().toSeq
+      // user 1: batch-1 snapshot (view+click), batch-2 snapshot (purchase)
+      assert(rows.filter(_.userId == 1L).sortBy(_.t3) ==
+        Seq(FunnelSnap(1L, 100L, 200L, -1L), FunnelSnap(1L, 100L, 200L, 300L)))
+      // user 2: only the batch-1 snapshot — batch 2 changed nothing
+      assert(rows.filter(_.userId == 2L) == Seq(FunnelSnap(2L, 150L, -1L, -1L)))
+    } finally q.stop()
+  }
+
   // --- ST5 event-time semantics: the stream≡batch proof must not depend
   // on in-order arrival. At scale the frame stream WILL deliver late
   // data; the watermark defines exactly which of it still counts. ------
