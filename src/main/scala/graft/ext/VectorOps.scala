@@ -447,6 +447,101 @@ object VectorOps {
     vectors.join(dropped, Seq(idCol), "left_anti")
   }
 
+  /** Product-quantization ANN with asymmetric distance computation
+    * (Jégou, Douze & Schmid, "Product Quantization for Nearest
+    * Neighbor Search", TPAMI 2011) — the third leg of the compression
+    * triad beside int8 ([[int8Quantize]]) and IVF ([[ivfProbeTopK]]):
+    * split the `m·subDim`-dim vector into `m` subspaces, train an
+    * independent `ks`-cell integer Lloyd codebook per subspace
+    * ([[kmeansCodebook]] on the sliced frame — identical trainer,
+    * identical determinism), and store each vector as `m` small cell
+    * codes (m·log2(ks) bits — 4×8 cells = 12 bits here vs 512 int8
+    * bits: the index that fits 40× more corpus in executor memory).
+    * Queries never decompress: ADC scores a candidate as
+    * Σ_m table_m[code_m], where table_m is the query's EXACT integer
+    * distance to each subspace centroid — all int64 arithmetic, so
+    * the oracle reproduces every distance bit-for-bit.
+    *
+    * Returned rows: (q_id, rank, c_id, approx_dist2) by ascending
+    * approximate distance, ties to the smaller c_id.
+    *
+    * Scale shape: codebooks are m·ks rows (broadcast); encoding is m
+    * argmin-aggregations (the kmeans assign shape); the ADC tables are
+    * (#queries · ks) rows per subspace (broadcast); candidate scoring
+    * is m broadcast hash joins on the code columns + the bounded
+    * top-k aggregate — the corpus streams through once and never
+    * shuffles until the ≤k-per-group partial top-k.
+    */
+  def pqTopK(vectors: DataFrame, isQuery: Column => Column, k: Int,
+      m: Int, subDim: Int, ks: Int, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "qvec"): DataFrame = {
+    val vecs = graft.Caches.persisted(vectors.select(col(idCol), col(vecCol)))
+    val dist2 = (i: Int) => graft.functions.Dist2Long(
+      slice(col(vecCol), i * subDim + 1, subDim), col("cvec"), 1000L)
+    // per-subspace codebook + code column, accumulated onto one frame
+    var enc = vecs.select(col(idCol).as("c_id"))
+    val codebooks = (0 until m).map { i =>
+      val sub = vecs.select(col(idCol),
+        slice(col(vecCol), i * subDim + 1, subDim).as(vecCol))
+      val cb = kmeansCodebook(sub, ks, iters, idCol, vecCol)
+      val codes = assignToCodebook(sub, cb, idCol, vecCol)
+        .select(col(idCol).as("c_id"), col("cell").as(s"cell_$i"))
+      enc = enc.join(codes, "c_id")
+      cb
+    }
+    // ADC: query × codebook exact distance tables, broadcast-joined
+    // onto the code columns
+    val queries = vecs.filter(isQuery(col(idCol)))
+    var cur = enc
+    (0 until m).foreach { i =>
+      val tab = queries.crossJoin(broadcast(codebooks(i)))
+        .select(col(idCol).as("q_id"), col("cell").as(s"cell_$i"),
+          dist2(i).as(s"d_$i"))
+      val keys = if (i == 0) Seq(s"cell_$i") else Seq("q_id", s"cell_$i")
+      cur = cur.join(broadcast(tab), keys)
+    }
+    val approx = cur.filter(col("q_id") =!= col("c_id"))
+      .withColumn("approx_dist2", (0 until m).map(i => col(s"d_$i")).reduce(_ + _))
+    // smallest-distance top-k via the bounded aggregate: score = −dist
+    // (exact in double — quantized distances stay far below 2^53)
+    val topk = udaf(new graft.functions.TopKAgg(k))
+    explodeTopK(
+      approx.groupBy(col("q_id"))
+        .agg(topk(col("c_id"), -col("approx_dist2").cast("double")).as("top")),
+      "q_id", "top", "c_id", "neg_dist")
+      .select(col("q_id"), col("rank"), col("c_id"),
+        (-col("neg_dist")).cast("long").as("approx_dist2"))
+  }
+
+  /** Exact squared-L2 top-k (ascending distance, ties to smaller id)
+    * over integer-quantized vectors — the ground-truth side of the PQ
+    * recall gate. Same broadcast-query/bounded-aggregate shape as
+    * [[bruteForceTopK]]; the pair distance is |q|² + |c|² − 2·q·c from
+    * three exact integer dot products (norms precomputed per side).
+    */
+  def bruteForceL2TopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      qId: String = "q_id", qVec: String = "q_vec",
+      cId: String = "c_id", cVec: String = "c_vec",
+      maxQueryRows: Long = 100000L): DataFrame = {
+    val qSide = graft.Caches.persisted(queries)
+    val nQueries = qSide.count()
+    require(nQueries <= maxQueryRows,
+      s"bruteForceL2TopK broadcasts the query side: $nQueries rows > bound $maxQueryRows")
+    val q = qSide.withColumn("q_n2", dotInt(col(qVec), col(qVec)))
+    val c = corpus.withColumn("c_n2", dotInt(col(cVec), col(cVec)))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col(qId) =!= col(cId))
+      .withColumn("dist2",
+        col("q_n2") + col("c_n2") - lit(2L) * dotInt(col(qVec), col(cVec)))
+    val topk = udaf(new graft.functions.TopKAgg(k))
+    explodeTopK(
+      scored.groupBy(col(qId))
+        .agg(topk(col(cId), -col("dist2").cast("double")).as("top")),
+      qId, "top", cId, "neg_dist")
+      .select(col(qId), col("rank"), col(cId),
+        (-col("neg_dist")).cast("long").as("dist2"))
+  }
+
   /** Number of SRP hyperplanes sized to the corpus: 2^planes buckets,
     * targeting ~`targetBucketSize` vectors per bucket so within-bucket
     * candidate sets stay bounded as the corpus grows (a fixed plane count

@@ -195,6 +195,34 @@ object VectorPack {
       .orderBy(col("vec_id"))
   }
 
+  private val PqM = 4 // subspaces
+  private val PqSubDim = Dims / PqM
+  private val PqKs = 8 // cells per subspace codebook
+
+  /** q94: product-quantization ANN ([[VectorOps.pqTopK]] — 4×16-dim
+    * subspaces, 8-cell integer Lloyd codebooks, ADC scoring), with the
+    * same recall-gate shape as q54: each PQ hit flagged for membership
+    * in the exact full-precision squared-L2 top-k, so the gate pins
+    * BOTH the quantized arithmetic and the measured recall of the
+    * compression. The oracle re-trains all four subspace codebooks
+    * with the shared integer k-means SQL and re-derives every ADC
+    * table entry bit-for-bit.
+    */
+  def pqAnn(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = graft.Caches.persisted(
+      quantized(spark, dir).select(col("vec_id"), col("qvec")))
+    val pq = VectorOps.pqTopK(vecs, q => q < 10, TopK, PqM, PqSubDim, PqKs, KmIters)
+    val exact = VectorOps.bruteForceL2TopK(
+      vecs.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("qvec").as("q_vec")),
+      vecs.select(col("vec_id").as("c_id"), col("qvec").as("c_vec")), TopK)
+    pq.join(exact.select(col("q_id"), col("c_id"), lit(1L).as("_hit")),
+        Seq("q_id", "c_id"), "left")
+      .select(col("q_id"), col("rank").cast("long").as("rank"), col("c_id"),
+        col("approx_dist2"), coalesce(col("_hit"), lit(0L)).as("in_exact_topk"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** q86: semi-hard negative mining for contrastive training
     * ([[VectorOps.hardNegatives]]) — per anchor (vec_id < 10, same
     * query-set convention as q21/q30/q48), the nearest same-label
@@ -322,6 +350,7 @@ object VectorPack {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q86_hard_negatives" -> hardNegativeMining _,
+    "q94_pq_ann" -> pqAnn _,
     "q76_embedding_outliers" -> embeddingOutliers _,
     "q54_int8_ann" -> int8Ann _,
     "q21_ann_topk" -> annTopK _,
@@ -358,40 +387,64 @@ object VectorPack {
   // Unrolled Lloyd rounds, each = assign (argmin of exact integer
   // distance, ties to lower cell) + centroid update ((sum·1000) // count —
   // DuckDB // truncates toward zero exactly like Spark div).
-  private def kmDistSql(cvecExpr: String) =
-    s"""list_sum(list_transform(range($Dims), i ->
+  private def kmDistSql(cvecExpr: String, dims: Int = Dims) =
+    s"""list_sum(list_transform(range($dims), i ->
        |      (qvec[i+1]*1000 - ($cvecExpr)[i+1]) * (qvec[i+1]*1000 - ($cvecExpr)[i+1])))""".stripMargin
-  private def kmAssignCte(name: String, cb: String) =
+  private def kmAssignCte(name: String, cb: String, vtab: String = "v",
+      dims: Int = Dims) =
     s"""$name AS (
        |  SELECT vec_id, cell FROM (
        |    SELECT v.vec_id, s.cell,
        |      row_number() OVER (PARTITION BY v.vec_id
-       |        ORDER BY ${kmDistSql("s.cvec")}, s.cell) AS rn
-       |    FROM v CROSS JOIN $cb s) WHERE rn = 1)""".stripMargin
-  private def kmUpdateCte(name: String, assign: String) =
+       |        ORDER BY ${kmDistSql("s.cvec", dims)}, s.cell) AS rn
+       |    FROM $vtab v CROSS JOIN $cb s) WHERE rn = 1)""".stripMargin
+  private def kmUpdateCte(name: String, assign: String, vtab: String = "v") =
     s"""$name AS (
        |  SELECT cell, list(c ORDER BY d) AS cvec FROM (
        |    SELECT cell, d, (sum(x) * 1000) // count(*) AS c FROM (
        |      SELECT a.cell, generate_subscripts(qvec, 1) - 1 AS d, unnest(qvec) AS x
-       |      FROM v JOIN $assign a USING (vec_id))
+       |      FROM $vtab v JOIN $assign a USING (vec_id))
        |    GROUP BY cell, d)
        |  GROUP BY cell)""".stripMargin
+  private def kmSeedsCte(name: String, vtab: String, k: Int) =
+    s"""$name AS (
+       |  SELECT cell, list_transform(qvec, x -> x * 1000) AS cvec FROM (
+       |    SELECT ((v.vec_id - b.lo) * $k) // (b.hi - b.lo + 1) AS cell,
+       |      v.qvec,
+       |      row_number() OVER (
+       |        PARTITION BY ((v.vec_id - b.lo) * $k) // (b.hi - b.lo + 1)
+       |        ORDER BY v.vec_id) AS rn
+       |    FROM $vtab v, bounds b) WHERE rn = 1)""".stripMargin
+
   /** CTE chain ending in `cb2`, the KmIters=2-round trained codebook. */
   private val kmTrainedCtes =
     s"""v AS (SELECT vec_id, $qv AS qvec FROM embeddings),
        |bounds AS (SELECT min(vec_id) AS lo, max(vec_id) AS hi FROM v),
-       |seeds AS (
-       |  SELECT cell, list_transform(qvec, x -> x * 1000) AS cvec FROM (
-       |    SELECT ((v.vec_id - b.lo) * $KmK) // (b.hi - b.lo + 1) AS cell,
-       |      v.qvec,
-       |      row_number() OVER (
-       |        PARTITION BY ((v.vec_id - b.lo) * $KmK) // (b.hi - b.lo + 1)
-       |        ORDER BY v.vec_id) AS rn
-       |    FROM v, bounds b) WHERE rn = 1),
+       |${kmSeedsCte("seeds", "v", KmK)},
        |${kmAssignCte("a1", "seeds")},
        |${kmUpdateCte("cb1", "a1")},
        |${kmAssignCte("a2", "cb1")},
        |${kmUpdateCte("cb2", "a2")}""".stripMargin
+
+  /** One PQ subspace's full chain for the q94 oracle: slice `v`'s
+    * 64-dim quantized vector to subspace `m` (dims [m·subDim+1,
+    * (m+1)·subDim], 1-based inclusive), train the same 2-round integer
+    * Lloyd codebook the engine trains ([[VectorOps.kmeansCodebook]] on
+    * the sliced frame — `bounds` is shared: the id domain is subspace-
+    * invariant), and encode every vector (`af$m`). Ends in `cb2$m` +
+    * `af$m`.
+    */
+  private def pqSubspaceCtes(m: Int, subDim: Int, ks: Int): String = {
+    val lo = m * subDim + 1
+    val hi = (m + 1) * subDim
+    s"""v$m AS (SELECT vec_id, qvec[$lo:$hi] AS qvec FROM v),
+       |${kmSeedsCte(s"seeds$m", s"v$m", ks)},
+       |${kmAssignCte(s"a1$m", s"seeds$m", s"v$m", subDim)},
+       |${kmUpdateCte(s"cb1$m", s"a1$m", s"v$m")},
+       |${kmAssignCte(s"a2$m", s"cb1$m", s"v$m", subDim)},
+       |${kmUpdateCte(s"cb2$m", s"a2$m", s"v$m")},
+       |${kmAssignCte(s"af$m", s"cb2$m", s"v$m", subDim)}""".stripMargin
+  }
 
   private val baseOracles: Map[String, String] = Map(
     "q76_embedding_outliers" ->
@@ -454,6 +507,51 @@ object VectorPack {
          |  ON r8.q_id = e.q_id AND r8.c_id = e.c_id
          |WHERE r8.rank <= $TopK
          |ORDER BY r8.q_id, r8.rank""".stripMargin,
+    "q94_pq_ann" ->
+      s"""WITH v AS (SELECT vec_id, $qv AS qvec FROM embeddings),
+         |bounds AS (SELECT min(vec_id) AS lo, max(vec_id) AS hi FROM v),
+         |${(0 until PqM).map(pqSubspaceCtes(_, PqSubDim, PqKs)).mkString(",\n")},
+         |enc AS (
+         |  SELECT a0.vec_id AS c_id, a0.cell AS cell_0, a1.cell AS cell_1,
+         |    a2.cell AS cell_2, a3.cell AS cell_3
+         |  FROM af0 a0 JOIN af1 a1 USING (vec_id)
+         |    JOIN af2 a2 USING (vec_id) JOIN af3 a3 USING (vec_id)),
+         |${(0 until PqM).map(i =>
+             s"""qt$i AS (
+                |  SELECT q.vec_id AS q_id, s.cell,
+                |    ${kmDistSql("s.cvec", PqSubDim)} AS d
+                |  FROM v$i q CROSS JOIN cb2$i s WHERE q.vec_id < 10)""".stripMargin)
+            .mkString(",\n")},
+         |sc AS (
+         |  SELECT t0.q_id, e.c_id,
+         |    (t0.d + t1.d + t2.d + t3.d)::bigint AS approx_dist2
+         |  FROM enc e
+         |  JOIN qt0 t0 ON t0.cell = e.cell_0
+         |  JOIN qt1 t1 ON t1.cell = e.cell_1 AND t1.q_id = t0.q_id
+         |  JOIN qt2 t2 ON t2.cell = e.cell_2 AND t2.q_id = t0.q_id
+         |  JOIN qt3 t3 ON t3.cell = e.cell_3 AND t3.q_id = t0.q_id
+         |  WHERE t0.q_id <> e.c_id),
+         |rk AS (
+         |  SELECT q_id, c_id, approx_dist2,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY approx_dist2 ASC, c_id ASC) AS rank
+         |  FROM sc),
+         |ex AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         |    list_sum(list_transform(range($Dims), i ->
+         |      (q.qvec[i+1] - c.qvec[i+1]) * (q.qvec[i+1] - c.qvec[i+1]))) AS d2
+         |  FROM v q CROSS JOIN v c
+         |  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+         |re AS (
+         |  SELECT q_id, c_id,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY d2 ASC, c_id ASC) AS rank
+         |  FROM ex)
+         |SELECT rk.q_id, rk.rank, rk.c_id, rk.approx_dist2,
+         |  (CASE WHEN e2.q_id IS NOT NULL THEN 1 ELSE 0 END)::bigint AS in_exact_topk
+         |FROM rk LEFT JOIN (SELECT q_id, c_id FROM re WHERE rank <= $TopK) e2
+         |  ON rk.q_id = e2.q_id AND rk.c_id = e2.c_id
+         |WHERE rk.rank <= $TopK
+         |ORDER BY rk.q_id, rk.rank""".stripMargin,
     "q86_hard_negatives" ->
       s"""WITH v AS (SELECT vec_id, label, $qv AS qvec FROM embeddings),
          |scored AS (
