@@ -197,6 +197,72 @@ class PlanContractSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("q86 hard negatives: anchor side broadcasts, corpus never cartesians") {
+    Caches.scoped {
+      val plan = executed("q86_hard_negatives")
+      assert(collect(plan) { case c: CartesianProductExec => c }.isEmpty,
+        s"anchor scoring must broadcast, never cartesian:\n$plan")
+      assert(collect(plan) { case b: BroadcastExchangeLike => b }.nonEmpty,
+        s"the bounded anchor side must broadcast:\n$plan")
+    }
+  }
+
+  test("q88 transitions: the lag window is per-user, totals join broadcast") {
+    Caches.scoped {
+      val plan = executed("q88_event_transitions")
+      val wins = collect(plan) {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty),
+        s"the lag window must partition by user_id, never run global:\n$plan")
+      assert(collect(plan) { case b: BroadcastExchangeLike => b }.nonEmpty,
+        s"the |types|-sized row-total frame must broadcast:\n$plan")
+      assert(collect(plan) { case c: CartesianProductExec => c }.isEmpty,
+        s"no cartesian in the transition matrix:\n$plan")
+    }
+  }
+
+  test("q91 inverted index: pure term-keyed aggregation — no window anywhere") {
+    Caches.scoped {
+      val plan = executed("q91_inverted_index")
+      assert(collect(plan) {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }.isEmpty, s"the champion doc is a min-struct fold, never a window:\n$plan")
+      assert(collect(plan) { case c: CartesianProductExec => c }.isEmpty,
+        s"no cartesian in the index build:\n$plan")
+    }
+  }
+
+  test("q92 decayed trend: the 1-row bounds frame broadcasts, no shuffle join") {
+    Caches.scoped {
+      val plan = executed("q92_decayed_trend")
+      assert(collect(plan) { case b: BroadcastExchangeLike => b }.nonEmpty,
+        s"the (max, horizon) frame must broadcast:\n$plan")
+      assert(collect(plan) { case c: CartesianProductExec => c }.isEmpty,
+        s"no cartesian in the decayed aggregate:\n$plan")
+      assert(collect(plan) {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      }.isEmpty, s"nothing in q92 may shuffle-join:\n$plan")
+    }
+  }
+
+  test("q94 PQ: ADC tables meet the codes in broadcast equi-joins, never a cartesian") {
+    Caches.scoped {
+      val plan = executed("q94_pq_ann")
+      assert(collect(plan) { case c: CartesianProductExec => c }.isEmpty,
+        s"no cartesian anywhere in the PQ path:\n$plan")
+      // the per-subspace distance tables are (#queries * ks) rows and
+      // must reach the encoded corpus as broadcast HASH joins on the
+      // code columns (an NLJ is only acceptable for the codebook argmin)
+      val cellJoins = collect(plan) {
+        case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+          if j.leftKeys.exists(_.references.exists(_.name.startsWith("cell_"))) => j
+      }
+      assert(cellJoins.nonEmpty,
+        s"ADC lookups must be broadcast hash joins on the codes:\n$plan")
+    }
+  }
+
   test("q82 semantic dedup: codebook broadcast-assigns, pair join is a cell equi-join") {
     Caches.scoped {
       val plan = executed("q82_semantic_dedup")
