@@ -124,6 +124,41 @@ object TextOps {
     * odd multipliers below 2^31 (products stay inside int64).
     */
   val MinhashP: Long = 2147483647L
+  /** Content-defined CHUNKING at token granularity — the anchor-point
+    * segmentation storage dedup systems run on bytes (LBFS/Gear CDC),
+    * lifted to tokens so it is exactly reproducible in SQL: a token
+    * whose 32-bit hash ≡ 0 (mod `modulus`) STARTS a new chunk, so
+    * chunk boundaries are a pure function of local content — insert a
+    * sentence into a document and every chunk outside it keeps its
+    * fingerprint, which is what makes chunk-grain dedup robust to
+    * edits where fixed-width windows (q34's rolling fingerprints)
+    * reshingle the whole tail. Expected chunk length ≈ `modulus`
+    * tokens.
+    *
+    * Returns (idCol, chunk_id, start_pos, n_tokens, fp) — fp = md5 of
+    * the space-joined chunk tokens. The only per-doc work is one
+    * cumulative-sum window PARTITIONED BY the doc (bounded by doc
+    * length, the q75-islands posture) and one ordered fold per chunk
+    * (array_sort of the collected (pos, tok) structs — deterministic
+    * regardless of collect order).
+    */
+  def contentChunks(docs: DataFrame, idCol: String, textCol: String,
+      modulus: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol),
+      posexplode(split(col(textCol), " ")).as(Seq("pos", "tok")))
+    val anchored = toks.withColumn("is_anchor",
+      (hash32(concat(lit("cdc:"), col("tok"))) % modulus === 0).cast("long"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    anchored.withColumn("chunk_id", sum(col("is_anchor")).over(w))
+      .groupBy(col(idCol), col("chunk_id"))
+      .agg(min(col("pos")).as("start_pos"),
+        count(lit(1)).as("n_tokens"),
+        md5(array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            x => x.getField("tok")), " ")).as("fp"))
+  }
+
   def minhashParams(k: Int): Seq[(Long, Long)] =
     (0 until k).map { j =>
       val a = ((j + 1) * 2654435761L % MinhashP) | 1L

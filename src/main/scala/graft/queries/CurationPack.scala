@@ -928,6 +928,33 @@ object CurationPack {
       .orderBy(col("term"))
   }
 
+  // ---------------------------------------------------------------- q95
+
+  private val CdcModulus = 16
+
+  /** q95: chunk-grain dedup over content-defined segments
+    * ([[graft.ext.TextOps.contentChunks]]) — the edit-robust middle
+    * ground between document-grain fingerprints (q14) and
+    * fixed-window span dedup (q75): chunks shared by ≥2 documents,
+    * with occurrence/document counts and the canonical owner (min
+    * doc_id). A storage- or curation-layer dedup keeps the owner's
+    * copy and references it elsewhere.
+    *
+    * Scale shape: the chunker's only per-doc work is a doc-partitioned
+    * cumsum window; the dedup itself is ONE fingerprint-keyed
+    * aggregation (map-side combinable) — the same shuffle posture as
+    * exact dedup, at chunk grain.
+    */
+  def chunkDedup(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.TextOps.contentChunks(
+        Tables.documents(spark, dir), "doc_id", "text", CdcModulus)
+      .groupBy(col("fp"), col("n_tokens"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("owner_doc"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("fp"))
+
   // ---------------------------------------------------------------- q90
 
   private val TextRankIters = 3
@@ -1007,7 +1034,8 @@ object CurationPack {
     "q81_importance_resample" -> importanceResample _,
     "q83_quality_deciles" -> qualityDeciles _,
     "q90_textrank_keywords" -> textrankKeywords _,
-    "q91_inverted_index" -> invertedIndex _)
+    "q91_inverted_index" -> invertedIndex _,
+    "q95_chunk_dedup" -> chunkDedup _)
 
   /** One unrolled PageRank round for the q90 oracle: the identical
     * integer update as [[graft.ext.GraphOps.weightedPageRank]]
@@ -1023,6 +1051,32 @@ object CurationPack {
        |    GROUP BY e.dst) c ON c.node = no.node)""".stripMargin
 
   private val baseOracles: Map[String, String] = Map(
+    "q95_chunk_dedup" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         |         generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+         |  FROM documents),
+         |a AS (
+         |  SELECT doc_id, pos, tok,
+         |    CASE WHEN ('0x' || substr(md5('cdc:' || tok), 1, 8))::bigint
+         |           % $CdcModulus = 0
+         |         THEN 1 ELSE 0 END AS is_anchor
+         |  FROM t),
+         |c AS (
+         |  SELECT doc_id, pos, tok,
+         |    sum(is_anchor) OVER (PARTITION BY doc_id ORDER BY pos)::bigint
+         |      AS chunk_id
+         |  FROM a),
+         |ch AS (
+         |  SELECT doc_id, chunk_id, min(pos)::bigint AS start_pos,
+         |    count(*)::bigint AS n_tokens,
+         |    md5(string_agg(tok, ' ' ORDER BY pos)) AS fp
+         |  FROM c GROUP BY 1, 2)
+         |SELECT fp, n_tokens, count(*)::bigint AS n_occurrences,
+         |  count(DISTINCT doc_id)::bigint AS n_docs,
+         |  min(doc_id)::bigint AS owner_doc
+         |FROM ch GROUP BY 1, 2 HAVING count(DISTINCT doc_id) >= 2
+         |ORDER BY fp""".stripMargin,
     "q91_inverted_index" ->
       """WITH p AS (
         |  SELECT term, doc_id, count(*)::bigint AS tf FROM (
