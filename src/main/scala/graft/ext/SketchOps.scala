@@ -149,11 +149,23 @@ object SketchOps {
       .drop("top")
   }
 
-  /** Per group: register checksum + the cardinality estimate.
+  /** Merge register states from independent passes (micro-batches,
+    * partitions, days): registers combine by MAX per (group, bucket) —
+    * the HLL's defining property; a union of [[hllRegisters]] frames
+    * collapses to one state with a single map-side-combinable
+    * aggregation. All-bucket frames stay all-bucket under the merge
+    * (every input carries all m buckets for its groups).
+    */
+  def hllMergeRegisters(states: Seq[DataFrame], groupCols: Seq[String]): DataFrame =
+    states.reduce(_ unionByName _)
+      .groupBy(groupCols.map(col) :+ col("bucket"): _*)
+      .agg(max(col("r")).as("r"))
+
+  /** The estimate over a register state: checksum columns + α·m²·2^55/Z.
     * Columns: groupCols*, n_nonzero_buckets, n_zero_buckets, z, estimate.
     */
-  def hllDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame =
-    hllRegisters(df, groupCols, valueCol)
+  def hllFinalize(registers: DataFrame, groupCols: Seq[String]): DataFrame =
+    registers
       .groupBy(groupCols.map(col): _*)
       .agg(
         sum(when(col("r") > 0, 1L).otherwise(0L)).as("n_nonzero_buckets"),
@@ -162,4 +174,8 @@ object SketchOps {
       .withColumn("estimate",
         floor(lit(AlphaM2Num) * lit(Pow55) / lit(1000000.0) / col("z").cast("double"))
           .cast("long"))
+
+  /** Per group: register checksum + the cardinality estimate. */
+  def hllDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame =
+    hllFinalize(hllRegisters(df, groupCols, valueCol), groupCols)
 }

@@ -626,6 +626,32 @@ object Relational {
       .orderBy(col("prev_type"), col("next_type"))
   }
 
+  /** q96: INCREMENTAL sketch maintenance, oracle-gated — the event
+    * stream splits into three id-ranged micro-batches, each builds its
+    * own HLL register state independently, the states merge by
+    * per-bucket max ([[graft.ext.SketchOps.hllMergeRegisters]] — the
+    * mergeability that makes the sketch a streaming/cross-day
+    * structure at all), and the merged estimate must hash-equal the
+    * one-shot batch sketch via q62's own DuckDB oracle. This is the
+    * sketch analog of the q72/q73 incremental-index gates.
+    */
+  def streamHll(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ext.SketchOps
+    val ev = graft.Caches.persisted(events(spark, dir)
+      .select(col("event_type"), col("user_id"), col("event_id")))
+    val mx = ev.agg(max(col("event_id"))).head.getLong(0)
+    val states = Seq(
+      ev.filter(col("event_id") <= mx / 3),
+      ev.filter(col("event_id") > mx / 3 && col("event_id") <= 2 * mx / 3),
+      ev.filter(col("event_id") > 2 * mx / 3))
+      .map(SketchOps.hllRegisters(_, Seq("event_type"), "user_id"))
+    val sketch = SketchOps.hllFinalize(
+      SketchOps.hllMergeRegisters(states, Seq("event_type")), Seq("event_type"))
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_distinct"))
+    sketch.join(exact, "event_type").orderBy(col("event_type"))
+  }
+
   /** q84: greedy ordered FUNNEL over the event stream — the classic
     * product-analytics sequence operator (view → click → purchase):
     * stage 1 is each user's earliest view; stage k>1 is the earliest
@@ -708,6 +734,7 @@ object Relational {
     "q89_stream_sessions" -> streamSessions _,
     "q92_decayed_trend" -> decayedTrend _,
     "q93_stream_funnel" -> streamFunnel _,
+    "q96_stream_hll" -> streamHll _,
     "q60_sessionize" -> sessionize _,
     "q61_exact_quantiles" -> exactQuantiles _,
     "q53_asof_join" -> asofPurchaseView _,
@@ -1085,5 +1112,6 @@ object Relational {
   val oracles: Map[String, String] =
     oraclesBase +
       ("q89_stream_sessions" -> oraclesBase("q60_sessionize")) +
-      ("q93_stream_funnel" -> oraclesBase("q84_funnel_stages"))
+      ("q93_stream_funnel" -> oraclesBase("q84_funnel_stages")) +
+      ("q96_stream_hll" -> oraclesBase("q62_hll_distinct"))
 }

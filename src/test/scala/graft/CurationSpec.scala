@@ -261,6 +261,25 @@ class CurationSpec extends AnyFunSuite {
     assert(mass <= scale && mass > scale - 1000L)
   }
 
+  test("hll registers: split-merge equals the one-shot sketch exactly") {
+    import spark.implicits._
+    import graft.ext.SketchOps
+    val df = (0 until 5000).map(i => (i % 3, i * 17L + 3)).toDF("g", "v")
+    val whole = Caches.scoped {
+      SketchOps.hllDistinct(df, Seq("g"), "v")
+        .collect().map(_.toSeq).toSet
+    }
+    // overlapping halves (2/3 each) — max-merge must collapse the overlap
+    val merged = Caches.scoped {
+      val a = SketchOps.hllRegisters(df.filter(col("v") % 3 =!= 0), Seq("g"), "v")
+      val b = SketchOps.hllRegisters(df.filter(col("v") % 3 =!= 1), Seq("g"), "v")
+      SketchOps.hllFinalize(
+          SketchOps.hllMergeRegisters(Seq(a, b), Seq("g")), Seq("g"))
+        .collect().map(_.toSeq).toSet
+    }
+    assert(merged == whole)
+  }
+
   test("kmv sketch: exact below k, duplicate-blind, within 2/sqrt(k) above k") {
     import spark.implicits._
     import graft.ext.SketchOps
