@@ -928,6 +928,67 @@ object CurationPack {
       .orderBy(col("term"))
   }
 
+  // ---------------------------------------------------------------- q97
+
+  private val BpeRounds = 5
+  private val Sep1 = "\u0001" // merge glue (replaces the pair's space)
+  private val Sep2 = "\u0002" // token start marker
+  private val Sep3 = "\u0003" // token end marker
+
+  /** q97: BPE-style vocabulary induction (Sennrich, Haddow & Birch,
+    * "Neural Machine Translation of Rare Words with Subword Units",
+    * ACL 2016, at word granularity) — the merge-table trainer of the
+    * tokenizer the token-count ops (q33) consume: each round counts
+    * adjacent-token pairs across the corpus, elects the most frequent
+    * (ties to the lexicographically smaller pair), and applies the
+    * merge corpus-wide; the output is the learned merge table
+    * (round, w1, w2, merged, n).
+    *
+    * Boundary safety: every token is wrapped ␂token␃ before training,
+    * so the merge's string replace can only match WHOLE adjacent
+    * tokens (a pair pattern "␂w1␃ ␂w2␃" cannot match inside a longer
+    * token, a prefix, or a suffix); both engines' `replace` scan
+    * left-to-right non-overlapping, which IS greedy BPE application.
+    *
+    * Scale shape: per round ONE codegen shingle explode + count
+    * aggregate, ONE 1-row argmin fold, and ONE broadcast of that row
+    * back onto the corpus for a narrow map — the elected pair never
+    * routes through the driver, and the corpus re-persists per round
+    * so round r+1 does not recompute rounds 1..r.
+    */
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    var txt: DataFrame = Tables.documents(spark, dir).select(col("doc_id"),
+      concat(lit(Sep2),
+        org.apache.spark.sql.functions.replace(
+          col("text"), lit(" "), lit(s"$Sep3 $Sep2")),
+        lit(Sep3)).as("t"))
+    val merges = (1 to BpeRounds).map { r =>
+      val cur = graft.Caches.persisted(txt)
+      val best = cur
+        .select(explode(TextOps.shingleArray(col("t"), 2)).as("bg"))
+        .groupBy(col("bg")).agg(count(lit(1)).as("n"))
+        .agg(min(struct((-col("n")).as("neg"), col("bg"))).as("m"))
+        .select(lit(r.toLong).as("round"),
+          col("m.bg").as("bg"), (-col("m.neg")).as("n"))
+      txt = cur.crossJoin(broadcast(best))
+        .select(col("doc_id"),
+          org.apache.spark.sql.functions.replace(col("t"), col("bg"),
+            org.apache.spark.sql.functions.replace(
+              col("bg"), lit(" "), lit(Sep1))).as("t"))
+      best
+    }
+    val strip = (c: org.apache.spark.sql.Column) =>
+      translate(c, Sep1 + Sep2 + Sep3, "")
+    merges.reduce(_ unionByName _)
+      .select(col("round"),
+        strip(substring_index(col("bg"), " ", 1)).as("w1"),
+        strip(substring_index(col("bg"), " ", -1)).as("w2"),
+        strip(org.apache.spark.sql.functions.replace(
+          col("bg"), lit(" "), lit(""))).as("merged"),
+        col("n"))
+      .orderBy(col("round"))
+  }
+
   // ---------------------------------------------------------------- q95
 
   private val CdcModulus = 16
@@ -1035,7 +1096,8 @@ object CurationPack {
     "q83_quality_deciles" -> qualityDeciles _,
     "q90_textrank_keywords" -> textrankKeywords _,
     "q91_inverted_index" -> invertedIndex _,
-    "q95_chunk_dedup" -> chunkDedup _)
+    "q95_chunk_dedup" -> chunkDedup _,
+    "q97_bpe_train" -> bpeTrain _)
 
   /** One unrolled PageRank round for the q90 oracle: the identical
     * integer update as [[graft.ext.GraphOps.weightedPageRank]]
@@ -1050,7 +1112,38 @@ object CurationPack {
        |    FROM e JOIN $prev r ON r.node = e.src JOIN wout wo ON wo.src = e.src
        |    GROUP BY e.dst) c ON c.node = no.node)""".stripMargin
 
+  /** One unrolled BPE round for the q97 oracle: count wrapped-token
+    * pairs, elect (n desc, bg asc), apply the merge with the same
+    * left-to-right non-overlapping `replace`.
+    */
+  private def bpeRoundCtes(r: Int): String =
+    s"""p$r AS (
+       |  SELECT bg, count(*)::bigint AS n FROM (
+       |    SELECT unnest([toks[i] || ' ' || toks[i+1]
+       |                   for i in range(1, len(toks))]) AS bg
+       |    FROM (SELECT string_split(t, ' ') AS toks FROM t${r - 1}))
+       |  GROUP BY 1),
+       |b$r AS (SELECT bg, n FROM p$r ORDER BY n DESC, bg ASC LIMIT 1),
+       |t$r AS (SELECT doc_id, replace(t, (SELECT bg FROM b$r),
+       |          replace((SELECT bg FROM b$r), ' ', chr(1))) AS t
+       |        FROM t${r - 1})""".stripMargin
+
+  private def bpeRoundSelect(r: Int): String =
+    s"""SELECT $r::bigint AS round,
+       |  translate(split_part(bg, ' ', 1), chr(1)||chr(2)||chr(3), '') AS w1,
+       |  translate(split_part(bg, ' ', 2), chr(1)||chr(2)||chr(3), '') AS w2,
+       |  translate(replace(bg, ' ', ''), chr(1)||chr(2)||chr(3), '') AS merged,
+       |  n FROM b$r""".stripMargin
+
   private val baseOracles: Map[String, String] = Map(
+    "q97_bpe_train" ->
+      s"""WITH t0 AS (
+         |  SELECT doc_id,
+         |    chr(2) || replace(text, ' ', chr(3) || ' ' || chr(2)) || chr(3) AS t
+         |  FROM documents),
+         |${(1 to BpeRounds).map(bpeRoundCtes).mkString(",\n")}
+         |${(1 to BpeRounds).map(bpeRoundSelect).mkString("\nUNION ALL\n")}
+         |ORDER BY round""".stripMargin,
     "q95_chunk_dedup" ->
       s"""WITH t AS (
          |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
