@@ -149,6 +149,63 @@ object SketchOps {
       .drop("top")
   }
 
+  /** The KMV sketch's kept set, exploded to (groupCols*, h) rows — the
+    * form [[kmvPairOverlap]] consumes. Same bottom-k construction as
+    * [[kmvDistinct]].
+    */
+  def kmvKeptHashes(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      k: Int = KmvK): DataFrame = {
+    val h = TextOps.hash32(concat(lit("kmv:"), col(valueCol).cast("string")))
+    val distinctHashes = df.select(groupCols.map(col) :+ h.as("h"): _*).distinct()
+    val bottomK = udaf(new graft.functions.TopKAgg(k))
+    distinctHashes
+      .groupBy(groupCols.map(col): _*)
+      .agg(bottomK(col("h"), -col("h").cast("double")).as("top"))
+      .select(groupCols.map(col) :+ explode(col("top")).as("e"): _*)
+      .select(groupCols.map(col) :+ col("e.id").as("h"): _*)
+  }
+
+  /** Pairwise Jaccard estimation from KMV kept sets (Beyer et al., "On
+    * synopses for distinct-value estimation under multiset operations",
+    * SIGMOD 2007) — the sketch-union property that distinguishes KMV
+    * from the HLL: the bottom-k of A∪B is computable from the two kept
+    * sets alone, and the fraction of it present in BOTH sets estimates
+    * J(A,B). Output per (s1 < s2) pair: k_used (≤k union-sketch size),
+    * n_shared, est_jaccard_ppm — ppm via truncating integer division,
+    * so the oracle agrees exactly.
+    *
+    * Scale shape: everything after the kept sets is sketch-sized —
+    * each pair carries ≤2k hash rows through one groupBy and one
+    * bottom-k aggregate; the quadratic term is the PAIR COUNT
+    * (groups²), which is the operator's contract (group-level
+    * similarity matrices are output-quadratic by definition) — not
+    * the corpus.
+    */
+  def kmvPairOverlap(kept: DataFrame, groupCol: String,
+      k: Int = KmvK): DataFrame = {
+    val s = kept.select(col(groupCol)).distinct()
+    val pairs = s.select(col(groupCol).as("s1"))
+      .crossJoin(s.select(col(groupCol).as("s2")))
+      .filter(col("s1") < col("s2"))
+    val k1 = kept.select(col(groupCol).as("s1"), col("h"))
+    val k2 = kept.select(col(groupCol).as("s2"), col("h"))
+    val u = pairs.join(k1, "s1")
+      .select(col("s1"), col("s2"), col("h"))
+      .unionByName(pairs.join(k2, "s2").select(col("s1"), col("s2"), col("h")))
+      .groupBy(col("s1"), col("s2"), col("h"))
+      .agg((count(lit(1)) === 2).cast("long").as("in_both"))
+    val bottomK = udaf(new graft.functions.TopKAgg(k))
+    val ub = u
+      .groupBy(col("s1"), col("s2"))
+      .agg(bottomK(col("h"), -col("h").cast("double")).as("top"))
+      .select(col("s1"), col("s2"), explode(col("top")).as("e"))
+      .select(col("s1"), col("s2"), col("e.id").as("h"))
+    ub.join(u, Seq("s1", "s2", "h"))
+      .groupBy(col("s1"), col("s2"))
+      .agg(count(lit(1)).as("k_used"), sum(col("in_both")).as("n_shared"))
+      .withColumn("est_jaccard_ppm", expr("(n_shared * 1000000L) div k_used"))
+  }
+
   /** Merge register states from independent passes (micro-batches,
     * partitions, days): registers combine by MAX per (group, bucket) —
     * the HLL's defining property; a union of [[hllRegisters]] frames

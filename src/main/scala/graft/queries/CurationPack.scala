@@ -928,6 +928,46 @@ object CurationPack {
       .orderBy(col("term"))
   }
 
+  // ---------------------------------------------------------------- q98
+
+  /** q98: pairwise SOURCE similarity via KMV sketch overlap
+    * ([[graft.ext.SketchOps.kmvPairOverlap]]) — "which crawls/feeds
+    * overlap?" over the bigram profile of each source, the question a
+    * curation pipeline answers before weighting a mixture (near-
+    * identical sources double-count). Each source's ~700-bigram
+    * profile compresses to a 64-hash kept set; every pair's Jaccard
+    * is estimated from the sketches alone and gated BESIDE the exact
+    * bigram-set Jaccard (inter/union/ppm), so the artifact records
+    * estimate AND ground truth for all 190 pairs.
+    */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ext.{SketchOps, TextOps}
+    val bg = graft.Caches.persisted(Tables.documents(spark, dir)
+      .select(col("source"),
+        explode(TextOps.shingleArray(col("text"), 2)).as("bg"))
+      .distinct())
+    val est = SketchOps.kmvPairOverlap(
+      SketchOps.kmvKeptHashes(bg, Seq("source"), "bg"), "source")
+    val sizes = bg.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val inter = bg.select(col("source").as("s1"), col("bg"))
+      .join(bg.select(col("source").as("s2"), col("bg")), "bg")
+      .filter(col("s1") < col("s2"))
+      .groupBy(col("s1"), col("s2"))
+      .agg(count(lit(1)).as("exact_inter"))
+    est
+      .join(inter, Seq("s1", "s2"), "left")
+      .withColumn("exact_inter", coalesce(col("exact_inter"), lit(0L)))
+      .join(sizes.select(col("source").as("s1"), col("n").as("_n1")), "s1")
+      .join(sizes.select(col("source").as("s2"), col("n").as("_n2")), "s2")
+      .withColumn("exact_union", col("_n1") + col("_n2") - col("exact_inter"))
+      .withColumn("exact_jaccard_ppm",
+        expr("(exact_inter * 1000000L) div exact_union"))
+      .select(col("s1"), col("s2"), col("k_used"), col("n_shared"),
+        col("est_jaccard_ppm"), col("exact_inter"), col("exact_union"),
+        col("exact_jaccard_ppm"))
+      .orderBy(col("s1"), col("s2"))
+  }
+
   // ---------------------------------------------------------------- q97
 
   private val BpeRounds = 5
@@ -1097,7 +1137,8 @@ object CurationPack {
     "q90_textrank_keywords" -> textrankKeywords _,
     "q91_inverted_index" -> invertedIndex _,
     "q95_chunk_dedup" -> chunkDedup _,
-    "q97_bpe_train" -> bpeTrain _)
+    "q97_bpe_train" -> bpeTrain _,
+    "q98_source_overlap" -> sourceOverlap _)
 
   /** One unrolled PageRank round for the q90 oracle: the identical
     * integer update as [[graft.ext.GraphOps.weightedPageRank]]
@@ -1136,6 +1177,52 @@ object CurationPack {
        |  n FROM b$r""".stripMargin
 
   private val baseOracles: Map[String, String] = Map(
+    "q98_source_overlap" ->
+      """WITH t AS (SELECT source, string_split(text, ' ') AS toks FROM documents),
+        |bg AS (
+        |  SELECT DISTINCT source,
+        |    unnest([toks[i] || ' ' || toks[i+1]
+        |            for i in range(1, len(toks))]) AS bg
+        |  FROM t),
+        |h AS (SELECT DISTINCT source,
+        |        ('0x' || substr(md5('kmv:' || bg), 1, 8))::bigint AS h
+        |      FROM bg),
+        |kept AS (SELECT source, h FROM (
+        |    SELECT source, h,
+        |      row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+        |    FROM h) WHERE rn <= 64),
+        |p AS (SELECT a.source AS s1, b.source AS s2
+        |      FROM (SELECT DISTINCT source FROM bg) a
+        |      JOIN (SELECT DISTINCT source FROM bg) b ON a.source < b.source),
+        |u AS (SELECT s1, s2, h, count(*)::bigint AS c FROM (
+        |        SELECT p.s1, p.s2, k.h FROM p JOIN kept k ON k.source = p.s1
+        |        UNION ALL
+        |        SELECT p.s1, p.s2, k.h FROM p JOIN kept k ON k.source = p.s2)
+        |      GROUP BY 1, 2, 3),
+        |ub AS (SELECT s1, s2, h,
+        |         CASE WHEN c = 2 THEN 1 ELSE 0 END AS in_both,
+        |         row_number() OVER (PARTITION BY s1, s2 ORDER BY h) AS rn
+        |       FROM u),
+        |est AS (SELECT s1, s2, count(*)::bigint AS k_used,
+        |          sum(in_both)::bigint AS n_shared
+        |        FROM ub WHERE rn <= 64 GROUP BY 1, 2),
+        |sz AS (SELECT source, count(*)::bigint AS n FROM bg GROUP BY 1),
+        |ix AS (SELECT a.source AS s1, b.source AS s2,
+        |         count(*)::bigint AS exact_inter
+        |       FROM bg a JOIN bg b ON a.bg = b.bg AND a.source < b.source
+        |       GROUP BY 1, 2)
+        |SELECT est.s1, est.s2, est.k_used, est.n_shared,
+        |  ((est.n_shared * 1000000) // est.k_used)::bigint AS est_jaccard_ppm,
+        |  coalesce(ix.exact_inter, 0)::bigint AS exact_inter,
+        |  (z1.n + z2.n - coalesce(ix.exact_inter, 0))::bigint AS exact_union,
+        |  ((coalesce(ix.exact_inter, 0) * 1000000)
+        |    // (z1.n + z2.n - coalesce(ix.exact_inter, 0)))::bigint
+        |    AS exact_jaccard_ppm
+        |FROM est
+        |JOIN sz z1 ON z1.source = est.s1
+        |JOIN sz z2 ON z2.source = est.s2
+        |LEFT JOIN ix ON ix.s1 = est.s1 AND ix.s2 = est.s2
+        |ORDER BY est.s1, est.s2""".stripMargin,
     "q97_bpe_train" ->
       s"""WITH t0 AS (
          |  SELECT doc_id,
