@@ -362,6 +362,33 @@ object CurationPack {
       .orderBy(col("freq").desc, col("token"))
   }
 
+  /** q99: INCREMENTAL count-min maintenance, oracle-gated — the CMS
+    * sibling of q96's HLL gate: three doc-ranged batches each build
+    * their own d×w counter grid, grids merge by per-cell SUM (the
+    * linearity that makes the CMS a streaming/cross-day structure),
+    * and heavy-hitter estimates over the merged grid must hash-equal
+    * the one-shot batch sketch via q65's own oracle.
+    */
+  def streamCms(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ext.SketchOps
+    val docs = graft.Caches.persisted(Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")))
+    val mx = docs.agg(max(col("doc_id"))).head.getLong(0)
+    def toks(df: DataFrame) =
+      df.select(explode(split(col("text"), " ")).as("token"))
+    val merged = Seq(
+      docs.filter(col("doc_id") <= mx / 3),
+      docs.filter(col("doc_id") > mx / 3 && col("doc_id") <= 2 * mx / 3),
+      docs.filter(col("doc_id") > 2 * mx / 3))
+      .map(b => SketchOps.cmsCounters(toks(b), "token"))
+      .reduce(_ unionByName _)
+      .groupBy(col("i"), col("j")).agg(sum(col("c")).as("c"))
+    val top = toks(docs).groupBy(col("token")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token")).limit(20)
+    SketchOps.cmsEstimate(merged, top, "token")
+      .orderBy(col("freq").desc, col("token"))
+  }
+
   // ---------------------------------------------------------------- q66
 
   private val LmThresholdFp = 30000L // keep docs averaging >= 3% transition prob
@@ -1138,7 +1165,8 @@ object CurationPack {
     "q91_inverted_index" -> invertedIndex _,
     "q95_chunk_dedup" -> chunkDedup _,
     "q97_bpe_train" -> bpeTrain _,
-    "q98_source_overlap" -> sourceOverlap _)
+    "q98_source_overlap" -> sourceOverlap _,
+    "q99_stream_cms" -> streamCms _)
 
   /** One unrolled PageRank round for the q90 oracle: the identical
     * integer update as [[graft.ext.GraphOps.weightedPageRank]]
@@ -1820,5 +1848,6 @@ object CurationPack {
   val oracles: Map[String, String] =
     baseOracles +
       ("q72_stream_reconcile" -> baseOracles("q68_corpus_build")) +
-      ("q77_stream_spans" -> baseOracles("q75_span_dedup"))
+      ("q77_stream_spans" -> baseOracles("q75_span_dedup")) +
+      ("q99_stream_cms" -> baseOracles("q65_cms_heavy_hitters"))
 }

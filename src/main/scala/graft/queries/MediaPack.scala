@@ -170,6 +170,87 @@ object MediaPack {
       .orderBy(col("c_custkey"), col("win"))
   }
 
+  // ---- q100: audio fingerprint near-dup (the audio leg of q37) --------
+
+  private val FpWins = 64
+  private val FpWinLen = NSamples / FpWins
+  private val AudioMaxHamming = 8
+
+  /** Deterministic PCM16 tone with PLANTED near-dup pairs, the audio
+    * analog of [[imagePixel]]'s pair scheme: consecutive even/odd keys
+    * share the pair id c/2 (same waveform except ONE perturbed sample
+    * on the odd key), unrelated clips get a pair-dependent slope so
+    * their energy envelopes — and fingerprints — differ. The dividend
+    * is non-negative before the −2048 shift so Scala % and DuckDB %
+    * agree (the q40 convention).
+    */
+  private[graft] def audioPairSample(c: Long, i: Int): Short = {
+    val p = c / 2
+    val base = (p * 31 + i.toLong * i * (7 + p % 13) +
+      i.toLong * 13 * (1 + p % 11)) % 4096 - 2048
+    val v = if (c % 2 == 1 && i == 5) base + 160 else base
+    v.toShort
+  }
+
+  /** Encode → REAL RIFF/WAVE decode → 64-bit energy fingerprint (bit w
+    * set iff window w's exact integer energy exceeds the clip's mean
+    * window energy — the aHash thresholding applied to audio), then the
+    * q37-style banded hamming self-join: near-duplicate clip pairs via
+    * a shuffle join on 16-bit hash bands, never all-pairs. A one-sample
+    * perturbation moves one window's energy, so planted pairs sit at
+    * hamming ≤ ~2 while unrelated clips scatter — and the codec
+    * roundtrip stays inside the gated path (a byte-order or chunk-parse
+    * slip shifts every energy and fails the oracle).
+    */
+  def audioNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hashes = graft.Tables.customer(spark, dir)
+      .select(col("c_custkey")).as[Long]
+      .mapPartitions(_.map { c =>
+        val wav = graft.ext.AudioCodec.encodeWav(8000,
+          Array.tabulate(NSamples)(i => audioPairSample(c, i)))
+        val audio = graft.ext.AudioCodec.decodeWav(wav)
+          .getOrElse(sys.error(s"WAV decode failed for clip $c"))
+        val s = audio.samples
+        val energies = Array.tabulate(FpWins) { w =>
+          var e = 0L
+          var i = 0
+          while (i < FpWinLen) {
+            val x = s(w * FpWinLen + i).toLong
+            e += x * x
+            i += 1
+          }
+          e
+        }
+        val mean = energies.sum / FpWins
+        var h = 0L
+        var w = 0
+        while (w < FpWins) {
+          if (energies(w) > mean) h |= (1L << w)
+          w += 1
+        }
+        (c, h)
+      })
+      .toDF("clip_id", "fp")
+    val cached = graft.Caches.persisted(hashes)
+    val bandKeys = array((0 until HashBands).map(b =>
+      shiftright(col("fp"), b * HashBandBits)
+        .bitwiseAND(lit((1L << HashBandBits) - 1))): _*)
+    val banded = cached.select(col("clip_id"), col("fp"),
+      posexplode(bandKeys).as(Seq("band", "key")))
+    val a = banded.select(col("clip_id").as("id1"), col("fp").as("h1"),
+      col("band"), col("key"))
+    val b = banded.select(col("clip_id").as("id2"), col("fp").as("h2"),
+      col("band"), col("key"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        bit_count(col("h1").bitwiseXOR(col("h2"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= AudioMaxHamming)
+      .orderBy(col("id1"), col("id2"))
+  }
+
   // ---- q41: real Y4M decode + scene-change detection ------------------
 
   private val VidW = 16
@@ -226,7 +307,8 @@ object MediaPack {
     "q29_multimodal_stats" -> multimodalStats _,
     "q37_image_neardup" -> imageNearDup _,
     "q40_audio_features" -> audioFeatures _,
-    "q41_video_scenes" -> videoScenes _)
+    "q41_video_scenes" -> videoScenes _,
+    "q100_audio_neardup" -> audioNearDup _)
 
   // byte_sum over the payload = 8 × Σ over the md5-hex string of the
   // char's ASCII code — expressible as count(char)·code sums in SQL.
@@ -316,10 +398,42 @@ object MediaPack {
        |FROM sad s JOIN fr ON fr.c = s.c AND fr.f = s.f
        |ORDER BY c_custkey, frame""".stripMargin
 
+  // q100 oracle: recompute the closed-form samples (WAV roundtrip is
+  // the identity the query proves), window energies, mean-threshold
+  // fingerprint, then the same band/hamming pipeline as q37's.
+  private val q100Sql =
+    s"""WITH smp AS (
+       |  SELECT c_custkey AS c, w.w AS w,
+       |    ((c_custkey // 2 * 31
+       |      + (w.w*$FpWinLen+k.k)*(w.w*$FpWinLen+k.k)*(7 + (c_custkey // 2) % 13)
+       |      + (w.w*$FpWinLen+k.k)*13*(1 + (c_custkey // 2) % 11)) % 4096 - 2048
+       |     + CASE WHEN c_custkey % 2 = 1 AND w.w*$FpWinLen+k.k = 5
+       |            THEN 160 ELSE 0 END) AS x
+       |  FROM customer, range($FpWins) w(w), range($FpWinLen) k(k)),
+       |e AS (SELECT c, w, sum(x * x)::bigint AS e FROM smp GROUP BY 1, 2),
+       |m AS (SELECT c, sum(e) // $FpWins AS mean FROM e GROUP BY 1),
+       |h AS (
+       |  SELECT e.c, bit_or(CASE WHEN e <= mean THEN 0::bigint
+       |    WHEN w = 63 THEN (-9223372036854775807 - 1)::bigint
+       |    ELSE (1::bigint << w) END) AS fp
+       |  FROM e JOIN m ON e.c = m.c GROUP BY e.c),
+       |banded AS (
+       |  SELECT c, fp, b,
+       |    (fp >> (b * $HashBandBits)) & ${(1L << HashBandBits) - 1} AS key
+       |  FROM h CROSS JOIN (SELECT unnest(range($HashBands)) AS b)),
+       |cand AS (
+       |  SELECT DISTINCT a.c AS id1, b2.c AS id2,
+       |    cast(bit_count(xor(a.fp, b2.fp)) AS bigint) AS hamming
+       |  FROM banded a JOIN banded b2
+       |    ON a.b = b2.b AND a.key = b2.key AND a.c < b2.c)
+       |SELECT id1, id2, hamming FROM cand WHERE hamming <= $AudioMaxHamming
+       |ORDER BY id1, id2""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q37_image_neardup" -> q37Sql,
     "q40_audio_features" -> q40Sql,
     "q41_video_scenes" -> q41Sql,
+    "q100_audio_neardup" -> q100Sql,
     "q29_multimodal_stats" ->
       s"""WITH m AS (SELECT c_custkey, md5('media-' || c_custkey) AS h FROM customer)
          |SELECT c_custkey,
