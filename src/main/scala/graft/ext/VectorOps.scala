@@ -542,6 +542,61 @@ object VectorOps {
         (-col("neg_dist")).cast("long").as("dist2"))
   }
 
+  /** k-center greedy coreset selection (farthest-first traversal —
+    * Gonzalez, "Clustering to minimize the maximum intercluster
+    * distance", TCS 1985; the 2-approximation behind coreset-based
+    * data selection): seed with the smallest id, then k−1 times pick
+    * the point FARTHEST from its nearest chosen center (ties to the
+    * smaller id). Distances are exact integer squared-L2, so the
+    * whole trajectory is reproducible in SQL.
+    *
+    * Returns (round, center_id, d2) — d2 = the selected point's
+    * distance to the existing centers at selection time (0 for the
+    * seed); the last row's d2 upper-bounds every point's distance to
+    * the final coreset (the coverage radius, within the greedy
+    * guarantee).
+    *
+    * Scale shape: the classic O(n·k) incremental form — per round ONE
+    * broadcast of the single new center, one narrow `least` update of
+    * the per-point min-distance frame (re-persisted so round r+1 does
+    * not recompute rounds 1..r), and one 1-row argmax fold; the
+    * corpus never shuffles and the selected center never routes
+    * through the driver.
+    */
+  def kCenterCoreset(vectors: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "qvec"): DataFrame = {
+    require(k >= 1, "kCenterCoreset needs k >= 1")
+    val vecs = graft.Caches.persisted(vectors.select(col(idCol), col(vecCol),
+      dotInt(col(vecCol), col(vecCol)).as("n2")))
+    val d2New = col("n2") + col("c_n2") - lit(2L) * dotInt(col(vecCol), col("c_vec"))
+    // seed: smallest id, d2 = 0
+    var center = vecs
+      .agg(min(struct(col(idCol), col(vecCol), col("n2"))).as("m"))
+      .select(lit(1L).as("round"), col(s"m.$idCol").as("center_id"),
+        col(s"m.$vecCol").as("c_vec"), col("m.n2").as("c_n2"), lit(0L).as("d2"))
+    val rounds = scala.collection.mutable.ArrayBuffer(
+      center.select(col("round"), col("center_id"), col("d2")))
+    // per-point min distance to the chosen set, updated incrementally;
+    // only the center's vector/norm join in (its round/d2 columns would
+    // collide with the state frame's)
+    def centerSide(c: DataFrame) = broadcast(c.select(col("c_vec"), col("c_n2")))
+    var mind = vecs.crossJoin(centerSide(center))
+      .select(col(idCol), col(vecCol), col("n2"), d2New.as("d2"))
+    (2 to k).foreach { r =>
+      mind = graft.Caches.persisted(mind)
+      center = mind
+        .agg(max(struct(col("d2"), (-col(idCol)).as("negid"),
+          col(vecCol).as("v"), col("n2").as("vn2"))).as("m"))
+        .select(lit(r.toLong).as("round"), (-col("m.negid")).as("center_id"),
+          col("m.v").as("c_vec"), col("m.vn2").as("c_n2"), col("m.d2").as("d2"))
+      rounds += center.select(col("round"), col("center_id"), col("d2"))
+      mind = mind.crossJoin(centerSide(center))
+        .select(col(idCol), col(vecCol), col("n2"),
+          least(col("d2"), d2New).as("d2"))
+    }
+    rounds.reduce(_ unionByName _).orderBy(col("round"))
+  }
+
   /** Number of SRP hyperplanes sized to the corpus: 2^planes buckets,
     * targeting ~`targetBucketSize` vectors per bucket so within-bucket
     * candidate sets stay bounded as the corpus grows (a fixed plane count

@@ -223,6 +223,21 @@ object VectorPack {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  private val CoresetK = 8
+
+  /** q101: k-center greedy CORESET selection ([[VectorOps
+    * .kCenterCoreset]]) — the geometric data-selection member beside
+    * SemDeDup (q82, redundancy removal) and DSIR (q81, distribution
+    * matching): pick the k points that 2-approximately minimize the
+    * maximum distance of any point to its nearest pick (Gonzalez
+    * 1985), i.e. the most *coverage-diverse* subset. Gated on the full
+    * selection trajectory: every round's center AND its
+    * distance-at-selection, ties and all.
+    */
+  def coresetSelect(spark: SparkSession, dir: String): DataFrame =
+    VectorOps.kCenterCoreset(
+      quantized(spark, dir).select(col("vec_id"), col("qvec")), CoresetK)
+
   /** q86: semi-hard negative mining for contrastive training
     * ([[VectorOps.hardNegatives]]) — per anchor (vec_id < 10, same
     * query-set convention as q21/q30/q48), the nearest same-label
@@ -351,6 +366,7 @@ object VectorPack {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q86_hard_negatives" -> hardNegativeMining _,
     "q94_pq_ann" -> pqAnn _,
+    "q101_coreset" -> coresetSelect _,
     "q76_embedding_outliers" -> embeddingOutliers _,
     "q54_int8_ann" -> int8Ann _,
     "q21_ann_topk" -> annTopK _,
@@ -446,6 +462,25 @@ object VectorPack {
        |${kmAssignCte(s"af$m", s"cb2$m", s"v$m", subDim)}""".stripMargin
   }
 
+  private def coresetDist(q: String, c: String) =
+    s"""list_sum(list_transform(range($Dims), i ->
+       |      ($q[i+1] - $c[i+1]) * ($q[i+1] - $c[i+1])))""".stripMargin
+
+  /** One unrolled farthest-first round for the q101 oracle: argmax of
+    * the running min-distance (ties to the smaller id), then the
+    * incremental `least` update against the new center only — the
+    * identical trajectory [[VectorOps.kCenterCoreset]] walks.
+    */
+  private def coresetRoundCtes(r: Int): String =
+    s"""c$r AS (
+       |  SELECT m.vec_id AS center_id, v.qvec AS cvec, m.d2
+       |  FROM m${r - 1} m JOIN v USING (vec_id)
+       |  ORDER BY m.d2 DESC, m.vec_id LIMIT 1),
+       |m$r AS (
+       |  SELECT m.vec_id,
+       |    least(m.d2, ${coresetDist("v.qvec", "c.cvec")}::bigint) AS d2
+       |  FROM m${r - 1} m JOIN v USING (vec_id) CROSS JOIN c$r c)""".stripMargin
+
   private val baseOracles: Map[String, String] = Map(
     "q76_embedding_outliers" ->
       """WITH scaled AS (
@@ -507,6 +542,19 @@ object VectorPack {
          |  ON r8.q_id = e.q_id AND r8.c_id = e.c_id
          |WHERE r8.rank <= $TopK
          |ORDER BY r8.q_id, r8.rank""".stripMargin,
+    "q101_coreset" ->
+      s"""WITH v AS (SELECT vec_id, $qv AS qvec FROM embeddings),
+         |c1 AS (SELECT vec_id AS center_id, qvec AS cvec FROM v
+         |       ORDER BY vec_id LIMIT 1),
+         |m1 AS (
+         |  SELECT v.vec_id, ${coresetDist("v.qvec", "c.cvec")}::bigint AS d2
+         |  FROM v CROSS JOIN c1 c),
+         |${(2 to CoresetK).map(coresetRoundCtes).mkString(",\n")}
+         |SELECT 1::bigint AS round, center_id, 0::bigint AS d2 FROM c1
+         |${(2 to CoresetK).map(r =>
+             s"UNION ALL SELECT $r::bigint, center_id, d2::bigint FROM c$r")
+            .mkString("\n")}
+         |ORDER BY round""".stripMargin,
     "q94_pq_ann" ->
       s"""WITH v AS (SELECT vec_id, $qv AS qvec FROM embeddings),
          |bounds AS (SELECT min(vec_id) AS lo, max(vec_id) AS hi FROM v),

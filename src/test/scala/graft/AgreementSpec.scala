@@ -141,6 +141,24 @@ class AgreementSpec extends AnyFunSuite {
     assert(a5.forall(_._5 == -2.0))
   }
 
+  test("kCenterCoreset: farthest-first covers one pick per cluster, ties to min id") {
+    import spark.implicits._
+    // three planted 2-D clusters; seed = min id (cluster A), then the
+    // two farthest picks must land one in each remaining cluster, with
+    // the round-2 tie (id 4 vs id 6, both at d2 = 1020100) broken to
+    // the smaller id
+    val vecs = Seq(
+      (1L, Seq(0L, 0L)), (2L, Seq(10L, 0L)), // cluster A
+      (3L, Seq(1000L, 0L)), (4L, Seq(1010L, 0L)), // cluster B
+      (5L, Seq(0L, 1000L)), (6L, Seq(0L, 1010L))) // cluster C
+      .toDF("vec_id", "qvec")
+    val rounds = Caches.scoped {
+      graft.ext.VectorOps.kCenterCoreset(vecs, 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    }
+    assert(rounds == Seq((1L, 1L, 0L), (2L, 4L, 1020100L), (3L, 6L, 1020100L)))
+  }
+
   test("dist2_long yields NULL on length-mismatched vectors (no silent truncation)") {
     import spark.implicits._
     val df = Seq(
