@@ -626,6 +626,45 @@ object Relational {
       .orderBy(col("prev_type"), col("next_type"))
   }
 
+  /** q102: SCD-2 DIMENSION BUILD from the event stream — the
+    * warehouse-layer intervalization every analytics stack runs
+    * (Kimball type-2 slowly changing dimensions): per user, track the
+    * JSON property `k` (extracted from the raw `props` payload — the
+    * semi-structured ETL step), emit one VERSION row per change with
+    * half-open validity [valid_from_us, valid_to_us) — the final
+    * version open-ended at Long.MaxValue — plus the version ordinal.
+    * An as-of join (q53) against this output answers "what was k for
+    * user u at time t" without scanning events.
+    *
+    * Scale shape: change detection (lag) and interval close
+    * (lead + version row_number, fused into one Window node) share
+    * the per-user (ts, event_id) ordering, so the filter between them
+    * preserves partitioning and the chain costs ONE hash shuffle on
+    * user_id (user-sized partitions, the sessionize posture; the only
+    * other exchange is the output sort's range partitioning — audited
+    * with tools.ExplainQuery: 2 windows, 1 hash + 1 range shuffle).
+    * The output is change-count-sized, not event-count-sized.
+    */
+  def scd2Build(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+    val changes = ev
+      .withColumn("prev_k", lag(col("k"), 1).over(w))
+      .filter(col("prev_k").isNull || col("prev_k") =!= col("k"))
+    val wc = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+    changes
+      .withColumn("version", row_number().over(wc).cast("long"))
+      .withColumn("valid_to_us",
+        coalesce(lead(col("ts_us"), 1).over(wc), lit(Long.MaxValue)))
+      .select(col("user_id"), col("version"), col("k"),
+        col("ts_us").as("valid_from_us"), col("valid_to_us"))
+      .orderBy(col("user_id"), col("version"))
+  }
+
   /** q96: INCREMENTAL sketch maintenance, oracle-gated — the event
     * stream splits into three id-ranged micro-batches, each builds its
     * own HLL register state independently, the states merge by
@@ -735,6 +774,7 @@ object Relational {
     "q92_decayed_trend" -> decayedTrend _,
     "q93_stream_funnel" -> streamFunnel _,
     "q96_stream_hll" -> streamHll _,
+    "q102_scd2_build" -> scd2Build _,
     "q60_sessionize" -> sessionize _,
     "q61_exact_quantiles" -> exactQuantiles _,
     "q53_asof_join" -> asofPurchaseView _,
@@ -787,6 +827,27 @@ object Relational {
          |FROM p JOIN sess ON sess.user_id = p.user_id
          |  AND p.purchase_ts_us BETWEEN sess.session_start_us AND sess.session_end_us
          |ORDER BY purchase_id""".stripMargin,
+    "q102_scd2_build" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts)::bigint AS ts_us,
+        |    json_extract_string(props, '$.k')::bigint AS k
+        |  FROM events),
+        |c AS (
+        |  SELECT user_id, event_id, ts_us, k,
+        |    lag(k) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_k
+        |  FROM e),
+        |ch AS (SELECT user_id, event_id, ts_us, k FROM c
+        |       WHERE prev_k IS NULL OR prev_k <> k),
+        |v AS (
+        |  SELECT user_id, ts_us, k,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id)::bigint AS version,
+        |    lead(ts_us) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id) AS nxt
+        |  FROM ch)
+        |SELECT user_id, version, k, ts_us AS valid_from_us,
+        |  coalesce(nxt, 9223372036854775807)::bigint AS valid_to_us
+        |FROM v ORDER BY user_id, version""".stripMargin,
     "q92_decayed_trend" ->
       """WITH e AS (
         |  SELECT event_type,
