@@ -1023,7 +1023,12 @@ object CurationPack {
     * routes through the driver, and the corpus re-persists per round
     * so round r+1 does not recompute rounds 1..r.
     */
-  def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
+  /** The shared BPE training loop: wraps every word ␂w␃, runs
+    * [[BpeRounds]] elect-and-apply rounds, and returns both the per-round
+    * merge rows and the final merged corpus — [[bpeTrain]] (q97) keeps
+    * the merge table, [[bpeEncode]] (q103) keeps the corpus.
+    */
+  private def bpeRun(spark: SparkSession, dir: String): (Seq[DataFrame], DataFrame) = {
     var txt: DataFrame = Tables.documents(spark, dir).select(col("doc_id"),
       concat(lit(Sep2),
         org.apache.spark.sql.functions.replace(
@@ -1044,6 +1049,11 @@ object CurationPack {
               col("bg"), lit(" "), lit(Sep1))).as("t"))
       best
     }
+    (merges, txt)
+  }
+
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    val (merges, _) = bpeRun(spark, dir)
     val strip = (c: org.apache.spark.sql.Column) =>
       translate(c, Sep1 + Sep2 + Sep3, "")
     merges.reduce(_ unionByName _)
@@ -1054,6 +1064,40 @@ object CurationPack {
           col("bg"), lit(" "), lit(""))).as("merged"),
         col("n"))
       .orderBy(col("round"))
+  }
+
+  // --------------------------------------------------------------- q103
+
+  /** q103: BPE ENCODE — apply the q97-trained merge table corpus-wide
+    * and report each document's tokenization: words in (whitespace
+    * units), tokens out (after all [[BpeRounds]] greedy merges), merges
+    * applied, and the exact compression in ppm. This is the trainer →
+    * tokenizer link every LLM-data pipeline runs (train the vocab once,
+    * then encode 100 TB with it); q33's static-regex token count is the
+    * heuristic stand-in, this is the learned tokenizer itself.
+    *
+    * Both counts come from ONE pass over the merged corpus: every
+    * original word was wrapped ␂w␃ before training and merges only fuse
+    * the inter-word ["␃ ␂" → "␃␁␂"] seam, so word count = ␂ occurrences
+    * and token count = space-separated units — no re-join with the raw
+    * table, no second tokenize.
+    *
+    * Scale shape: [[bpeRun]]'s per-round cost (one codegen bigram
+    * explode + count, one 1-row argmin, one broadcast-map) plus a single
+    * narrow per-doc projection — nothing new shuffles; the output is one
+    * row per document.
+    */
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val (_, corpus) = bpeRun(spark, dir)
+    corpus
+      .withColumn("n_words",
+        (length(col("t")) - length(org.apache.spark.sql.functions.replace(
+          col("t"), lit(Sep2), lit("")))).cast("long"))
+      .withColumn("n_tokens", size(split(col("t"), " ", -1)).cast("long"))
+      .select(col("doc_id"), col("n_words"), col("n_tokens"),
+        (col("n_words") - col("n_tokens")).as("n_merges"),
+        expr("(n_words - n_tokens) * 1000000 div n_words").as("merged_ppm"))
+      .orderBy(col("doc_id"))
   }
 
   // ---------------------------------------------------------------- q95
@@ -1165,6 +1209,7 @@ object CurationPack {
     "q91_inverted_index" -> invertedIndex _,
     "q95_chunk_dedup" -> chunkDedup _,
     "q97_bpe_train" -> bpeTrain _,
+    "q103_bpe_encode" -> bpeEncode _,
     "q98_source_overlap" -> sourceOverlap _,
     "q99_stream_cms" -> streamCms _)
 
@@ -1259,6 +1304,22 @@ object CurationPack {
          |${(1 to BpeRounds).map(bpeRoundCtes).mkString(",\n")}
          |${(1 to BpeRounds).map(bpeRoundSelect).mkString("\nUNION ALL\n")}
          |ORDER BY round""".stripMargin,
+    "q103_bpe_encode" ->
+      s"""WITH t0 AS (
+         |  SELECT doc_id,
+         |    chr(2) || replace(text, ' ', chr(3) || ' ' || chr(2)) || chr(3) AS t
+         |  FROM documents),
+         |${(1 to BpeRounds).map(bpeRoundCtes).mkString(",\n")}
+         |SELECT doc_id,
+         |  (length(t) - length(replace(t, chr(2), '')))::bigint AS n_words,
+         |  len(string_split(t, ' '))::bigint AS n_tokens,
+         |  ((length(t) - length(replace(t, chr(2), '')))
+         |    - len(string_split(t, ' ')))::bigint AS n_merges,
+         |  (((length(t) - length(replace(t, chr(2), '')))
+         |     - len(string_split(t, ' '))) * 1000000
+         |    // (length(t) - length(replace(t, chr(2), ''))))::bigint
+         |    AS merged_ppm
+         |FROM t$BpeRounds ORDER BY doc_id""".stripMargin,
     "q95_chunk_dedup" ->
       s"""WITH t AS (
          |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,

@@ -454,4 +454,29 @@ class CurationSpec extends AnyFunSuite {
     val s = row.select(floor(idfFp * col("tf") * lit(2200L) / denomFp).cast("long")).head().getLong(0)
     assert(s == 1571428L)
   }
+
+  test("q103 bpe encode: counts consistent with raw corpus and trained merges") {
+    Caches.scoped {
+      import graft.queries.CurationPack
+      val dir = "/root/testdata/sf0.001"
+      val enc = CurationPack.bpeEncode(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      assert(enc.nonEmpty)
+      // exhaustive: one row per document
+      assert(enc.length == Tables.documents(spark, dir).count())
+      // n_words is the raw whitespace unit count — the wrap-marker
+      // counting trick must agree with splitting the original text
+      val raw = Tables.documents(spark, dir)
+        .select(col("doc_id"), size(split(col("text"), " ", -1)).cast("long"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      enc.foreach { case (id, w, _, _, _) => assert(w == raw(id), s"doc $id") }
+      // arithmetic invariants: 1 <= n_tokens <= n_words, merges = diff,
+      // ppm exact-integer
+      enc.foreach { case (_, w, t, m, ppm) =>
+        assert(t >= 1 && t <= w && m == w - t && ppm == m * 1000000L / w)
+      }
+      // the trained merges actually fired somewhere in the corpus
+      assert(enc.map(_._4).sum > 0, "no merge ever applied")
+    }
+  }
 }
