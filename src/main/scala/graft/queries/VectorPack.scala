@@ -363,7 +363,31 @@ object VectorPack {
         when(col("low"), lit("low")).otherwise(lit("high")).as("side"))
       .orderBy(col("vec_id"))
 
+  private val PcaRounds = 32
+  private val PcaVs = 1000L
+
+  /** q104: top principal direction of the embedding corpus — exact int64
+    * centered scatter matrix ([[VectorOps.centeredScatter]]: the d²
+    * outer-product aggregation, the one linear-algebra reduction every
+    * embedding pipeline runs for PCA whitening / drift monitoring), then
+    * 32 rounds of fixed-point power iteration ([[VectorOps
+    * .pcaPowerDirection]]). Output per dimension: the scatter diagonal
+    * (n² × variance, exact) and the direction component in [-1000, 1000].
+    * The oracle re-derives the scatter and every iterate bit-for-bit.
+    *
+    * Round count: convergence is geometric in λ₂/λ₁; the fixture corpus
+    * is near-isotropic (λ₂/λ₁ ≈ 0.98), so 32 rounds land the Rayleigh
+    * quotient within ~2.5 % of λ₁ — on real embedding corpora (which
+    * have dominant directions; that's why PCA whitening works) the same
+    * 32 rounds converge to machine fixed-point. AgreementSpec proves
+    * exact top-direction recovery on a planted anisotropic corpus.
+    */
+  def pcaPower(spark: SparkSession, dir: String): DataFrame =
+    VectorOps.pcaPowerDirection(
+      quantized(spark, dir).select(col("vec_id"), col("qvec")), PcaRounds, PcaVs)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q104_pca_power" -> pcaPower _,
     "q86_hard_negatives" -> hardNegativeMining _,
     "q94_pq_ann" -> pqAnn _,
     "q101_coreset" -> coresetSelect _,
@@ -481,7 +505,36 @@ object VectorPack {
        |    least(m.d2, ${coresetDist("v.qvec", "c.cvec")}::bigint) AS d2
        |  FROM m${r - 1} m JOIN v USING (vec_id) CROSS JOIN c$r c)""".stripMargin
 
+  /** One power-iteration round for the q104 oracle: exact int64 matvec
+    * against the centered scatter, then the repo-standard deterministic
+    * normalization floor((w·vs)::double / max|w|::double).
+    */
+  private def pcaRoundCtes(r: Int): String =
+    s"""w$r AS MATERIALIZED (SELECT c.di AS dim, sum(c.g * p.v)::bigint AS w
+       |        FROM c JOIN p${r - 1} p ON p.dim = c.dj GROUP BY 1),
+       |m$r AS (SELECT max(abs(w))::bigint AS m FROM w$r),
+       |p$r AS MATERIALIZED (SELECT dim,
+       |          floor((w::double * ${PcaVs}.0::double) / m::double)::bigint AS v
+       |        FROM w$r CROSS JOIN m$r)""".stripMargin
+
   private val baseOracles: Map[String, String] = Map(
+    "q104_pca_power" ->
+      s"""WITH v AS (SELECT vec_id, $qv AS qvec FROM embeddings),
+         |e AS (SELECT vec_id, unnest(qvec) AS x,
+         |        (generate_subscripts(qvec, 1) - 1)::bigint AS i FROM v),
+         |g AS (SELECT a.i AS di, b.i AS dj, sum(a.x * b.x)::bigint AS gfull
+         |      FROM e a JOIN e b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+         |s AS (SELECT i, sum(x)::bigint AS s FROM e GROUP BY 1),
+         |nn AS (SELECT count(*)::bigint AS n FROM v),
+         |c AS MATERIALIZED (
+         |      SELECT g.di, g.dj, (nn.n * g.gfull - s1.s * s2.s)::bigint AS g
+         |      FROM g JOIN s s1 ON s1.i = g.di JOIN s s2 ON s2.i = g.dj
+         |      CROSS JOIN nn),
+         |p0 AS (SELECT DISTINCT di AS dim, ${PcaVs}::bigint AS v FROM c),
+         |${(1 to PcaRounds).map(pcaRoundCtes).mkString(",\n")}
+         |SELECT c.di AS dim, c.g AS c_diag, p$PcaRounds.v AS v
+         |FROM c JOIN p$PcaRounds ON p$PcaRounds.dim = c.di
+         |WHERE c.di = c.dj ORDER BY dim""".stripMargin,
     "q76_embedding_outliers" ->
       """WITH scaled AS (
         |  SELECT vec_id,

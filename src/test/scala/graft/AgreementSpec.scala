@@ -332,4 +332,58 @@ class AgreementSpec extends AnyFunSuite {
       assert(ln.isEmpty || hn.isEmpty || ln.max < hn.min)
     }
   }
+
+  test("q104 pcaPower: exact scatter diagonal + invariants on the fixture corpus") {
+    Caches.scoped {
+      val dir = "/root/testdata/sf0.001"
+      val got = graft.queries.VectorPack.queries("q104_pca_power")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(got.length == 64 && got.map(_._1).toSeq == (0L until 64L))
+      // the last normalization pins max|v| to exactly the fixed-point scale
+      assert(got.map(t => math.abs(t._3)).max == 1000L)
+      // scatter diagonal is n^2 * variance — never negative
+      assert(got.forall(_._2 >= 0L))
+      // exact diagonal agreement with a driver-side recomputation on the
+      // same quantized vectors (doubles stay below 2^53 at this SF)
+      val vecs = Tables.embeddings(spark, dir)
+        .select(graft.ext.VectorOps.quantize(col("embedding")).as("q"))
+        .collect().map(_.getSeq[Long](0).toArray)
+      val d = 64; val n = vecs.length
+      val s = Array.ofDim[Double](d)
+      vecs.foreach(v => (0 until d).foreach(i => s(i) += v(i)))
+      val diag = Array.ofDim[Double](d)
+      vecs.foreach(v => (0 until d).foreach(i => diag(i) += v(i).toDouble * v(i)))
+      got.foreach { case (i, g, _) =>
+        assert(g.toDouble == n * diag(i.toInt) - s(i.toInt) * s(i.toInt)) }
+    }
+  }
+
+  test("q104 pcaPower: recovers a planted dominant direction exactly") {
+    // the fixture embeddings are near-isotropic (lambda2/lambda1 ~ 0.98),
+    // so top-eigenvector recovery is only testable on a corpus with a
+    // real spectral gap — plant one: x_k = a_k*u + small deterministic
+    // noise, with u a fixed unit direction. 32 fixed-point rounds must
+    // align with u to better than 1 degree.
+    import spark.implicits._
+    val d = 16
+    val u = (0 until d).map(i => math.sin(i * 2.17 + 0.5)).toArray
+    val un = math.sqrt(u.map(x => x * x).sum)
+    val rows = (0 until 200).map { k =>
+      val a = (k % 41).toDouble - 20.0 // spread along u
+      val vec = (0 until d).map { i =>
+        math.round(1000.0 * (a * u(i) / un) + ((k * 31 + i * 7) % 11) - 5).toLong
+      }
+      (k.toLong, vec)
+    }
+    val df = rows.toDF("vec_id", "qvec")
+    Caches.scoped {
+      val got = graft.ext.VectorOps.pcaPowerDirection(df, rounds = 32, vs = 1000L)
+        .collect().map(r => (r.getLong(0), r.getLong(2)))
+      val v = Array.ofDim[Double](d)
+      got.foreach { case (i, x) => v(i.toInt) = x.toDouble }
+      val cos = math.abs((0 until d).map(i => v(i) * u(i)).sum) /
+        (math.sqrt(v.map(x => x * x).sum) * un)
+      assert(cos > 0.9998, s"planted direction not recovered: cosine $cos")
+    }
+  }
 }

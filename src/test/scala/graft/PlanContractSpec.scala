@@ -295,4 +295,34 @@ class PlanContractSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
         s"candidate pairs must come from a cell equi-join:\n$pairsPlan")
     }
   }
+
+  test("q104 PCA: scatter is explode+agg (no corpus self-join), matvecs broadcast") {
+    Caches.scoped {
+      // the d^2 accumulation must come from the nested-transform explode,
+      // never a self-join of the exploded corpus — pin it on the scatter
+      // sub-frame (the full query truncates its lineage per power round,
+      // so the final plan can't show it)
+      val sc = graft.ext.VectorOps.centeredScatter(
+        graft.Tables.embeddings(spark, dir)
+          .select(org.apache.spark.sql.functions.col("vec_id"),
+            graft.ext.VectorOps.quantize(
+              org.apache.spark.sql.functions.col("embedding")).as("qvec")))
+      sc.collect()
+      val scPlan = sc.queryExecution.executedPlan
+      assert(collect(scPlan) { case g: org.apache.spark.sql.execution.GenerateExec => g }.nonEmpty,
+        s"scatter must come from a generate (explode), not a join:\n$scPlan")
+      assert(collect(scPlan) {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+      }.isEmpty, s"scatter-side joins must all be broadcast:\n$scPlan")
+      // and the full query never goes quadratic or shuffle-joins either
+      val plan = executed("q104_pca_power")
+      assert(collect(plan) {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+      }.isEmpty, s"q104 must not shuffle-join anywhere:\n$plan")
+      assert(collect(plan) { case c: CartesianProductExec => c }.isEmpty,
+        s"no cartesian in q104:\n$plan")
+    }
+  }
 }
