@@ -633,40 +633,9 @@ object VectorOps {
       "id1", "top", "id2", "cosine")
   }
 
-  /** Exact centered second-moment (scatter) matrix of a bigint-vector
-    * corpus: `c_ij = n·Σv[i]v[j] − (Σv[i])·(Σv[j])` = n² × the covariance,
-    * kept in exact int64 (no 1/n division, so no floats until the caller
-    * chooses). Output: one row per (di, dj) with the centered entry and
-    * the raw Gramian.
-    *
-    * Scale shape: the d² accumulation is ONE narrow nested-transform
-    * explode (each vector emits its d² outer-product entries inside the
-    * codegen span — no self-join of the exploded corpus, which would
-    * shuffle n·d rows) followed by a map-side-combinable groupBy(di,dj)
-    * sum — the shuffle carries parts × d² partial rows, independent of n.
-    * Column sums and the count ride the same pattern; the d²-row result
-    * then broadcasts everywhere it's used. Magnitudes: |v|≤~10³ per dim,
-    * so c_ij ≤ n²·10⁶ — int64-safe to n ≈ 3×10⁶ per partition-tree; at
-    * larger corpora rescale the quantization, not the shape.
-    */
-  def centeredScatter(vectors: DataFrame, vecCol: String = "qvec"): DataFrame = {
-    val outer = vectors.select(explode(expr(
-        s"flatten(transform($vecCol, (vi, i) -> " +
-        s"transform($vecCol, (vj, j) -> struct(i AS di, j AS dj, vi * vj AS p))))")).as("e"))
-      .select(col("e.di").cast("long").as("di"), col("e.dj").cast("long").as("dj"), col("e.p"))
-      .groupBy(col("di"), col("dj")).agg(sum(col("p")).as("gfull"))
-    val sums = vectors.select(posexplode(col(vecCol)).as(Seq("i", "x")))
-      .groupBy(col("i").cast("long").as("i")).agg(sum(col("x")).as("s"))
-    val n = vectors.agg(count(lit(1)).as("n"))
-    outer
-      .join(broadcast(sums.select(col("i").as("di"), col("s").as("s1"))), "di")
-      .join(broadcast(sums.select(col("i").as("dj"), col("s").as("s2"))), "dj")
-      .crossJoin(broadcast(n))
-      .select(col("di"), col("dj"), col("gfull"),
-        (col("n") * col("gfull") - col("s1") * col("s2")).as("g"))
-  }
-
-  /** Top principal direction of [[centeredScatter]] by fixed-point power
+  /** Top principal direction of the exact centered scatter matrix
+    * `c_ij = n·Σv[i]v[j] − (Σv[i])·(Σv[j])` (= n² × covariance, exact
+    * int64 — no 1/n division, so no floats until normalization) by fixed-point power
     * iteration: v₀ = all-`vs`, then `rounds` times
     * `w = C·v` (exact int64 — C·v terms stay ≪ 2⁶³) and
     * `v ← floor(w·vs / max|w|)` — the floor of a correctly-rounded IEEE
@@ -689,14 +658,71 @@ object VectorOps {
     * 1000-executor cluster.
     */
   def pcaPowerDirection(vectors: DataFrame, rounds: Int, vs: Long,
-      vecCol: String = "qvec"): DataFrame = {
-    val spark = vectors.sparkSession
-    val entries = centeredScatter(vectors, vecCol)
-      .select(col("di"), col("dj"), col("g"))
-      .collect().map(r => ((r.getLong(0).toInt, r.getLong(1).toInt), r.getLong(2)))
-    val d = entries.iterator.map(_._1._1).max + 1
-    val c = Array.ofDim[Long](d, d)
-    entries.foreach { case ((i, j), g) => c(i)(j) = g }
+      vecCol: String = "qvec"): DataFrame =
+    pcaFromState(scatterState(vectors, vecCol), rounds, vs)
+
+  /** The ADDITIVE sufficient statistic of the centered scatter, as one
+    * tagged frame: `(ord=2, di, dj, Σv[i]v[j])` second moments,
+    * `(ord=1, -1, j, Σv[j])` first moments, `(ord=0, -1, -1, n)` count.
+    * States from independent passes (micro-batches, partitions, days)
+    * merge by PLAIN ADDITION — [[mergeScatterStates]] is one groupBy-sum
+    * — and recompose the exact centered scatter, because every component
+    * is a sum over rows. This is what makes the scatter a streaming /
+    * incremental structure (the linear-algebra analog of the HLL
+    * register-state merge).
+    *
+    * Scale shape: the d² accumulation is ONE narrow nested-transform
+    * explode (each vector emits its d² outer-product entries inside the
+    * codegen span — no self-join of the exploded corpus, which would
+    * shuffle n·d rows) followed by a map-side-combinable
+    * groupBy(ord,di,dj) sum — the shuffle carries parts × d² partial
+    * rows, independent of n. Magnitudes: |v|≤~10³ per dim, so
+    * n·G − s·sᵀ entries ≤ n²·10⁶ — int64-safe to n ≈ 3×10⁶; at larger
+    * corpora rescale the quantization, not the shape.
+    */
+  def scatterState(vectors: DataFrame, vecCol: String = "qvec"): DataFrame = {
+    val cached = graft.Caches.persisted(vectors.select(col(vecCol)))
+    val outer = cached.select(explode(expr(
+        s"flatten(transform($vecCol, (vi, i) -> " +
+        s"transform($vecCol, (vj, j) -> struct(i AS di, j AS dj, vi * vj AS p))))")).as("e"))
+      .select(lit(2L).as("ord"), col("e.di").cast("long").as("di"),
+        col("e.dj").cast("long").as("dj"), col("e.p").as("m"))
+      .groupBy(col("ord"), col("di"), col("dj")).agg(sum(col("m")).as("m"))
+    val sums = cached.select(posexplode(col(vecCol)).as(Seq("j", "x")))
+      .groupBy(col("j")).agg(sum(col("x")).as("m"))
+      .select(lit(1L).as("ord"), lit(-1L).as("di"), col("j").cast("long").as("dj"), col("m"))
+    val n = cached.agg(count(lit(1)).as("m"))
+      .select(lit(0L).as("ord"), lit(-1L).as("di"), lit(-1L).as("dj"), col("m"))
+    outer.unionByName(sums).unionByName(n)
+  }
+
+  /** Merge independently built [[scatterState]]s: one union + one
+    * map-side-combinable groupBy-sum over ≤ d²+d+1 keyed rows per state.
+    */
+  def mergeScatterStates(states: Seq[DataFrame]): DataFrame =
+    states.reduce(_ unionByName _)
+      .groupBy(col("ord"), col("di"), col("dj")).agg(sum(col("m")).as("m"))
+
+  /** Finish PCA from a (possibly merged) [[scatterState]]: recompose the
+    * centered scatter `c_ij = n·G_ij − s_i·s_j` and power-iterate — both
+    * driver-local on the collected O(d²) state (see
+    * [[pcaPowerDirection]]'s scale note).
+    */
+  def pcaFromState(state: DataFrame, rounds: Int, vs: Long): DataFrame = {
+    val spark = state.sparkSession
+    val rows = state.collect()
+      .map(r => (r.getLong(0), r.getLong(1).toInt, r.getLong(2).toInt, r.getLong(3)))
+    val d = rows.iterator.collect { case (2L, i, _, _) => i }.max + 1
+    val g = Array.ofDim[Long](d, d)
+    val s = Array.ofDim[Long](d)
+    var n = 0L
+    rows.foreach {
+      case (2L, i, j, m) => g(i)(j) = m
+      case (1L, _, j, m) => s(j) = m
+      case (0L, _, _, m) => n = m
+      case other => throw new IllegalStateException(s"bad state row $other")
+    }
+    val c = Array.tabulate(d, d)((i, j) => n * g(i)(j) - s(i) * s(j))
     var v = Array.fill(d)(vs)
     for (_ <- 1 to rounds) {
       val w = Array.tabulate(d) { i =>

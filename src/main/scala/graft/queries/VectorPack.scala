@@ -367,7 +367,7 @@ object VectorPack {
   private val PcaVs = 1000L
 
   /** q104: top principal direction of the embedding corpus — exact int64
-    * centered scatter matrix ([[VectorOps.centeredScatter]]: the d²
+    * centered scatter matrix ([[VectorOps.scatterState]]: the d²
     * outer-product aggregation, the one linear-algebra reduction every
     * embedding pipeline runs for PCA whitening / drift monitoring), then
     * 32 rounds of fixed-point power iteration ([[VectorOps
@@ -386,8 +386,52 @@ object VectorPack {
     VectorOps.pcaPowerDirection(
       quantized(spark, dir).select(col("vec_id"), col("qvec")), PcaRounds, PcaVs)
 
+  /** q105: PCA PROJECTION — score every vector by its exact int64 dot
+    * product with the q104 direction (the direction → application link,
+    * like q103 is to q97): the corpus-wide drift/outlier score every
+    * embedding pipeline derives from its PCA. The direction is computed
+    * once ([[VectorOps.pcaFromState]], driver-local on the collected
+    * scatter) and enters the plan as a LITERAL array, so the projection
+    * is one narrow codegen pass over the corpus — no join, nothing
+    * broadcast but d constants.
+    */
+  def pcaProject(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = graft.Caches.persisted(
+      quantized(spark, dir).select(col("vec_id"), col("qvec")))
+    val direction = VectorOps.pcaFromState(
+        VectorOps.scatterState(vecs), PcaRounds, PcaVs)
+      .select(col("dim"), col("v")).collect()
+      .sortBy(_.getLong(0)).map(_.getLong(1))
+    vecs.select(col("vec_id"),
+        VectorOps.dotInt(col("qvec"), array(direction.map(lit(_)): _*)).as("proj"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** q106: INCREMENTAL scatter maintenance, oracle-gated — the corpus
+    * splits into three vec_id-ranged micro-batches, each builds its own
+    * additive scatter state independently ([[VectorOps.scatterState]]),
+    * the states merge by plain addition ([[VectorOps
+    * .mergeScatterStates]] — the mergeability that makes the scatter a
+    * streaming/cross-day structure), and the PCA finished from the
+    * MERGED state must hash-equal the one-shot batch q104 via q104's own
+    * oracle. The linear-algebra sibling of the q96 HLL register gate.
+    */
+  def streamScatter(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = graft.Caches.persisted(
+      quantized(spark, dir).select(col("vec_id"), col("qvec")))
+    val mx = vecs.agg(max(col("vec_id"))).head.getLong(0)
+    val states = Seq(
+      vecs.filter(col("vec_id") <= mx / 3),
+      vecs.filter(col("vec_id") > mx / 3 && col("vec_id") <= 2 * mx / 3),
+      vecs.filter(col("vec_id") > 2 * mx / 3))
+      .map(VectorOps.scatterState(_))
+    VectorOps.pcaFromState(VectorOps.mergeScatterStates(states), PcaRounds, PcaVs)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q104_pca_power" -> pcaPower _,
+    "q105_pca_project" -> pcaProject _,
+    "q106_stream_scatter" -> streamScatter _,
     "q86_hard_negatives" -> hardNegativeMining _,
     "q94_pq_ann" -> pqAnn _,
     "q101_coreset" -> coresetSelect _,
@@ -535,6 +579,23 @@ object VectorPack {
          |SELECT c.di AS dim, c.g AS c_diag, p$PcaRounds.v AS v
          |FROM c JOIN p$PcaRounds ON p$PcaRounds.dim = c.di
          |WHERE c.di = c.dj ORDER BY dim""".stripMargin,
+    "q105_pca_project" ->
+      s"""WITH v AS (SELECT vec_id, $qv AS qvec FROM embeddings),
+         |e AS (SELECT vec_id, unnest(qvec) AS x,
+         |        (generate_subscripts(qvec, 1) - 1)::bigint AS i FROM v),
+         |g AS (SELECT a.i AS di, b.i AS dj, sum(a.x * b.x)::bigint AS gfull
+         |      FROM e a JOIN e b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+         |s AS (SELECT i, sum(x)::bigint AS s FROM e GROUP BY 1),
+         |nn AS (SELECT count(*)::bigint AS n FROM v),
+         |c AS MATERIALIZED (
+         |      SELECT g.di, g.dj, (nn.n * g.gfull - s1.s * s2.s)::bigint AS g
+         |      FROM g JOIN s s1 ON s1.i = g.di JOIN s s2 ON s2.i = g.dj
+         |      CROSS JOIN nn),
+         |p0 AS (SELECT DISTINCT di AS dim, ${PcaVs}::bigint AS v FROM c),
+         |${(1 to PcaRounds).map(pcaRoundCtes).mkString(",\n")}
+         |SELECT e.vec_id, sum(e.x * p.v)::bigint AS proj
+         |FROM e JOIN p$PcaRounds p ON p.dim = e.i
+         |GROUP BY 1 ORDER BY vec_id""".stripMargin,
     "q76_embedding_outliers" ->
       """WITH scaled AS (
         |  SELECT vec_id,
@@ -849,6 +910,8 @@ object VectorPack {
     * must hash-equal the batch trained-IVF probe.
     */
   val oracles: Map[String, String] =
-    baseOracles + ("q73_stream_ann" -> baseOracles("q48_ivf_trained_ann"))
+    baseOracles +
+      ("q73_stream_ann" -> baseOracles("q48_ivf_trained_ann")) +
+      ("q106_stream_scatter" -> baseOracles("q104_pca_power"))
 
 }

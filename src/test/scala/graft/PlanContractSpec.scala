@@ -302,7 +302,7 @@ class PlanContractSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
       // never a self-join of the exploded corpus — pin it on the scatter
       // sub-frame (the full query truncates its lineage per power round,
       // so the final plan can't show it)
-      val sc = graft.ext.VectorOps.centeredScatter(
+      val sc = graft.ext.VectorOps.scatterState(
         graft.Tables.embeddings(spark, dir)
           .select(org.apache.spark.sql.functions.col("vec_id"),
             graft.ext.VectorOps.quantize(
@@ -312,9 +312,8 @@ class PlanContractSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
       assert(collect(scPlan) { case g: org.apache.spark.sql.execution.GenerateExec => g }.nonEmpty,
         s"scatter must come from a generate (explode), not a join:\n$scPlan")
       assert(collect(scPlan) {
-        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
-        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
-      }.isEmpty, s"scatter-side joins must all be broadcast:\n$scPlan")
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+      }.isEmpty, s"the scatter state is union+agg only — no joins at all:\n$scPlan")
       // and the full query never goes quadratic or shuffle-joins either
       val plan = executed("q104_pca_power")
       assert(collect(plan) {
