@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.ext.{GraphOps, TextOps}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -503,6 +503,80 @@ object CurationPack {
     benchOverlaps(planted)
       .groupBy(col("doc_id"))
       .agg(count_distinct(col("sh")).as("n_overlapping_shingles"))
+      .orderBy(col("doc_id"))
+  }
+
+  // --------------------------------------------------------------- q107
+
+  private val BloomK = 3 // hash functions
+  private val BloomBitsPerKey = 16L // m sizing target → FP ≈ 0.5 % at k=3
+  private val BloomMinP = 12 // 4096-bit floor
+  private val BloomMaxP = 26 // 64 Mbit cap (8 MB — broadcast-sized)
+
+  /** The q107 filter-size rule, shared with the oracle's CTE: the
+    * smallest power of two with ≥ [[BloomBitsPerKey]] bits per benchmark
+    * shingle (clamped to [2^12, 2^26]) — derived from the DATA like
+    * [[graft.ext.VectorOps.planesForCorpus]] sizes SRP buckets, so the
+    * filter never saturates as the benchmark grows (a fixed m drifts to
+    * FP ≈ 1 and the gate degrades to q67's plain join). Powers of two
+    * also make `hash32 % m` exactly uniform.
+    */
+  private def bloomBits(nKeys: Long): Long =
+    1L << (BloomMinP to BloomMaxP)
+      .find(p => (1L << p) >= BloomBitsPerKey * nKeys).getOrElse(BloomMaxP)
+
+  /** q107: BLOOM-GATED decontamination — q67's scale path: the benchmark
+    * shingle set compiles into a Bloom filter (k=3 md5-derived hashes,
+    * [[bloomBits]] bits sized to the benchmark's cardinality, 32-bit
+    * words OR-aggregated — benchmark-sized work), the corpus side probes
+    * it with k broadcast joins against the SET words only, and only
+    * shingles passing all k bit probes reach the exact join. Output per
+    * surviving doc: distinct shingles passing the Bloom, distinct exact
+    * hits, and the doc-level false-positive flag. The gate proves the
+    * filter admits every exact hit (no false negatives — by
+    * construction, and the oracle rebuilds the identical bits) and
+    * MEASURES the false-positive rate the sizing buys (~0.5 % at 16
+    * bits/key).
+    *
+    * Scale: at 100 TB the q67 equi-join shuffles the corpus's whole
+    * shingle stream to meet the bench set; here the probes are narrow
+    * broadcast-hash lookups evaluated before any exchange, so the exact
+    * join's shuffle carries only Bloom survivors (~FP-rate × corpus +
+    * true hits). The broadcast is bounded by the benchmark (≤
+    * min(m/32, k·n) set words), exactly the broadcast-a-sketch posture
+    * of the IVF codebook and CMS rows.
+    */
+  def bloomDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val planted = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        when(col("doc_id") % 101 === 0 || col("doc_id") % 11 === 0,
+          concat(col("text"), lit(" " + LeakPhrase)))
+          .otherwise(col("text")).as("text"))
+    val shingled = graft.Caches.persisted(
+      TextOps.shingleRows(planted, "doc_id", "text", 8)
+        .select(col("doc_id"), col("_s").as("sh")).distinct())
+    val bench = graft.Caches.persisted(
+      shingled.filter(col("doc_id") % 101 === 0).select(col("sh")).distinct())
+    val m = bloomBits(bench.count())
+    def bloomIdx(h: Int): Column =
+      pmod(TextOps.hash32(concat(lit(s"bloom$h:"), col("sh"))), lit(m))
+    val bw = bench
+      .select(explode(array((1 to BloomK).map(bloomIdx): _*)).as("idx"))
+      .groupBy(expr("idx div 32").as("w"))
+      .agg(expr("bit_or(shiftleft(cast(1 as bigint), cast(idx % 32 as int)))").as("bits"))
+    val probe = (1 to BloomK).foldLeft(
+        shingled.filter(col("doc_id") % 101 =!= 0)) { (df, h) =>
+      df.withColumn(s"idx$h", bloomIdx(h))
+        .join(broadcast(bw.select(col("w").as(s"w$h"), col("bits").as(s"bits$h"))),
+          expr(s"w$h = idx$h div 32"), "left")
+        .filter(expr(s"(shiftright(coalesce(bits$h, 0L), cast(idx$h % 32 as int)) & 1) = 1"))
+    }
+    probe.select(col("doc_id"), col("sh"))
+      .join(bench.withColumn("hit", lit(1L)), Seq("sh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bloom"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_exact"))
+      .withColumn("is_fp", (col("n_exact") === 0L).cast("long"))
       .orderBy(col("doc_id"))
   }
 
@@ -1194,6 +1268,7 @@ object CurationPack {
     "q65_cms_heavy_hitters" -> cmsHeavyHitters _,
     "q66_bigram_likelihood" -> bigramLikelihood _,
     "q67_decontaminate" -> decontaminate _,
+    "q107_bloom_decontaminate" -> bloomDecontaminate _,
     "q68_corpus_build" -> corpusBuild _,
     "q69_mixture_draw" -> mixtureDraw _,
     "q70_star_components" -> starDedupComponents _,
@@ -1667,6 +1742,49 @@ object CurationPack {
          |cand AS (SELECT doc_id, sh FROM shing WHERE doc_id % 101 != 0)
          |SELECT doc_id, count(*)::bigint AS n_overlapping_shingles
          |FROM cand JOIN bench USING (sh)
+         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "q107_bloom_decontaminate" ->
+      s"""WITH planted AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 101 = 0 OR doc_id % 11 = 0
+         |         THEN text || ' $LeakPhrase' ELSE text END AS text
+         |  FROM documents),
+         |shing AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest([array_to_string(toks[i:i+7], ' ')
+         |            for i in range(1, len(toks) - 6)]) AS sh
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM planted)),
+         |bench AS (SELECT DISTINCT sh FROM shing WHERE doc_id % 101 = 0),
+         |mm AS (
+         |  SELECT (1::bigint << coalesce(min(p), $BloomMaxP)) AS m
+         |  FROM range($BloomMinP, ${BloomMaxP + 1}) t(p)
+         |  WHERE (1::bigint << p) >= $BloomBitsPerKey * (SELECT count(*) FROM bench)),
+         |bidx AS (
+         |  SELECT ('0x' || substr(md5('bloom' || h || ':' || sh), 1, 8))::bigint
+         |           % mm.m AS idx
+         |  FROM bench CROSS JOIN (SELECT unnest(range(1, ${BloomK + 1})) AS h)
+         |  CROSS JOIN mm),
+         |bw AS (SELECT idx // 32 AS w,
+         |         bit_or(1::bigint << (idx % 32)::int)::bigint AS bits
+         |       FROM bidx GROUP BY 1),
+         |p AS (
+         |  SELECT s.doc_id, s.sh, h.h,
+         |    ('0x' || substr(md5('bloom' || h.h || ':' || s.sh), 1, 8))::bigint
+         |      % mm.m AS idx
+         |  FROM (SELECT doc_id, sh FROM shing WHERE doc_id % 101 != 0) s
+         |  CROSS JOIN (SELECT unnest(range(1, ${BloomK + 1})) AS h) h
+         |  CROSS JOIN mm),
+         |pass AS (
+         |  SELECT p.doc_id, p.sh, count(*)::bigint AS k_set
+         |  FROM p JOIN bw ON bw.w = p.idx // 32
+         |    AND ((bw.bits >> (p.idx % 32)::int) & 1) = 1
+         |  GROUP BY 1, 2 HAVING count(*) = $BloomK)
+         |SELECT pass.doc_id,
+         |  count(*)::bigint AS n_bloom,
+         |  sum(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END)::bigint AS n_exact,
+         |  (CASE WHEN sum(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END) = 0
+         |        THEN 1 ELSE 0 END)::bigint AS is_fp
+         |FROM pass LEFT JOIN bench b ON b.sh = pass.sh
          |GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "q65_cms_heavy_hitters" ->
       """WITH tok AS (

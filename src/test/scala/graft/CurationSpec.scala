@@ -479,4 +479,26 @@ class CurationSpec extends AnyFunSuite {
       assert(enc.map(_._4).sum > 0, "no merge ever applied")
     }
   }
+
+  test("q107 bloom gate: admits every exact q67 contamination (no false negatives)") {
+    Caches.scoped {
+      import graft.queries.CurationPack
+      val dir = "/root/testdata/sf0.001"
+      val bloom = CurationPack.bloomDecontaminate(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val exactDocs = CurationPack.decontaminate(spark, dir).collect()
+        .map(_.getLong(0)).toSet
+      // every doc q67 flags must survive the Bloom gate with n_exact > 0
+      val bloomExact = bloom.filter(_._3 > 0).map(_._1).toSet
+      assert(bloomExact == exactDocs,
+        s"missed ${exactDocs -- bloomExact}, phantom ${bloomExact -- exactDocs}")
+      // flag consistency and bloom superset per doc
+      bloom.foreach { case (_, nb, ne, fp) =>
+        assert(nb >= ne && fp == (if (ne == 0) 1L else 0L))
+      }
+      // the gate actually prunes: false positives exist but are a strict
+      // subset of the probe stream (sanity that the filter isn't saturated)
+      assert(bloom.count(_._4 == 1L) < bloom.length)
+    }
+  }
 }
