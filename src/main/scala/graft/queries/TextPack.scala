@@ -170,6 +170,49 @@ object TextPack {
   private val PlantedClusterText =
     "salted skew cluster alpha beta gamma delta epsilon zeta eta theta"
 
+  private val PlantedLeakText =
+    "split leakage probe kappa lambda mu nu xi omicron pi rho sigma tau"
+
+  /** q108: cross-split near-dup LEAKAGE audit — the check every
+    * train/val/test pipeline must run AFTER splitting: a near-duplicate
+    * pair straddling two splits silently leaks evaluation data into
+    * training (dedup-before-split misses docs that only became dups
+    * later; split-before-dedup guarantees nothing). Composition: q18's
+    * banded candidate pairs (≥2 shared bands — the corpusClean near-dup
+    * gate) joined with q80's hash-bucketed split assignment, keeping
+    * only pairs whose endpoints land in DIFFERENT splits. Leakage is
+    * planted (every 43rd doc shares one synthetic text; the split hash
+    * is independent of doc content, so the planted cluster straddles
+    * splits with certainty at fixture size) and the natural corpus
+    * contributes whatever real cross-split dups exist.
+    *
+    * Scale: the expensive subtree is the banded join (already the q18
+    * shape — equi-join, never all-pairs); the split frame is a narrow
+    * per-doc hash projection, and the two doc-keyed joins attach splits
+    * to PAIR-sized frames (post-gate survivors), not the corpus.
+    */
+  def splitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"),
+      when(col("doc_id") % 43 === 0, lit(PlantedLeakText))
+        .otherwise(col("text")).as("text"))
+    val split = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        graft.ext.TextOps.hash32(
+          concat(lit("split:"), col("doc_id").cast("string"))).as("h"))
+      .select(col("doc_id"),
+        when(col("h") % 100 < 2, lit("test"))
+          .when(col("h") % 100 < 4, lit("val"))
+          .otherwise(lit("train")).as("split"))
+    lshCandidatePairsFrom(docs)
+      .filter(col("n_shared_bands") >= 2)
+      .join(split.select(col("doc_id").as("doc1"), col("split").as("split1")), "doc1")
+      .join(split.select(col("doc_id").as("doc2"), col("split").as("split2")), "doc2")
+      .filter(col("split1") =!= col("split2"))
+      .select(col("doc1"), col("doc2"), col("split1"), col("split2"),
+        col("n_shared_bands"))
+      .orderBy(col("doc1"), col("doc2"))
+  }
+
   /** q50: the salted banded join gated END TO END on a corpus with real
     * skew. Every tenth doc becomes one exact-duplicate cluster (identical
     * signature → identical key in EVERY band: at sf0.1 that is a 500-dup
@@ -393,6 +436,7 @@ object TextPack {
     "q16_ngram_jaccard" -> ngramJaccard _,
     "q17_minhash_signatures" -> minhashSignatures _,
     "q18_lsh_candidate_pairs" -> lshCandidatePairs _,
+    "q108_split_leakage" -> splitLeakage _,
     "q50_salted_banded_join" -> lshSaltedSkew _,
     "q51_stratified_sample" -> stratifiedSample _,
     "q19_simhash" -> simhashes _,
@@ -560,6 +604,40 @@ object TextPack {
          |SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_shared_bands
          |FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
          |GROUP BY 1, 2 ORDER BY doc1, doc2""".stripMargin,
+    "q108_split_leakage" ->
+      s"""WITH pdocs AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 43 = 0 THEN '$PlantedLeakText'
+         |         ELSE text END AS text
+         |  FROM documents),
+         |sh AS (
+         |  SELECT doc_id, $shinglesSql AS sh
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM pdocs)),
+         |sig AS (SELECT doc_id, $sigSql AS sig FROM sh),
+         |bands AS (
+         |  SELECT doc_id, b,
+         |    b || ':' || array_to_string(sig[b*$R+1:b*$R+$R], ',') AS band_key
+         |  FROM sig CROSS JOIN (SELECT unnest(range($Bands)) AS b)),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n
+         |  FROM bands a JOIN bands b
+         |    ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |sp AS (
+         |  SELECT doc_id,
+         |    CASE WHEN ('0x' || substr(md5('split:' || doc_id), 1, 8))::bigint
+         |              % 100 < 2 THEN 'test'
+         |         WHEN ('0x' || substr(md5('split:' || doc_id), 1, 8))::bigint
+         |              % 100 < 4 THEN 'val'
+         |         ELSE 'train' END AS split
+         |  FROM documents)
+         |SELECT p.doc1, p.doc2, s1.split AS split1, s2.split AS split2,
+         |  p.n AS n_shared_bands
+         |FROM pairs p
+         |JOIN sp s1 ON s1.doc_id = p.doc1
+         |JOIN sp s2 ON s2.doc_id = p.doc2
+         |WHERE p.n >= 2 AND s1.split != s2.split
+         |ORDER BY doc1, doc2""".stripMargin,
     "q51_stratified_sample" ->
       s"""WITH s AS (
          |  SELECT doc_id, lang, source,

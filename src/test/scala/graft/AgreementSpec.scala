@@ -333,6 +333,23 @@ class AgreementSpec extends AnyFunSuite {
     }
   }
 
+  test("q108 split leakage: planted cross-split dups surface, invariants hold") {
+    Caches.scoped {
+      val dir = "/root/testdata/sf0.001"
+      val rows = graft.queries.TextPack.queries("q108_split_leakage")(spark, dir)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3), r.getLong(4)))
+      assert(rows.nonEmpty, "no leakage found — the planted cluster must straddle splits")
+      // every reported pair really straddles splits with the near-dup gate met
+      rows.foreach { case (d1, d2, s1, s2, n) =>
+        assert(d1 < d2 && s1 != s2 && n >= 2)
+      }
+      // the planted cluster (every 43rd doc, identical text) contributes
+      // at least one cross-split pair — the audit's guaranteed positive
+      assert(rows.exists { case (d1, d2, _, _, _) => d1 % 43 == 0 && d2 % 43 == 0 })
+    }
+  }
+
   test("q104 pcaPower: exact scatter diagonal + invariants on the fixture corpus") {
     Caches.scoped {
       val dir = "/root/testdata/sf0.001"
