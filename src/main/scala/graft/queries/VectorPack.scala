@@ -428,10 +428,52 @@ object VectorPack {
     VectorOps.pcaFromState(VectorOps.mergeScatterStates(states), PcaRounds, PcaVs)
   }
 
+  private val DriftScale = 1000000L // mean-shift fixed point (ppm of a unit)
+
+  /** q109: embedding DRIFT monitor — per-dimension first/second moments
+    * of two corpus halves (vec_id-ranged: "yesterday's crawl vs
+    * today's") and the exact fixed-point mean shift between them, the
+    * check a production embedding pipeline runs before trusting a new
+    * batch (an upstream model/preprocessing change moves the marginal
+    * statistics long before it breaks anything visibly). All outputs
+    * are exact int64: counts, sums, sums of squares per half, and
+    * `mean_shift_fp = floor((s1·n2 − s2·n1)·10⁶ / (n1·n2))` — the
+    * repo-standard floor-of-double-quotient normalization.
+    *
+    * Scale shape: ONE narrow posexplode + ONE groupBy(half, dim)
+    * aggregation over the corpus (map-side combinable, shuffle carries
+    * parts × 2d partial rows); the halves then meet in a d-row
+    * broadcast self-join. No second corpus pass, nothing quadratic.
+    */
+  def embeddingDrift(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = graft.Caches.persisted(
+      quantized(spark, dir).select(col("vec_id"), col("qvec")))
+    val mid = vecs.agg(max(col("vec_id"))).head.getLong(0) / 2
+    val moments = vecs
+      .select((col("vec_id") <= mid).cast("long").as("half"),
+        posexplode(col("qvec")).as(Seq("dim", "x")))
+      .groupBy(col("half"), col("dim").cast("long").as("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
+        sum(col("x") * col("x")).as("ss"))
+    val h1 = moments.filter(col("half") === 1L)
+      .select(col("dim"), col("n").as("n1"), col("s").as("s1"), col("ss").as("ss1"))
+    val h2 = moments.filter(col("half") === 0L)
+      .select(col("dim"), col("n").as("n2"), col("s").as("s2"), col("ss").as("ss2"))
+    h1.join(broadcast(h2), "dim")
+      .withColumn("mean_shift_fp",
+        floor((col("s1") * col("n2") - col("s2") * col("n1")).cast("double")
+          * lit(DriftScale.toDouble)
+          / (col("n1") * col("n2")).cast("double")).cast("long"))
+      .select(col("dim"), col("n1"), col("n2"), col("s1"), col("s2"),
+        col("ss1"), col("ss2"), col("mean_shift_fp"))
+      .orderBy(col("dim"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q104_pca_power" -> pcaPower _,
     "q105_pca_project" -> pcaProject _,
     "q106_stream_scatter" -> streamScatter _,
+    "q109_embedding_drift" -> embeddingDrift _,
     "q86_hard_negatives" -> hardNegativeMining _,
     "q94_pq_ann" -> pqAnn _,
     "q101_coreset" -> coresetSelect _,
@@ -579,6 +621,23 @@ object VectorPack {
          |SELECT c.di AS dim, c.g AS c_diag, p$PcaRounds.v AS v
          |FROM c JOIN p$PcaRounds ON p$PcaRounds.dim = c.di
          |WHERE c.di = c.dj ORDER BY dim""".stripMargin,
+    "q109_embedding_drift" ->
+      s"""WITH v AS (SELECT vec_id, $qv AS qvec FROM embeddings),
+         |mid AS (SELECT max(vec_id) // 2 AS mid FROM v),
+         |e AS (SELECT vec_id, unnest(qvec) AS x,
+         |        (generate_subscripts(qvec, 1) - 1)::bigint AS dim FROM v),
+         |m AS (
+         |  SELECT CASE WHEN e.vec_id <= mid.mid THEN 1 ELSE 0 END AS half,
+         |    e.dim, count(*)::bigint AS n, sum(e.x)::bigint AS s,
+         |    sum(e.x * e.x)::bigint AS ss
+         |  FROM e CROSS JOIN mid GROUP BY 1, 2)
+         |SELECT h1.dim, h1.n AS n1, h2.n AS n2, h1.s AS s1, h2.s AS s2,
+         |  h1.ss AS ss1, h2.ss AS ss2,
+         |  floor((h1.s * h2.n - h2.s * h1.n)::double * ${DriftScale}.0::double
+         |    / (h1.n * h2.n)::double)::bigint AS mean_shift_fp
+         |FROM (SELECT * FROM m WHERE half = 1) h1
+         |JOIN (SELECT * FROM m WHERE half = 0) h2 ON h2.dim = h1.dim
+         |ORDER BY h1.dim""".stripMargin,
     "q105_pca_project" ->
       s"""WITH v AS (SELECT vec_id, $qv AS qvec FROM embeddings),
          |e AS (SELECT vec_id, unnest(qvec) AS x,
