@@ -763,7 +763,61 @@ object Relational {
       .orderBy(col("cohort_day"), col("day_offset"))
   }
 
+  private val ZoneRows = 512L            // rows per zone (row-group proxy)
+  private val ZoneHiValue = 400.0        // audit predicate: value > 400
+  private val ZoneStaleUs = 86400L * 1000000L // audit predicate: last 1 day
+
+  /** q110: ZONE-MAP build + data-skipping audit — the per-row-group
+    * min/max/count statistics a lakehouse table format (parquet footer,
+    * Delta/Iceberg manifests) keeps so scans can skip data without
+    * reading it. Zones are fixed-width `event_id div 512` ranges (the
+    * row-group proxy: at 100 TB a zone IS a parquet row group and this
+    * groupBy IS the stats-collection pass of an OPTIMIZE/compaction
+    * job). Per zone: row count, min/max of ts (µs)/value/user_id,
+    * distinct event_type count — plus a SELF-AUDITING pruning check for
+    * two canonical predicates: `value > 400` (prune_value_hi: the
+    * zone's max proves no row can match) and "last 1 day"
+    * (prune_stale: the zone closed before global-max-ts − 1 d).
+    * `n_match_hi` carries the ground truth: a zone with
+    * prune_value_hi=1 must show n_match_hi=0, so the oracle re-proves
+    * the skipping is sound, not just computed.
+    *
+    * The fixture's events are time-ordered by event_id (corr ≈ 1.0, as
+    * ingest order is at scale), so the staleness audit shows the real
+    * effect: 18/20 zones prunable at sf0.01 — the reason time-travel
+    * queries on chronologically-laid-out data touch O(result) bytes,
+    * not O(corpus). The value audit shows the converse: an unclustered
+    * column prunes only where the tail value happens to be absent.
+    *
+    * Scale shape: ONE map-side-combinable groupBy on a derived key
+    * (shuffle carries one partial row per zone per input partition)
+    * plus a 1-row global bound broadcast into a flag projection. No
+    * window, no second corpus pass.
+    */
+  def zonemapStats(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir).select(
+      expr(s"event_id div $ZoneRows").as("zone"),
+      unix_micros(col("ts")).as("ts_us"), col("user_id"),
+      col("event_type"), col("value"))
+    val zones = ev.groupBy(col("zone"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("ts_us")).as("min_ts_us"), max(col("ts_us")).as("max_ts_us"),
+        min(col("value")).as("min_value"), max(col("value")).as("max_value"),
+        min(col("user_id")).as("min_user"), max(col("user_id")).as("max_user"),
+        countDistinct(col("event_type")).as("n_types"),
+        sum((col("value") > lit(ZoneHiValue)).cast("long")).as("n_match_hi"))
+    val bounds = ev.agg(max(col("ts_us")).as("g_max_ts_us"))
+    zones.crossJoin(broadcast(bounds))
+      .withColumn("prune_value_hi",
+        (col("max_value") <= lit(ZoneHiValue)).cast("long"))
+      .withColumn("prune_stale",
+        (col("max_ts_us") < col("g_max_ts_us") - lit(ZoneStaleUs)).cast("long"))
+      .drop("g_max_ts_us")
+      .orderBy(col("zone"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q110_zonemap_stats" -> zonemapStats _,
     "q85_retention_cohorts" -> retentionCohorts _,
     "q84_funnel_stages" -> funnelStages _,
     "q63_interval_join" -> intervalAttribution _,
@@ -793,6 +847,25 @@ object Relational {
     "q45_output_gate" -> outputGate _)
 
   private val oraclesBase: Map[String, String] = Map(
+    "q110_zonemap_stats" ->
+      s"""WITH e AS (
+         |  SELECT event_id // $ZoneRows AS zone, epoch_us(ts) AS ts_us,
+         |    user_id, event_type, value
+         |  FROM events),
+         |z AS (
+         |  SELECT zone, count(*)::bigint AS n_rows,
+         |    min(ts_us)::bigint AS min_ts_us, max(ts_us)::bigint AS max_ts_us,
+         |    min(value) AS min_value, max(value) AS max_value,
+         |    min(user_id)::bigint AS min_user, max(user_id)::bigint AS max_user,
+         |    count(DISTINCT event_type)::bigint AS n_types,
+         |    sum(CASE WHEN value > $ZoneHiValue THEN 1 ELSE 0 END)::bigint AS n_match_hi
+         |  FROM e GROUP BY zone),
+         |b AS (SELECT max(ts_us) AS g FROM e)
+         |SELECT z.zone, z.n_rows, z.min_ts_us, z.max_ts_us, z.min_value,
+         |  z.max_value, z.min_user, z.max_user, z.n_types, z.n_match_hi,
+         |  (CASE WHEN z.max_value <= $ZoneHiValue THEN 1 ELSE 0 END)::bigint AS prune_value_hi,
+         |  (CASE WHEN z.max_ts_us < b.g - $ZoneStaleUs THEN 1 ELSE 0 END)::bigint AS prune_stale
+         |FROM z, b ORDER BY z.zone""".stripMargin,
     // Deliberately the BETWEEN theta-join the engine's bucketized
     // equi-join avoids.
     "q63_interval_join" ->

@@ -403,4 +403,26 @@ class AgreementSpec extends AnyFunSuite {
       assert(cos > 0.9998, s"planted direction not recovered: cosine $cos")
     }
   }
+  test("q110 zonemap: zones cover the table exactly and pruning flags are sound") {
+    val dir = "/root/testdata/sf0.001"
+    Caches.scoped {
+      val zones = graft.queries.Relational.zonemapStats(spark, dir).collect()
+      val total = Tables.events(spark, dir).count()
+      // exhaustive + disjoint: zone row counts sum to the table
+      assert(zones.map(_.getAs[Long]("n_rows")).sum == total)
+      val gmax = zones.map(_.getAs[Long]("max_ts_us")).max
+      zones.foreach { z =>
+        // a zone flagged skippable for `value > hi` must contain zero
+        // matching rows (the self-audit column carries ground truth)
+        if (z.getAs[Long]("prune_value_hi") == 1L)
+          assert(z.getAs[Long]("n_match_hi") == 0L)
+        // min/max sane per zone
+        assert(z.getAs[Long]("min_ts_us") <= z.getAs[Long]("max_ts_us"))
+        assert(z.getAs[Double]("min_value") <= z.getAs[Double]("max_value"))
+        // stale flag is exactly the "closed a day before global max" rule
+        val stale = z.getAs[Long]("max_ts_us") < gmax - 86400L * 1000000L
+        assert((z.getAs[Long]("prune_stale") == 1L) == stale)
+      }
+    }
+  }
 }
