@@ -458,6 +458,55 @@ object CurationPack {
     bigramLikelihoodScored(bigrams, uni, bi)
   }
 
+  // ---------------------------------------------------------------- q111
+
+  private val PmiScale = 1000000L
+  private val PmiDiscount = 5L  // Mikolov phrase-score count discount
+  private val PmiMinCount = 6L  // must exceed the discount
+  private val PmiTopK = 50
+
+  /** q111: collocation mining by pointwise mutual information — the
+    * phrase-detection pass (Mikolov et al. 2013 §4, word2phrase) every
+    * tokenizer-training / embedding pipeline runs to promote "new york"
+    * -style bigrams to single units. Log-free exact-integer surrogate
+    * of PMI (same monotone-ranking contract as q57's idf and q66's
+    * conditional): `pmi_fp = ((cb − δ)·N·10⁶) div (cu1·cu2)` over the
+    * exact corpus counts, δ=5 discounting rare accidental pairs, min
+    * count 6 (> δ, so the numerator stays positive). Top-50 by
+    * (pmi_fp desc, bg asc) — a deterministic total order.
+    *
+    * Scale shape: unigram and bigram count tables are VOCABULARY-sized
+    * (corpus-independent), built by map-side-combinable groupBys over
+    * one [[bigramRows]] explode; the scoring joins are count-table ×
+    * count-table equi-joins (never corpus-sized; AQE broadcasts them
+    * when the vocab fits), the global N is a 1-row broadcast, and the
+    * top-K is a TakeOrderedAndProject. int64 headroom: the numerator
+    * is ≤ cb·N·10⁶ — at trillion-token corpora promote the product to
+    * decimal(38,0); at every test SF it is ≤ ~10¹⁵.
+    */
+  def pmiCollocations(spark: SparkSession, dir: String): DataFrame =
+    pmiCollocationsFrom(Tables.documents(spark, dir))
+
+  private[graft] def pmiCollocationsFrom(docs: DataFrame): DataFrame = {
+    val t = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val uni = graft.Caches.persisted(
+      t.select(explode(col("toks")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("cu")))
+    val nUni = uni.agg(sum(col("cu")).as("n_uni"))
+    val bi = bigramRows(docs).groupBy(col("bg")).agg(count(lit(1)).as("cb"))
+      .filter(col("cb") >= PmiMinCount)
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .withColumn("w2", substring_index(col("bg"), " ", -1))
+    bi.join(uni.select(col("w").as("w1"), col("cu").as("cu1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("cu").as("cu2")), "w2")
+      .crossJoin(broadcast(nUni))
+      .withColumn("pmi_fp",
+        expr(s"((cb - $PmiDiscount) * n_uni * $PmiScale) div (cu1 * cu2)"))
+      .select(col("bg"), col("w1"), col("w2"), col("cb"), col("cu1"),
+        col("cu2"), col("n_uni"), col("pmi_fp"))
+      .orderBy(col("pmi_fp").desc, col("bg")).limit(PmiTopK)
+  }
+
   // ---------------------------------------------------------------- q67
 
   private val LeakPhrase = "leak alpha bravo charlie delta echo foxtrot golf"
@@ -1267,6 +1316,7 @@ object CurationPack {
     "q64_snapshot_diff" -> snapshotDiff _,
     "q65_cms_heavy_hitters" -> cmsHeavyHitters _,
     "q66_bigram_likelihood" -> bigramLikelihood _,
+    "q111_pmi_collocations" -> pmiCollocations _,
     "q67_decontaminate" -> decontaminate _,
     "q107_bloom_decontaminate" -> bloomDecontaminate _,
     "q68_corpus_build" -> corpusBuild _,
@@ -1705,6 +1755,28 @@ object CurationPack {
          |SELECT r.doc_id, r.source, r.n_tokens, cap_rank, quota
          |FROM ranked r JOIN quotas q ON q.source = r.source
          |WHERE cap_rank <= q.quota ORDER BY r.doc_id""".stripMargin,
+    "q111_pmi_collocations" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |bgx AS (
+         |  SELECT unnest([array_to_string(toks[i:i+1], ' ')
+         |                 for i in range(1, len(toks))]) AS bg
+         |  FROM t WHERE len(toks) >= 2),
+         |uni AS (
+         |  SELECT w, count(*)::bigint AS cu
+         |  FROM (SELECT unnest(toks) AS w FROM t) GROUP BY 1),
+         |n AS (SELECT sum(cu)::bigint AS n_uni FROM uni),
+         |bi AS (
+         |  SELECT bg, count(*)::bigint AS cb FROM bgx GROUP BY 1
+         |  HAVING count(*) >= $PmiMinCount),
+         |s AS (
+         |  SELECT bg, string_split(bg, ' ')[1] AS w1,
+         |    string_split(bg, ' ')[2] AS w2, cb FROM bi)
+         |SELECT s.bg, s.w1, s.w2, s.cb, u1.cu AS cu1, u2.cu AS cu2,
+         |  n.n_uni,
+         |  (((s.cb - $PmiDiscount) * n.n_uni * $PmiScale)
+         |    // (u1.cu * u2.cu))::bigint AS pmi_fp
+         |FROM s JOIN uni u1 ON u1.w = s.w1 JOIN uni u2 ON u2.w = s.w2, n
+         |ORDER BY pmi_fp DESC, bg LIMIT $PmiTopK""".stripMargin,
     "q66_bigram_likelihood" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
          |bg AS (

@@ -425,4 +425,23 @@ class AgreementSpec extends AnyFunSuite {
       }
     }
   }
+  test("q111 PMI: planted collocation wins with the exact closed-form score") {
+    import spark.implicits._
+    // 8 docs; "alpha beta" always adjacent, fillers alternate.
+    // counts: alpha=8 beta=8 filler0=4 filler1=4, N=24;
+    // bigrams: "alpha beta" x8, "beta filler0" x4, "beta filler1" x4 -
+    // only "alpha beta" survives min-count 6, and
+    // pmi_fp = (8-5)*24*1e6 div (8*8) = 1125000.
+    val docs = (0 until 8)
+      .map(i => (i.toLong, s"alpha beta filler${i % 2}"))
+      .toDF("doc_id", "text")
+    Caches.scoped {
+      val rows = graft.queries.CurationPack.pmiCollocationsFrom(docs).collect()
+      assert(rows.length == 1)
+      assert(rows.head.getAs[String]("bg") == "alpha beta")
+      assert(rows.head.getAs[Long]("cb") == 8L)
+      assert(rows.head.getAs[Long]("n_uni") == 24L)
+      assert(rows.head.getAs[Long]("pmi_fp") == 1125000L)
+    }
+  }
 }
