@@ -365,6 +365,39 @@ object TextPack {
         TextOps.bpeTokenCount(col("text")).as("n_bpe_tokens"))
       .orderBy(col("doc_id"))
 
+  private val FertScale = 1000000L
+
+  /** q112: tokenizer FERTILITY audit — per (lang, source) corpus slice,
+    * the tokens-per-word and chars-per-token ratios a multilingual
+    * pipeline tracks before fixing a token budget: a language whose
+    * fertility (BPE tokens per whitespace word) runs high is
+    * under-served by the tokenizer and silently gets fewer effective
+    * documents per training token. Ratios are exact fixed point over
+    * exact int64 sums of the SAME two counters q33 emits per-doc
+    * ([[TextOps.tokenCount]] / [[TextOps.bpeTokenCount]], both codegen
+    * expressions) — `(10⁶·Σbpe) div Σws` and `(10⁶·Σchars) div Σbpe`.
+    *
+    * Scale shape: one narrow scan (two codegen counters per row, text
+    * never shuffled) into a map-side-combinable groupBy on the
+    * low-cardinality (lang, source) key. int64 headroom: 10⁶·Σtokens
+    * caps at ~9·10¹² corpus tokens — promote to decimal(38,0) beyond.
+    */
+  def tokenizerFertility(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"), col("source"), col("n_chars"),
+        TextOps.tokenCount(col("text")).as("ws"),
+        TextOps.bpeTokenCount(col("text")).as("bpe"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(col("ws")).as("sum_ws_tokens"),
+        sum(col("bpe")).as("sum_bpe_tokens"))
+      .withColumn("bpe_per_ws_fp",
+        expr(s"($FertScale * sum_bpe_tokens) div sum_ws_tokens"))
+      .withColumn("chars_per_bpe_fp",
+        expr(s"($FertScale * sum_chars) div sum_bpe_tokens"))
+      .orderBy(col("lang"), col("source"))
+
   /** Rolling-hash (Rabin-Karp) winnowing fingerprints + collision groups:
     * the engine's O(n)-per-doc typed path vs the oracle's per-window
     * Horner recomputation — value-identical exact int64 arithmetic.
@@ -429,6 +462,7 @@ object TextPack {
     "q31_corpus_clean" -> corpusClean _,
     "q32_simhash_neardup" -> simhashNearDup _,
     "q33_bpe_token_count" -> bpeTokenCounts _,
+    "q112_tokenizer_fertility" -> tokenizerFertility _,
     "q34_rolling_fingerprint" -> rollingFingerprints _,
     "q13_text_stats" -> textStats _,
     "q14_fingerprint_dedup" -> fingerprintDedup _,
@@ -501,6 +535,20 @@ object TextPack {
          |  start_offset // $PackBudget AS bin,
          |  start_offset % $PackBudget AS bin_offset
          |FROM o ORDER BY doc_id""".stripMargin,
+    "q112_tokenizer_fertility" ->
+      s"""WITH d AS (
+         |  SELECT lang, source, n_chars,
+         |    (len(text) - len(replace(text, ' ', '')) + 1)::bigint AS ws,
+         |    cast(len(regexp_extract_all(text,
+         |      '${TextOps.BpePattern.replace("'", "''")}')) AS bigint) AS bpe
+         |  FROM documents)
+         |SELECT lang, source, count(*)::bigint AS n_docs,
+         |  sum(n_chars)::bigint AS sum_chars,
+         |  sum(ws)::bigint AS sum_ws_tokens,
+         |  sum(bpe)::bigint AS sum_bpe_tokens,
+         |  (($FertScale * sum(bpe)) // sum(ws))::bigint AS bpe_per_ws_fp,
+         |  (($FertScale * sum(n_chars)) // sum(bpe))::bigint AS chars_per_bpe_fp
+         |FROM d GROUP BY lang, source ORDER BY lang, source""".stripMargin,
     "q33_bpe_token_count" ->
       s"""SELECT doc_id,
          |  len(text) - len(replace(text, ' ', '')) + 1 AS n_ws_tokens,

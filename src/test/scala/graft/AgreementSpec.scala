@@ -444,4 +444,28 @@ class AgreementSpec extends AnyFunSuite {
       assert(rows.head.getAs[Long]("pmi_fp") == 1125000L)
     }
   }
+  test("q112 fertility: group sums equal the per-doc q33 counters, ratios exact") {
+    val dir = "/root/testdata/sf0.001"
+    Caches.scoped {
+      val fert = graft.queries.TextPack.tokenizerFertility(spark, dir).collect()
+      // brute-force one group from the per-doc q33 counters + raw docs
+      val docs = Tables.documents(spark, dir)
+        .join(graft.queries.TextPack.bpeTokenCounts(spark, dir), "doc_id")
+        .select("lang", "source", "n_chars", "n_ws_tokens", "n_bpe_tokens")
+        .collect()
+      val g = fert.head
+      val (lang, source) = (g.getAs[String]("lang"), g.getAs[String]("source"))
+      val sel = docs.filter(r => r.getAs[String]("lang") == lang &&
+        r.getAs[String]("source") == source)
+      val (sc, sw, sb) = (sel.map(_.getAs[Long]("n_chars")).sum,
+        sel.map(_.getAs[Long]("n_ws_tokens")).sum,
+        sel.map(_.getAs[Long]("n_bpe_tokens")).sum)
+      assert(g.getAs[Long]("n_docs") == sel.length.toLong)
+      assert(g.getAs[Long]("sum_chars") == sc)
+      assert(g.getAs[Long]("sum_ws_tokens") == sw)
+      assert(g.getAs[Long]("sum_bpe_tokens") == sb)
+      assert(g.getAs[Long]("bpe_per_ws_fp") == 1000000L * sb / sw)
+      assert(g.getAs[Long]("chars_per_bpe_fp") == 1000000L * sc / sb)
+    }
+  }
 }
