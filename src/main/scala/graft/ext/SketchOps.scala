@@ -165,6 +165,32 @@ object SketchOps {
       .select(groupCols.map(col) :+ col("e.id").as("h"): _*)
   }
 
+  /** Finalize a (groupCols*, h) kept-hash frame into the [[kmvDistinct]]
+    * output shape — the MERGE half of the KMV sketch: the bottom-k of a
+    * union is computable from the per-part bottom-k sets alone (any
+    * member of the global bottom-k is necessarily in its own part's
+    * bottom-k), so unioning batch kept-sets and re-taking the bottom-k
+    * reproduces the one-shot batch sketch state-for-state. The distinct
+    * dedups hashes that survive in several batches' kept sets.
+    *
+    * Scale shape: input is sketch-sized (≤k rows per group per batch),
+    * so everything here — distinct, bottom-k aggregate — shuffles
+    * sketch rows, never corpus rows.
+    */
+  def kmvFinalizeKept(kept: DataFrame, groupCols: Seq[String],
+      k: Int = KmvK): DataFrame = {
+    val bottomK = udaf(new graft.functions.TopKAgg(k))
+    kept.select(groupCols.map(col) :+ col("h"): _*).distinct()
+      .groupBy(groupCols.map(col): _*)
+      .agg(bottomK(col("h"), -col("h").cast("double")).as("top"))
+      .withColumn("n_kept", size(col("top")).cast("long"))
+      .withColumn("kth_hash", element_at(col("top"), size(col("top"))).getField("id"))
+      .withColumn("est_distinct",
+        when(col("n_kept") < k, col("n_kept"))
+          .otherwise(expr(s"(${k - 1}L * $KmvRange) div greatest(kth_hash, 1L)")))
+      .drop("top")
+  }
+
   /** Pairwise Jaccard estimation from KMV kept sets (Beyer et al., "On
     * synopses for distinct-value estimation under multiset operations",
     * SIGMOD 2007) — the sketch-union property that distinguishes KMV

@@ -691,6 +691,33 @@ object Relational {
     sketch.join(exact, "event_type").orderBy(col("event_type"))
   }
 
+  /** q113: INCREMENTAL KMV maintenance, oracle-gated — the bottom-k
+    * sibling of q96's HLL register gate and q106's scatter merge: the
+    * events split into three event_id-ranged micro-batches, each keeps
+    * its own ≤k bottom-hash set ([[graft.ext.SketchOps.kmvKeptHashes]]),
+    * the sets union and re-finalize ([[graft.ext.SketchOps
+    * .kmvFinalizeKept]] — KMV's defining mergeability), and the merged
+    * sketch must hash-equal the one-shot batch q87 via q87's own
+    * oracle. Proves the cross-day/streaming distinct-count path needs
+    * only sketch-sized state, never the value set.
+    */
+  def streamKmv(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ext.SketchOps
+    val ev = graft.Caches.persisted(events(spark, dir)
+      .select(col("event_type"), col("user_id"), col("event_id")))
+    val mx = ev.agg(max(col("event_id"))).head.getLong(0)
+    val kept = Seq(
+      ev.filter(col("event_id") <= mx / 3),
+      ev.filter(col("event_id") > mx / 3 && col("event_id") <= 2 * mx / 3),
+      ev.filter(col("event_id") > 2 * mx / 3))
+      .map(SketchOps.kmvKeptHashes(_, Seq("event_type"), "user_id"))
+      .reduce(_ unionByName _)
+    val sketch = SketchOps.kmvFinalizeKept(kept, Seq("event_type"))
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_distinct"))
+    sketch.join(exact, "event_type").orderBy(col("event_type"))
+  }
+
   /** q84: greedy ordered FUNNEL over the event stream — the classic
     * product-analytics sequence operator (view → click → purchase):
     * stage 1 is each user's earliest view; stage k>1 is the earliest
@@ -828,6 +855,7 @@ object Relational {
     "q92_decayed_trend" -> decayedTrend _,
     "q93_stream_funnel" -> streamFunnel _,
     "q96_stream_hll" -> streamHll _,
+    "q113_stream_kmv" -> streamKmv _,
     "q102_scd2_build" -> scd2Build _,
     "q60_sessionize" -> sessionize _,
     "q61_exact_quantiles" -> exactQuantiles _,
@@ -1247,5 +1275,6 @@ object Relational {
     oraclesBase +
       ("q89_stream_sessions" -> oraclesBase("q60_sessionize")) +
       ("q93_stream_funnel" -> oraclesBase("q84_funnel_stages")) +
-      ("q96_stream_hll" -> oraclesBase("q62_hll_distinct"))
+      ("q96_stream_hll" -> oraclesBase("q62_hll_distinct")) +
+      ("q113_stream_kmv" -> oraclesBase("q87_kmv_distinct"))
 }

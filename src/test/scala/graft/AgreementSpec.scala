@@ -468,4 +468,29 @@ class AgreementSpec extends AnyFunSuite {
       assert(g.getAs[Long]("chars_per_bpe_fp") == 1000000L * sc / sb)
     }
   }
+  test("q113 KMV merge: batch-split invariant, equals one-shot sketch") {
+    import graft.ext.SketchOps
+    val dir = "/root/testdata/sf0.001"
+    Caches.scoped {
+      val ev = Tables.events(spark, dir)
+        .select(col("event_type"), col("user_id"), col("event_id"))
+      def key(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getAs[String]("event_type"),
+          r.getAs[Long]("n_kept"), r.getAs[Long]("kth_hash"),
+          r.getAs[Long]("est_distinct"))).toSet
+      val batch = key(SketchOps.kmvDistinct(ev, Seq("event_type"), "user_id"))
+      // pathological split: one batch holds everything, four are empty
+      val skewed = key(SketchOps.kmvFinalizeKept(
+        (ev +: Seq.fill(4)(ev.limit(0)))
+          .map(SketchOps.kmvKeptHashes(_, Seq("event_type"), "user_id"))
+          .reduce(_ unionByName _), Seq("event_type")))
+      // five even slices by user hash (uncorrelated with event order)
+      val even = key(SketchOps.kmvFinalizeKept(
+        (0 until 5).map(i => SketchOps.kmvKeptHashes(
+            ev.filter(pmod(col("user_id"), lit(5)) === i),
+            Seq("event_type"), "user_id"))
+          .reduce(_ unionByName _), Seq("event_type")))
+      assert(batch == skewed && batch == even && batch.nonEmpty)
+    }
+  }
 }
