@@ -324,4 +324,50 @@ class PlanContractSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
         s"no cartesian in q104:\n$plan")
     }
   }
+  test("q110 zonemap: one agg pass, 1-row bounds broadcast, no window") {
+    Caches.scoped {
+      val plan = executed("q110_zonemap_stats")
+      assert(collect(plan) { case b: BroadcastExchangeLike => b }.nonEmpty,
+        s"global bound must broadcast into the flag projection:\n$plan")
+      assert(collect(plan) {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }.isEmpty, s"zonemap must not plan a Window:\n$plan")
+      assert(collect(plan) { case c: CartesianProductExec => c }.isEmpty)
+    }
+  }
+
+  test("q112 fertility: text never shuffles — counters reduce before the exchange") {
+    Caches.scoped {
+      val plan = executed("q112_tokenizer_fertility")
+      // every shuffle in the plan must carry only the group key + the
+      // four int64 partials, never the text column
+      val shuffles = collect(plan) {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e }
+      assert(shuffles.nonEmpty)
+      shuffles.foreach { e =>
+        assert(!e.child.output.exists(_.name == "text"),
+          s"text must be consumed map-side:\n$plan")
+      }
+      assert(collect(plan) {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }.isEmpty)
+    }
+  }
+
+  test("q111 PMI: count-table joins only — the corpus explode never joins") {
+    Caches.scoped {
+      val plan = executed("q111_pmi_collocations")
+      assert(collect(plan) { case c: CartesianProductExec => c }.isEmpty)
+      // the only nested-loop join allowed is the broadcast of the 1-row
+      // global-N frame; the vocab-count joins themselves must be equi
+      val bnlj = collect(plan) { case n: BroadcastNestedLoopJoinExec => n }
+      assert(bnlj.size <= 1 &&
+        bnlj.forall(_.right.output.map(_.name) == Seq("n_uni")),
+        s"only the 1-row n_uni frame may nested-loop:\n$plan")
+      // top-50 must be a TakeOrdered, not a global sort
+      assert(collect(plan) {
+        case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+      }.nonEmpty, s"top-k must plan as TakeOrderedAndProject:\n$plan")
+    }
+  }
 }
