@@ -234,6 +234,43 @@ object CurationPack {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  // ---------------------------------------------------------------- q115
+
+  private val SysSampleTarget = 200L
+
+  /** q115: SYSTEMATIC weighted sampling — select ~S docs with inclusion
+    * probability proportional to weight (n_chars: "sample documents
+    * proportional to their token mass"), the deterministic alternative
+    * to A-Res priority sampling: lay every doc's weight end-to-end on
+    * the integer line (inclusive prefix sum in doc_id order), cut the
+    * line into S equal strides, and keep each doc whose weight span
+    * crosses a stride boundary — `(cum_w·S) div W > ((cum_w−w)·S) div W`,
+    * all exact int64, reproducible on any engine, any partitioning.
+    * A doc heavier than one stride is kept once (never duplicated);
+    * the last doc always closes stride S.
+    *
+    * Scale shape: the prefix sum is [[graft.ext.PrefixOps
+    * .groupedRunningAgg]] over a single group — the range-partitioned
+    * two-pass, NOT a global window (no single-task sort); the total W
+    * is a 1-row broadcast; selection is a narrow codegen predicate.
+    * int64 headroom: cum_w·S caps at ~4.6·10¹⁶ corpus chars at S=200.
+    */
+  def systematicSample(spark: SparkSession, dir: String): DataFrame =
+    systematicSampleFrom(Tables.documents(spark, dir))
+
+  private[graft] def systematicSampleFrom(docs: DataFrame): DataFrame = {
+    val d = docs.select(col("doc_id"), col("n_chars"), lit(1).as("g"))
+    val cum = graft.ext.PrefixOps.groupedRunningAgg(
+      d, Seq("g"), Seq("doc_id"), Some("n_chars"), sumName = "cum_w")
+    val tot = d.agg(sum(col("n_chars")).as("w_total"))
+    cum.crossJoin(broadcast(tot))
+      .filter(expr(s"(cum_w * $SysSampleTarget) div w_total > " +
+        s"((cum_w - n_chars) * $SysSampleTarget) div w_total"))
+      .select(col("doc_id"), col("n_chars"), col("cum_w"), col("w_total"),
+        expr(s"(cum_w * $SysSampleTarget) div w_total").as("stride"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---------------------------------------------------------------- q58
 
   /** q58: sublinear domain rebalancing — the CCNet/RefinedWeb-style cap
@@ -1317,6 +1354,7 @@ object CurationPack {
     "q65_cms_heavy_hitters" -> cmsHeavyHitters _,
     "q66_bigram_likelihood" -> bigramLikelihood _,
     "q111_pmi_collocations" -> pmiCollocations _,
+    "q115_systematic_sample" -> systematicSample _,
     "q67_decontaminate" -> decontaminate _,
     "q107_bloom_decontaminate" -> bloomDecontaminate _,
     "q68_corpus_build" -> corpusBuild _,
@@ -1755,6 +1793,18 @@ object CurationPack {
          |SELECT r.doc_id, r.source, r.n_tokens, cap_rank, quota
          |FROM ranked r JOIN quotas q ON q.source = r.source
          |WHERE cap_rank <= q.quota ORDER BY r.doc_id""".stripMargin,
+    "q115_systematic_sample" ->
+      s"""WITH c AS (
+         |  SELECT doc_id, n_chars,
+         |    sum(n_chars) OVER (ORDER BY doc_id) AS cum_w
+         |  FROM documents),
+         |t AS (SELECT sum(n_chars)::bigint AS w_total FROM documents)
+         |SELECT doc_id, n_chars, cum_w::bigint AS cum_w, t.w_total,
+         |  ((cum_w * $SysSampleTarget) // t.w_total)::bigint AS stride
+         |FROM c, t
+         |WHERE (cum_w * $SysSampleTarget) // t.w_total
+         |    > ((cum_w - n_chars) * $SysSampleTarget) // t.w_total
+         |ORDER BY doc_id""".stripMargin,
     "q111_pmi_collocations" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
          |bgx AS (

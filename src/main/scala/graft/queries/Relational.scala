@@ -691,6 +691,59 @@ object Relational {
     sketch.join(exact, "event_type").orderBy(col("event_type"))
   }
 
+  private val MadK = 5L // flag |x - median| > 5 * MAD
+
+  /** Per-group EXACT median over an integer metric, computed on the
+    * VALUE-CARDINALITY frame: groupBy(key, v) collapses the corpus to
+    * (key, distinct value, count) first — the only corpus-sized
+    * shuffle, map-side combinable — and the rank-selection window runs
+    * over that collapsed frame (≤ distinct-values rows per group, NOT
+    * rows; a price metric has thousands of distinct cents no matter
+    * how many billions of events carry them). Median is rank
+    * `(n−1) div 2 + 1` (quantile_disc 0.5 — StatOps' convention), the
+    * unique value whose cumulative band contains the rank.
+    */
+  private def groupedMedianInt(d: DataFrame, key: String, v: String,
+      medName: String): DataFrame = {
+    val counts = d.groupBy(col(key), col(v)).agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col(key)).orderBy(col(v))
+    val n = counts.groupBy(col(key)).agg(sum(col("c")).as("n"))
+    counts.withColumn("cum_end", sum(col("c")).over(w))
+      .join(n, key)
+      .withColumn("rk", expr("(n - 1) div 2 + 1"))
+      .filter(col("cum_end") >= col("rk") && col("cum_end") - col("c") < col("rk"))
+      .select(col(key), col(v).as(medName))
+  }
+
+  /** q114: robust ANOMALY GATE — per event_type median + median
+    * absolute deviation (both exact, integer cents) and the
+    * `|x − med| > 5·MAD` outlier census, the robust-z-score check a
+    * metrics pipeline runs where mean/stddev would be dragged by the
+    * very outliers it hunts. Two [[groupedMedianInt]] passes (value
+    * median, then deviation median) + one counting aggregation;
+    * `outlier_ppm` is the repo-standard truncating int64 division.
+    *
+    * Scale shape: each median pass shuffles the corpus once into a
+    * map-side-combinable (type, value) count, then ranks on the
+    * collapsed value-cardinality frame; the per-type median/MAD tables
+    * broadcast (≤ #event_types rows) into the final census scan.
+    */
+  def madOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Caches.persisted(events(spark, dir)
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("v")))
+    val med = groupedMedianInt(ev, "event_type", "v", "med")
+    val dev = graft.Caches.persisted(
+      ev.join(broadcast(med), "event_type")
+        .withColumn("d", abs(col("v") - col("med"))))
+    val mad = groupedMedianInt(dev, "event_type", "d", "mad")
+    dev.join(broadcast(mad), "event_type")
+      .groupBy(col("event_type"), col("med"), col("mad"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("d") > lit(MadK) * col("mad")).cast("long")).as("n_outliers"))
+      .withColumn("outlier_ppm", expr("(1000000 * n_outliers) div n"))
+      .orderBy(col("event_type"))
+  }
+
   /** q113: INCREMENTAL KMV maintenance, oracle-gated — the bottom-k
     * sibling of q96's HLL register gate and q106's scatter merge: the
     * events split into three event_id-ranged micro-batches, each keeps
@@ -856,6 +909,7 @@ object Relational {
     "q93_stream_funnel" -> streamFunnel _,
     "q96_stream_hll" -> streamHll _,
     "q113_stream_kmv" -> streamKmv _,
+    "q114_mad_outliers" -> madOutliers _,
     "q102_scd2_build" -> scd2Build _,
     "q60_sessionize" -> sessionize _,
     "q61_exact_quantiles" -> exactQuantiles _,
@@ -875,6 +929,31 @@ object Relational {
     "q45_output_gate" -> outputGate _)
 
   private val oraclesBase: Map[String, String] = Map(
+    "q114_mad_outliers" ->
+      s"""WITH v AS (
+         |  SELECT event_type, cast(round(value * 100) AS bigint) AS v
+         |  FROM events),
+         |dc AS (SELECT event_type, v, count(*)::bigint AS c FROM v GROUP BY 1, 2),
+         |cc AS (SELECT *, sum(c) OVER (PARTITION BY event_type ORDER BY v) AS cum_end FROM dc),
+         |nn AS (SELECT event_type, sum(c)::bigint AS n FROM dc GROUP BY 1),
+         |med AS (
+         |  SELECT cc.event_type, cc.v AS med FROM cc JOIN nn USING (event_type)
+         |  WHERE cum_end >= (n - 1) // 2 + 1 AND cum_end - c < (n - 1) // 2 + 1),
+         |d AS (
+         |  SELECT v.event_type, abs(v.v - med.med) AS d, med.med
+         |  FROM v JOIN med USING (event_type)),
+         |dc2 AS (SELECT event_type, d, count(*)::bigint AS c FROM d GROUP BY 1, 2),
+         |cc2 AS (SELECT *, sum(c) OVER (PARTITION BY event_type ORDER BY d) AS cum_end FROM dc2),
+         |nn2 AS (SELECT event_type, sum(c)::bigint AS n FROM dc2 GROUP BY 1),
+         |mad AS (
+         |  SELECT cc2.event_type, cc2.d AS mad FROM cc2 JOIN nn2 USING (event_type)
+         |  WHERE cum_end >= (n - 1) // 2 + 1 AND cum_end - c < (n - 1) // 2 + 1)
+         |SELECT d.event_type, d.med, mad.mad, count(*)::bigint AS n,
+         |  sum(CASE WHEN d.d > $MadK * mad.mad THEN 1 ELSE 0 END)::bigint AS n_outliers,
+         |  ((1000000 * sum(CASE WHEN d.d > $MadK * mad.mad THEN 1 ELSE 0 END))
+         |    // count(*))::bigint AS outlier_ppm
+         |FROM d JOIN mad USING (event_type)
+         |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
     "q110_zonemap_stats" ->
       s"""WITH e AS (
          |  SELECT event_id // $ZoneRows AS zone, epoch_us(ts) AS ts_us,

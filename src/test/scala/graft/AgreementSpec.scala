@@ -493,4 +493,52 @@ class AgreementSpec extends AnyFunSuite {
       assert(batch == skewed && batch == even && batch.nonEmpty)
     }
   }
+  test("q114 MAD: exact closed-form on a planted skewed metric") {
+    import spark.implicits._
+    // one type, values (cents): 100 x9 and one wild 10000.
+    // median = 100 (rank (10-1) div 2 + 1 = 5), deviations = 0 x9, 9900;
+    // MAD = 0 -> every nonzero deviation is an outlier: n_outliers = 1.
+    val ev = ((1 to 9).map(i => ("a", i.toLong, 1.00)) :+ ("a", 10L, 100.00))
+      .toDF("event_type", "event_id", "value")
+    Caches.scoped {
+      // exercise the same arithmetic through a temp-dir events fixture
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q114-").toString
+      ev.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(col("event_id")))
+        .withColumn("user_id", col("event_id"))
+        .withColumn("props", lit("{}"))
+        .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+      val rows = graft.queries.Relational.madOutliers(spark, tmp).collect()
+      assert(rows.length == 1)
+      val r = rows.head
+      assert(r.getAs[Long]("med") == 100L)
+      assert(r.getAs[Long]("mad") == 0L)
+      assert(r.getAs[Long]("n") == 10L)
+      assert(r.getAs[Long]("n_outliers") == 1L)
+      assert(r.getAs[Long]("outlier_ppm") == 100000L)
+    }
+  }
+
+  test("q115 systematic sample: stride-exact, partition-invariant, heavy doc kept once") {
+    import spark.implicits._
+    // weights sum to 1000; S=200 -> stride 5. doc 3 weighs 600 (120
+    // strides) but must appear exactly once.
+    val docs = Seq((1L, 100L), (2L, 100L), (3L, 600L), (4L, 100L), (5L, 100L))
+      .map { case (id, w) => (id, "x", w) }.toDF("doc_id", "text", "n_chars")
+    Caches.scoped {
+      val got = graft.queries.CurationPack.systematicSampleFrom(docs)
+        .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("stride")))
+      // brute force the same rule locally
+      var cum = 0L
+      val exp = Seq((1L, 100L), (2L, 100L), (3L, 600L), (4L, 100L), (5L, 100L))
+        .flatMap { case (id, w) =>
+          val lo = cum; cum += w
+          if (cum * 200 / 1000 > lo * 200 / 1000) Some((id, cum * 200 / 1000)) else None
+        }
+      assert(got.toSeq.sortBy(_._1) == exp)
+      assert(got.count(_._1 == 3L) == 1)
+      val rep = graft.queries.CurationPack.systematicSampleFrom(
+        docs.repartition(7, col("text"))).collect().map(_.getAs[Long]("doc_id")).toSet
+      assert(rep == got.map(_._1).toSet)
+    }
+  }
 }
