@@ -37,19 +37,30 @@ object StatOps {
     * exact past 2⁵³ — q76's norm-fence contract).
     */
   def exactQuantiles(df: DataFrame, valueCol: String, ps: Seq[Int],
+      numParts: Int = 8): DataFrame =
+    // nulls carry no rank — drop them up front (SQL quantile semantics);
+    // without this the null group NPEs inside the prefix-sum pass
+    exactQuantilesFromCounts(
+      df.filter(col(valueCol).isNotNull)
+        .groupBy(col(valueCol).as("v"))
+        .agg(count(lit(1)).as("c")),
+      ps, numParts)
+
+  /** Finalize from a pre-built distinct-value count table `(v, c)` —
+    * the MERGE seam: the count table is the quantile's additive
+    * sufficient statistic (per-batch tables union + groupBy-sum into
+    * the corpus table, exactly), so an incremental/streaming exact
+    * quantile keeps per-batch counts and finalizes here on demand.
+    */
+  def exactQuantilesFromCounts(counts: DataFrame, ps: Seq[Int],
       numParts: Int = 8): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 100), s"bad percentiles $ps")
-    val spark = df.sparkSession
-    val vType = df.schema(valueCol).dataType
-    // nulls carry no rank — drop them up front (SQL quantile semantics);
-    // without this the null group NPEs inside the prefix-sum pass
+    val spark = counts.sparkSession
+    val vType = counts.schema("v").dataType
     val sorted = graft.Caches.persisted(
-      df.filter(col(valueCol).isNotNull)
-        .groupBy(col(valueCol).as("v"))
-        .agg(count(lit(1)).as("c"))
-        .repartitionByRange(numParts, col("v"))
+      counts.repartitionByRange(numParts, col("v"))
         .sortWithinPartitions("v"))
     val perPart = sorted.rdd
       .mapPartitionsWithIndex((pid, it) =>

@@ -395,6 +395,33 @@ object Relational {
       lineitem(spark, dir), "l_extendedprice", QuantilePs)
       .orderBy(col("p"))
 
+  /** q116: INCREMENTAL exact quantiles, oracle-gated — the distinct-
+    * value count table `(v, c)` is the exact quantile's ADDITIVE
+    * sufficient statistic: three l_orderkey-ranged micro-batches each
+    * build their own table, the tables merge by union + groupBy-sum,
+    * and finalizing the merged table ([[graft.ext.StatOps
+    * .exactQuantilesFromCounts]]) must hash-equal the one-shot batch
+    * q61 via q61's own oracle. Completes the incremental family
+    * (q96 HLL, q99 CMS, q106 scatter, q113 KMV) with the EXACT member:
+    * unlike the sketches, the merged state reproduces the precise
+    * order statistic, at state cost O(distinct values) instead of O(k).
+    */
+  def streamQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val li = graft.Caches.persisted(lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_extendedprice"))
+      .filter(col("l_extendedprice").isNotNull))
+    val mx = li.agg(max(col("l_orderkey"))).head.getLong(0)
+    val merged = Seq(
+      li.filter(col("l_orderkey") <= mx / 3),
+      li.filter(col("l_orderkey") > mx / 3 && col("l_orderkey") <= 2 * mx / 3),
+      li.filter(col("l_orderkey") > 2 * mx / 3))
+      .map(_.groupBy(col("l_extendedprice").as("v")).agg(count(lit(1)).as("c")))
+      .reduce(_ unionByName _)
+      .groupBy(col("v")).agg(sum(col("c")).as("c"))
+    graft.ext.StatOps.exactQuantilesFromCounts(merged, QuantilePs)
+      .orderBy(col("p"))
+  }
+
   /** q62: the HLL-shape distinct sketch ([[graft.ext.SketchOps]]) gated
     * register-for-register: per event_type the full 64-register state
     * collapses to (nonzero count, zero count, exact-integer harmonic
@@ -910,6 +937,7 @@ object Relational {
     "q96_stream_hll" -> streamHll _,
     "q113_stream_kmv" -> streamKmv _,
     "q114_mad_outliers" -> madOutliers _,
+    "q116_stream_quantiles" -> streamQuantiles _,
     "q102_scd2_build" -> scd2Build _,
     "q60_sessionize" -> sessionize _,
     "q61_exact_quantiles" -> exactQuantiles _,
@@ -1355,5 +1383,6 @@ object Relational {
       ("q89_stream_sessions" -> oraclesBase("q60_sessionize")) +
       ("q93_stream_funnel" -> oraclesBase("q84_funnel_stages")) +
       ("q96_stream_hll" -> oraclesBase("q62_hll_distinct")) +
-      ("q113_stream_kmv" -> oraclesBase("q87_kmv_distinct"))
+      ("q113_stream_kmv" -> oraclesBase("q87_kmv_distinct")) +
+      ("q116_stream_quantiles" -> oraclesBase("q61_exact_quantiles"))
 }

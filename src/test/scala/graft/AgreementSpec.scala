@@ -541,4 +541,23 @@ class AgreementSpec extends AnyFunSuite {
       assert(rep == got.map(_._1).toSet)
     }
   }
+  test("q116 quantile merge: count-table union equals one-shot, any split") {
+    val dir = "/root/testdata/sf0.001"
+    import graft.ext.StatOps
+    Caches.scoped {
+      val li = Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_extendedprice"))
+      def key(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val batch = key(StatOps.exactQuantiles(li, "l_extendedprice", Seq(1, 25, 50, 75, 99)))
+      // five hash slices, one of them empty-ish: merge must be split-blind
+      val merged = (0 until 5).map(i =>
+          li.filter(pmod(col("l_orderkey"), lit(5)) === i)
+            .groupBy(col("l_extendedprice").as("v")).agg(count(lit(1)).as("c")))
+        .reduce(_ unionByName _)
+        .groupBy(col("v")).agg(sum(col("c")).as("c"))
+      val inc = key(StatOps.exactQuantilesFromCounts(merged, Seq(1, 25, 50, 75, 99)))
+      assert(batch == inc && batch.nonEmpty)
+    }
+  }
 }
