@@ -395,6 +395,36 @@ object Relational {
       lineitem(spark, dir), "l_extendedprice", QuantilePs)
       .orderBy(col("p"))
 
+  /** q117: WINSORIZED statistics — clamp the metric at its own exact
+    * p01/p99 ([[graft.ext.StatOps.exactQuantiles]] — quantile_disc
+    * values drawn from the data, so the clamp bounds are exact doubles
+    * both engines share) and emit the clipped census: clip counts each
+    * side and the exact-decimal sum/mean of the winsorized column
+    * ([[Tables.exactSum]]/[[Tables.exactAvg]] — order-independent
+    * int64 accumulation). The robust companion to q114's MAD gate:
+    * MAD flags the tail, winsorization prices it out of the moments.
+    *
+    * Scale shape: the quantile pass is the two-pass prefix-sum
+    * (O(parts) driver traffic, no global sort); the bounds reach the
+    * census scan as a broadcast 1-row frame; the census is one
+    * map-side-combinable global aggregate.
+    */
+  def winsorizedStats(spark: SparkSession, dir: String): DataFrame = {
+    val li = graft.Caches.persisted(
+      lineitem(spark, dir).select(col("l_extendedprice")))
+    val bounds = graft.ext.StatOps.exactQuantiles(li, "l_extendedprice", Seq(1, 99))
+      .agg(max(when(col("p") === 1, col("value"))).as("lo"),
+        max(when(col("p") === 99, col("value"))).as("hi"))
+    li.crossJoin(broadcast(bounds))
+      .withColumn("w", least(greatest(col("l_extendedprice"), col("lo")), col("hi")))
+      .groupBy(col("lo"), col("hi"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("l_extendedprice") < col("lo")).cast("long")).as("n_clip_lo"),
+        sum((col("l_extendedprice") > col("hi")).cast("long")).as("n_clip_hi"),
+        exactSum(col("w"), 2).as("sum_w"),
+        exactAvg(col("w"), 2).as("avg_w"))
+  }
+
   /** q116: INCREMENTAL exact quantiles, oracle-gated — the distinct-
     * value count table `(v, c)` is the exact quantile's ADDITIVE
     * sufficient statistic: three l_orderkey-ranged micro-batches each
@@ -901,19 +931,50 @@ object Relational {
     * plus a 1-row global bound broadcast into a flag projection. No
     * window, no second corpus pass.
     */
-  def zonemapStats(spark: SparkSession, dir: String): DataFrame = {
-    val ev = events(spark, dir).select(
-      expr(s"event_id div $ZoneRows").as("zone"),
-      unix_micros(col("ts")).as("ts_us"), col("user_id"),
-      col("event_type"), col("value"))
-    val zones = ev.groupBy(col("zone"))
+  def zonemapStats(spark: SparkSession, dir: String): DataFrame =
+    zoneFinalize(Seq(zoneState(events(spark, dir))))
+
+  /** The zone map's ADDITIVE state at (zone, event_type) grain — every
+    * column is a plain sum / min / max, so states from independent
+    * micro-batches merge exactly even when a batch boundary splits a
+    * zone. The extra grain key is what keeps `n_types` mergeable
+    * (a per-zone countDistinct partial would not be); state size is
+    * zones × #event_types, corpus-independent.
+    */
+  private def zoneState(ev: DataFrame): DataFrame =
+    ev.select(expr(s"event_id div $ZoneRows").as("zone"),
+        unix_micros(col("ts")).as("ts_us"), col("user_id"),
+        col("event_type"), col("value"))
+      .groupBy(col("zone"), col("event_type"))
       .agg(count(lit(1)).as("n_rows"),
         min(col("ts_us")).as("min_ts_us"), max(col("ts_us")).as("max_ts_us"),
         min(col("value")).as("min_value"), max(col("value")).as("max_value"),
         min(col("user_id")).as("min_user"), max(col("user_id")).as("max_user"),
-        countDistinct(col("event_type")).as("n_types"),
         sum((col("value") > lit(ZoneHiValue)).cast("long")).as("n_match_hi"))
-    val bounds = ev.agg(max(col("ts_us")).as("g_max_ts_us"))
+
+  /** Merge zone states and finalize to the q110 output: re-aggregate at
+    * (zone, event_type) grain (sums add, mins/maxs fold), collapse to
+    * zones (`n_types` = surviving grain rows), and derive the global
+    * staleness bound FROM THE STATE ITSELF (max over zone maxima) — no
+    * second corpus pass anywhere; everything after [[zoneState]]
+    * shuffles state-sized frames only.
+    */
+  private def zoneFinalize(states: Seq[DataFrame]): DataFrame = {
+    val zones = states.reduce(_ unionByName _)
+      .groupBy(col("zone"), col("event_type"))
+      .agg(sum(col("n_rows")).as("n_rows"),
+        min(col("min_ts_us")).as("min_ts_us"), max(col("max_ts_us")).as("max_ts_us"),
+        min(col("min_value")).as("min_value"), max(col("max_value")).as("max_value"),
+        min(col("min_user")).as("min_user"), max(col("max_user")).as("max_user"),
+        sum(col("n_match_hi")).as("n_match_hi"))
+      .groupBy(col("zone"))
+      .agg(sum(col("n_rows")).as("n_rows"),
+        min(col("min_ts_us")).as("min_ts_us"), max(col("max_ts_us")).as("max_ts_us"),
+        min(col("min_value")).as("min_value"), max(col("max_value")).as("max_value"),
+        min(col("min_user")).as("min_user"), max(col("max_user")).as("max_user"),
+        count(lit(1)).as("n_types"),
+        sum(col("n_match_hi")).as("n_match_hi"))
+    val bounds = zones.agg(max(col("max_ts_us")).as("g_max_ts_us"))
     zones.crossJoin(broadcast(bounds))
       .withColumn("prune_value_hi",
         (col("max_value") <= lit(ZoneHiValue)).cast("long"))
@@ -921,6 +982,26 @@ object Relational {
         (col("max_ts_us") < col("g_max_ts_us") - lit(ZoneStaleUs)).cast("long"))
       .drop("g_max_ts_us")
       .orderBy(col("zone"))
+  }
+
+  /** q118: INCREMENTAL zone-map maintenance, oracle-gated — the
+    * lakehouse stats layer as a streaming structure: three event_id-
+    * ranged micro-batches (boundaries deliberately NOT zone-aligned —
+    * mx/3 splits a zone across batches) each build their own
+    * [[zoneState]], the states merge ([[zoneFinalize]] — sums add,
+    * extrema fold, the grain keeps distinct-type counting exact), and
+    * the result must hash-equal the one-shot batch q110 via q110's own
+    * oracle. This is how table-format stats actually update at 100 TB:
+    * per-commit partial stats folded into the manifest, never a
+    * corpus rescan.
+    */
+  def streamZonemap(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Caches.persisted(events(spark, dir))
+    val mx = ev.agg(max(col("event_id"))).head.getLong(0)
+    zoneFinalize(Seq(
+      ev.filter(col("event_id") <= mx / 3),
+      ev.filter(col("event_id") > mx / 3 && col("event_id") <= 2 * mx / 3),
+      ev.filter(col("event_id") > 2 * mx / 3)).map(zoneState))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -938,6 +1019,8 @@ object Relational {
     "q113_stream_kmv" -> streamKmv _,
     "q114_mad_outliers" -> madOutliers _,
     "q116_stream_quantiles" -> streamQuantiles _,
+    "q117_winsorized_stats" -> winsorizedStats _,
+    "q118_stream_zonemap" -> streamZonemap _,
     "q102_scd2_build" -> scd2Build _,
     "q60_sessionize" -> sessionize _,
     "q61_exact_quantiles" -> exactQuantiles _,
@@ -957,6 +1040,32 @@ object Relational {
     "q45_output_gate" -> outputGate _)
 
   private val oraclesBase: Map[String, String] = Map(
+    "q117_winsorized_stats" ->
+      s"""WITH c AS (
+         |  SELECT l_extendedprice AS v, count(*)::bigint AS c
+         |  FROM lineitem GROUP BY 1),
+         |o AS (SELECT v, c, sum(c) OVER (ORDER BY v)::bigint AS cum_end FROM c),
+         |n AS (SELECT sum(c)::bigint AS n FROM c),
+         |r AS (
+         |  SELECT p::bigint AS p,
+         |    (floor((n.n - 1) * p / 100) + 1)::bigint AS tr
+         |  FROM (SELECT unnest([1, 99]) AS p) CROSS JOIN n),
+         |qq AS (
+         |  SELECT r.p, min(o.v) AS value FROM r JOIN o
+         |    ON o.cum_end >= r.tr AND o.cum_end - o.c < r.tr GROUP BY 1),
+         |b AS (
+         |  SELECT max(CASE WHEN p = 1 THEN value END) AS lo,
+         |    max(CASE WHEN p = 99 THEN value END) AS hi FROM qq),
+         |w AS (
+         |  SELECT least(greatest(l_extendedprice, b.lo), b.hi) AS w,
+         |    l_extendedprice AS x, b.lo, b.hi
+         |  FROM lineitem, b)
+         |SELECT lo, hi, count(*)::bigint AS n,
+         |  sum(CASE WHEN x < lo THEN 1 ELSE 0 END)::bigint AS n_clip_lo,
+         |  sum(CASE WHEN x > hi THEN 1 ELSE 0 END)::bigint AS n_clip_hi,
+         |  ${Tables.sqlExactSum("w", 2)} AS sum_w,
+         |  ${Tables.sqlExactAvg("w", 2)} AS avg_w
+         |FROM w GROUP BY lo, hi""".stripMargin,
     "q114_mad_outliers" ->
       s"""WITH v AS (
          |  SELECT event_type, cast(round(value * 100) AS bigint) AS v
@@ -1384,5 +1493,6 @@ object Relational {
       ("q93_stream_funnel" -> oraclesBase("q84_funnel_stages")) +
       ("q96_stream_hll" -> oraclesBase("q62_hll_distinct")) +
       ("q113_stream_kmv" -> oraclesBase("q87_kmv_distinct")) +
-      ("q116_stream_quantiles" -> oraclesBase("q61_exact_quantiles"))
+      ("q116_stream_quantiles" -> oraclesBase("q61_exact_quantiles")) +
+      ("q118_stream_zonemap" -> oraclesBase("q110_zonemap_stats"))
 }

@@ -43,6 +43,31 @@ object TextPack {
       .orderBy(col("keep_doc_id"))
   }
 
+  /** q119: duplication INFLATION census — the planning number a dedup
+    * pass is sized from: per source, how many docs exist vs how many
+    * distinct exact fingerprints ([[TextOps.fingerprint]], q14's md5),
+    * the dup surplus, and `inflation_ppm = (10⁶·n_docs) div
+    * n_distinct_fp` — "this crawl is 1.7× its deduped self". Run
+    * BEFORE q14/q55 to decide where the dedup budget goes.
+    *
+    * Scale shape: one map-side fingerprint projection (text never
+    * shuffles) into a (source, fp)-keyed count — the same shuffle
+    * exact dedup pays — then a source-keyed rollup of the collapsed
+    * fingerprint frame. Output is #sources rows.
+    */
+  def dupInflation(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"), TextOps.fingerprint(col("text")).as("fp"))
+      .groupBy(col("source"), col("fp"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n_docs"),
+        count(lit(1)).as("n_distinct_fp"),
+        sum(col("c") - 1).as("n_dup_docs"))
+      .withColumn("inflation_ppm",
+        expr("(1000000 * n_docs) div n_distinct_fp"))
+      .orderBy(col("source"))
+
   def tokenFrequency(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
     d.select(explode(TextOps.tokens(col("text"))).as("token"))
@@ -463,6 +488,7 @@ object TextPack {
     "q32_simhash_neardup" -> simhashNearDup _,
     "q33_bpe_token_count" -> bpeTokenCounts _,
     "q112_tokenizer_fertility" -> tokenizerFertility _,
+    "q119_dup_inflation" -> dupInflation _,
     "q34_rolling_fingerprint" -> rollingFingerprints _,
     "q13_text_stats" -> textStats _,
     "q14_fingerprint_dedup" -> fingerprintDedup _,
@@ -535,6 +561,15 @@ object TextPack {
          |  start_offset // $PackBudget AS bin,
          |  start_offset % $PackBudget AS bin_offset
          |FROM o ORDER BY doc_id""".stripMargin,
+    "q119_dup_inflation" ->
+      """WITH f AS (
+        |  SELECT source, md5(text) AS fp, count(*)::bigint AS c
+        |  FROM documents GROUP BY 1, 2)
+        |SELECT source, sum(c)::bigint AS n_docs,
+        |  count(*)::bigint AS n_distinct_fp,
+        |  sum(c - 1)::bigint AS n_dup_docs,
+        |  ((1000000 * sum(c)) // count(*))::bigint AS inflation_ppm
+        |FROM f GROUP BY source ORDER BY source""".stripMargin,
     "q112_tokenizer_fertility" ->
       s"""WITH d AS (
          |  SELECT lang, source, n_chars,
