@@ -748,6 +748,42 @@ object Relational {
     sketch.join(exact, "event_type").orderBy(col("event_type"))
   }
 
+  private val RollingDays = 7
+
+  /** q120: ROLLING ACTIVE USERS — per day, the exact distinct users
+    * seen in the trailing 7-day window (the WAU curve every product
+    * and every training-data freshness dashboard tracks). Rolling
+    * DISTINCT is not additive, so no running sum applies; instead the
+    * corpus collapses ONCE to the (day, user) distinct frame — the
+    * only corpus-sized shuffle, map-side combinable — and the window
+    * is a bounded-range self-enumeration of that collapsed frame:
+    * each (day, user) row contributes to ≤7 window anchors via a
+    * 7-row sequence explode (days are a dense integer grid), then one
+    * distinct + count per anchor day. Anchors are restricted to days
+    * the data actually contains (inner join against the day set).
+    *
+    * Scale shape: everything after the first collapse is
+    * (active-users × 7)-sized — users per day, not events; no range
+    * join, no per-day rescans, no window over raw rows.
+    */
+  def rollingActive(spark: SparkSession, dir: String): DataFrame = {
+    val dayUser = events(spark, dir)
+      .select(expr(s"unix_micros(date_trunc('day', ts)) div ${86400L * 1000000L}")
+        .as("day"), col("user_id"))
+      .distinct()
+    val days = dayUser.select(col("day")).distinct()
+    dayUser
+      .select(explode(sequence(col("day"),
+        col("day") + lit(RollingDays - 1))).as("anchor"), col("user_id"))
+      .distinct()
+      .join(days.withColumnRenamed("day", "anchor"), "anchor")
+      .groupBy(col("anchor"))
+      .agg(count(lit(1)).as("n_active_7d"))
+      .select(date_format(timestamp_micros(col("anchor") * lit(86400L * 1000000L)),
+        "yyyy-MM-dd").as("day"), col("n_active_7d"))
+      .orderBy(col("day"))
+  }
+
   private val MadK = 5L // flag |x - median| > 5 * MAD
 
   /** Per-group EXACT median over an integer metric, computed on the
@@ -1020,6 +1056,7 @@ object Relational {
     "q114_mad_outliers" -> madOutliers _,
     "q116_stream_quantiles" -> streamQuantiles _,
     "q117_winsorized_stats" -> winsorizedStats _,
+    "q120_rolling_active" -> rollingActive _,
     "q118_stream_zonemap" -> streamZonemap _,
     "q102_scd2_build" -> scd2Build _,
     "q60_sessionize" -> sessionize _,
@@ -1040,6 +1077,20 @@ object Relational {
     "q45_output_gate" -> outputGate _)
 
   private val oraclesBase: Map[String, String] = Map(
+    "q120_rolling_active" ->
+      s"""WITH du AS (
+         |  SELECT DISTINCT
+         |    epoch_us(date_trunc('day', ts)) // ${86400L * 1000000L} AS day,
+         |    user_id
+         |  FROM events),
+         |days AS (SELECT DISTINCT day FROM du),
+         |x AS (
+         |  SELECT DISTINCT du.day + g.i AS anchor, du.user_id
+         |  FROM du CROSS JOIN (SELECT unnest(range($RollingDays)) AS i) g)
+         |SELECT strftime(epoch_ms(x.anchor * 86400000), '%Y-%m-%d') AS day,
+         |  count(*)::bigint AS n_active_7d
+         |FROM x JOIN days ON days.day = x.anchor
+         |GROUP BY 1 ORDER BY day""".stripMargin,
     "q117_winsorized_stats" ->
       s"""WITH c AS (
          |  SELECT l_extendedprice AS v, count(*)::bigint AS c

@@ -560,4 +560,24 @@ class AgreementSpec extends AnyFunSuite {
       assert(batch == inc && batch.nonEmpty)
     }
   }
+  test("q120 rolling active: trailing-7 membership exact on a planted grid") {
+    import spark.implicits._
+    // user 1 active day 0 only; user 2 active days 0 and 3 (counted once
+    // per window); user 3 active day 9. Data days: 0, 3, 9.
+    val us = 86400L * 1000000L
+    val ev = Seq((1L, 0L), (2L, 0L), (2L, 3L), (3L, 9L)).zipWithIndex
+      .map { case ((u, d), i) => (i.toLong, u, d * us, "view", 1.0, "{}") }
+      .toDF("event_id", "user_id", "ts_us", "event_type", "value", "props")
+      .withColumn("ts", timestamp_micros(col("ts_us"))).drop("ts_us")
+    Caches.scoped {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q120-").toString
+      ev.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+      val got = graft.queries.Relational.rollingActive(spark, tmp)
+        .collect().map(r => (r.getAs[String]("day"), r.getAs[Long]("n_active_7d")))
+        .toMap
+      // anchors restricted to data days {0,3,9}:
+      // day 0: {1,2}; day 3: window [-3,3] -> {1,2}; day 9: [3,9] -> {2,3}
+      assert(got == Map("1970-01-01" -> 2L, "1970-01-04" -> 2L, "1970-01-10" -> 2L))
+    }
+  }
 }
