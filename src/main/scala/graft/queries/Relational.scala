@@ -796,9 +796,8 @@ object Relational {
     * `(n−1) div 2 + 1` (quantile_disc 0.5 — StatOps' convention), the
     * unique value whose cumulative band contains the rank.
     */
-  private def groupedMedianInt(d: DataFrame, key: String, v: String,
+  private def groupedMedianInt(counts: DataFrame, key: String, v: String,
       medName: String): DataFrame = {
-    val counts = d.groupBy(col(key), col(v)).agg(count(lit(1)).as("c"))
     val w = Window.partitionBy(col(key)).orderBy(col(v))
     val n = counts.groupBy(col(key)).agg(sum(col("c")).as("n"))
     counts.withColumn("cum_end", sum(col("c")).over(w))
@@ -821,20 +820,63 @@ object Relational {
     * collapsed value-cardinality frame; the per-type median/MAD tables
     * broadcast (≤ #event_types rows) into the final census scan.
     */
-  def madOutliers(spark: SparkSession, dir: String): DataFrame = {
-    val ev = graft.Caches.persisted(events(spark, dir)
-      .select(col("event_type"), round(col("value") * 100).cast("long").as("v")))
-    val med = groupedMedianInt(ev, "event_type", "v", "med")
+  def madOutliers(spark: SparkSession, dir: String): DataFrame =
+    madFromCounts(madCounts(events(spark, dir)))
+
+  /** The (type, value-cents) count table — q114's ADDITIVE sufficient
+    * statistic (the q116 seam again): per-batch tables union +
+    * groupBy-sum into the corpus table exactly.
+    */
+  private def madCounts(ev: DataFrame): DataFrame =
+    ev.select(col("event_type"), round(col("value") * 100).cast("long").as("v"))
+      .groupBy(col("event_type"), col("v")).agg(count(lit(1)).as("c"))
+
+  /** Finalize the MAD census from the count table alone — after the one
+    * corpus-collapsing shuffle in [[madCounts]], EVERYTHING here is
+    * value-cardinality sized: the deviation distribution is derived by
+    * re-keying the counts on |v − med| (weight-aware, no second corpus
+    * pass), both medians rank-select on collapsed frames, and the
+    * outlier census is a weighted sum over the counts.
+    */
+  private def madFromCounts(countsIn: DataFrame): DataFrame = {
+    val counts = graft.Caches.persisted(countsIn)
+    val med = groupedMedianInt(counts, "event_type", "v", "med")
     val dev = graft.Caches.persisted(
-      ev.join(broadcast(med), "event_type")
-        .withColumn("d", abs(col("v") - col("med"))))
+      counts.join(broadcast(med), "event_type")
+        .select(col("event_type"), col("med"),
+          abs(col("v") - col("med")).as("d"), col("c"))
+        .groupBy(col("event_type"), col("med"), col("d"))
+        .agg(sum(col("c")).as("c")))
     val mad = groupedMedianInt(dev, "event_type", "d", "mad")
     dev.join(broadcast(mad), "event_type")
       .groupBy(col("event_type"), col("med"), col("mad"))
-      .agg(count(lit(1)).as("n"),
-        sum((col("d") > lit(MadK) * col("mad")).cast("long")).as("n_outliers"))
+      .agg(sum(col("c")).as("n"),
+        sum(when(col("d") > lit(MadK) * col("mad"), col("c"))
+          .otherwise(lit(0L))).as("n_outliers"))
       .withColumn("outlier_ppm", expr("(1000000 * n_outliers) div n"))
       .orderBy(col("event_type"))
+  }
+
+  /** q121: INCREMENTAL robust anomaly gate, oracle-gated — q114 through
+    * the merge seam: three event_id-ranged batches each build their
+    * (type, value-cents) count table ([[madCounts]]), the tables merge
+    * by union + groupBy-sum, and the census finalized from the merged
+    * table must hash-equal the one-shot q114 via q114's own oracle.
+    * Exact medians over a stream for the price of a vocabulary-sized
+    * state — the robust-stats member of the incremental family.
+    */
+  def streamMad(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Caches.persisted(events(spark, dir)
+      .select(col("event_type"), col("value"), col("event_id")))
+    val mx = ev.agg(max(col("event_id"))).head.getLong(0)
+    val merged = Seq(
+      ev.filter(col("event_id") <= mx / 3),
+      ev.filter(col("event_id") > mx / 3 && col("event_id") <= 2 * mx / 3),
+      ev.filter(col("event_id") > 2 * mx / 3))
+      .map(madCounts)
+      .reduce(_ unionByName _)
+      .groupBy(col("event_type"), col("v")).agg(sum(col("c")).as("c"))
+    madFromCounts(merged)
   }
 
   /** q113: INCREMENTAL KMV maintenance, oracle-gated — the bottom-k
@@ -1057,6 +1099,7 @@ object Relational {
     "q116_stream_quantiles" -> streamQuantiles _,
     "q117_winsorized_stats" -> winsorizedStats _,
     "q120_rolling_active" -> rollingActive _,
+    "q121_stream_mad" -> streamMad _,
     "q118_stream_zonemap" -> streamZonemap _,
     "q102_scd2_build" -> scd2Build _,
     "q60_sessionize" -> sessionize _,
@@ -1545,5 +1588,6 @@ object Relational {
       ("q96_stream_hll" -> oraclesBase("q62_hll_distinct")) +
       ("q113_stream_kmv" -> oraclesBase("q87_kmv_distinct")) +
       ("q116_stream_quantiles" -> oraclesBase("q61_exact_quantiles")) +
-      ("q118_stream_zonemap" -> oraclesBase("q110_zonemap_stats"))
+      ("q118_stream_zonemap" -> oraclesBase("q110_zonemap_stats")) +
+      ("q121_stream_mad" -> oraclesBase("q114_mad_outliers"))
 }
