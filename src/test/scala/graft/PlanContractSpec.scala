@@ -370,4 +370,47 @@ class PlanContractSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
       }.nonEmpty, s"top-k must plan as TakeOrderedAndProject:\n$plan")
     }
   }
+  test("q114/q121 MAD: windows rank only collapsed count frames, census joins broadcast") {
+    for (q <- Seq("q114_mad_outliers", "q121_stream_mad")) Caches.scoped {
+      val plan = executed(q)
+      // the rank-selection windows must consume the (type, v/d, c)
+      // count frames — their child carries the count column, never the
+      // raw event columns (value/event_id)
+      val wins = collect(plan) {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w }
+      assert(wins.nonEmpty)
+      wins.foreach { w =>
+        val names = w.child.output.map(_.name)
+        assert(names.contains("c") && !names.contains("value") &&
+          !names.contains("event_id"),
+          s"$q window must rank the collapsed count frame, got $names:\n$plan")
+      }
+      assert(collect(plan) { case b: BroadcastExchangeLike => b }.nonEmpty,
+        s"$q median/MAD tables must broadcast:\n$plan")
+      assert(collect(plan) { case c: CartesianProductExec => c }.isEmpty)
+    }
+  }
+
+  test("q115 systematic sample: no window, no cartesian — prefix pass + 1-row broadcast") {
+    Caches.scoped {
+      val plan = executed("q115_systematic_sample")
+      assert(collect(plan) {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }.isEmpty, s"q115 must use the prefix pass, not a global window:\n$plan")
+      assert(collect(plan) { case c: CartesianProductExec => c }.isEmpty)
+      assert(collect(plan) { case b: BroadcastExchangeLike => b }.nonEmpty,
+        s"total weight must broadcast:\n$plan")
+    }
+  }
+
+  test("q120 rolling active: no window over raw events, no cartesian") {
+    Caches.scoped {
+      val plan = executed("q120_rolling_active")
+      assert(collect(plan) {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }.isEmpty, s"q120 must not plan a window:\n$plan")
+      assert(collect(plan) { case c: CartesianProductExec => c }.isEmpty)
+      assert(collect(plan) { case n: BroadcastNestedLoopJoinExec => n }.isEmpty)
+    }
+  }
 }
