@@ -748,6 +748,34 @@ object Relational {
     sketch.join(exact, "event_type").orderBy(col("event_type"))
   }
 
+  private val GroupQuantilePs = Seq(25L, 50L, 75L)
+
+  /** q122: GROUPED exact quantiles — per event_type p25/p50/p75 of the
+    * value metric (integer cents), the per-segment spread panel q61's
+    * global quantiles don't give. Same collapsed-count discipline as
+    * q114: ONE corpus shuffle into the (type, value, count) table,
+    * then rank selection runs entirely on the value-cardinality frame
+    * (window over distinct values per type, never rows); the 3-row
+    * percentile relation broadcasts into the band filter. Rank is
+    * `((n−1)·p) div 100 + 1` (quantile_disc — StatOps' convention).
+    */
+  def groupedQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val counts = graft.Caches.persisted(events(spark, dir)
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("v"))
+      .groupBy(col("event_type"), col("v")).agg(count(lit(1)).as("c")))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("v"))
+    val n = counts.groupBy(col("event_type")).agg(sum(col("c")).as("n"))
+    val cum = counts.withColumn("cum_end", sum(col("c")).over(w))
+      .join(n, "event_type")
+    val tr = expr("(n - 1) * p div 100 + 1")
+    cum.join(broadcast(GroupQuantilePs.toDF("p")),
+        col("cum_end") >= tr && col("cum_end") - col("c") < tr)
+      .select(col("event_type"), col("p"), tr.as("target_rank"),
+        col("v").as("value"))
+      .orderBy(col("event_type"), col("p"))
+  }
+
   private val RollingDays = 7
 
   /** q120: ROLLING ACTIVE USERS — per day, the exact distinct users
@@ -1100,6 +1128,7 @@ object Relational {
     "q117_winsorized_stats" -> winsorizedStats _,
     "q120_rolling_active" -> rollingActive _,
     "q121_stream_mad" -> streamMad _,
+    "q122_grouped_quantiles" -> groupedQuantiles _,
     "q118_stream_zonemap" -> streamZonemap _,
     "q102_scd2_build" -> scd2Build _,
     "q60_sessionize" -> sessionize _,
@@ -1120,6 +1149,24 @@ object Relational {
     "q45_output_gate" -> outputGate _)
 
   private val oraclesBase: Map[String, String] = Map(
+    "q122_grouped_quantiles" ->
+      s"""WITH vv AS (
+         |  SELECT event_type, cast(round(value * 100) AS bigint) AS v
+         |  FROM events),
+         |c AS (SELECT event_type, v, count(*)::bigint AS c FROM vv GROUP BY 1, 2),
+         |o AS (
+         |  SELECT *, sum(c) OVER (PARTITION BY event_type ORDER BY v)::bigint AS cum_end
+         |  FROM c),
+         |n AS (SELECT event_type, sum(c)::bigint AS n FROM c GROUP BY 1),
+         |r AS (
+         |  SELECT n.event_type, p::bigint AS p,
+         |    (((n.n - 1) * p) // 100 + 1)::bigint AS tr
+         |  FROM (SELECT unnest([${GroupQuantilePs.mkString(", ")}]) AS p)
+         |  CROSS JOIN n)
+         |SELECT r.event_type, r.p, r.tr AS target_rank, min(o.v) AS value
+         |FROM r JOIN o ON o.event_type = r.event_type
+         |  AND o.cum_end >= r.tr AND o.cum_end - o.c < r.tr
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2""".stripMargin,
     "q120_rolling_active" ->
       s"""WITH du AS (
          |  SELECT DISTINCT

@@ -580,4 +580,29 @@ class AgreementSpec extends AnyFunSuite {
       assert(got == Map("1970-01-01" -> 2L, "1970-01-04" -> 2L, "1970-01-10" -> 2L))
     }
   }
+  test("q122 grouped quantiles: closed-form on a planted two-type metric") {
+    import spark.implicits._
+    // type a: cents 1..10 (n=10): p25 tr=(9*25)div100+1=3 -> 3;
+    //   p50 tr=5 -> 5; p75 tr=7 -> 7.
+    // type b: cents 100 x4 (n=4): all quantiles land on 100.
+    val ev = ((1 to 10).map(i => ("a", i.toLong)) ++
+      Seq.fill(4)(("b", 100L))).zipWithIndex
+      .map { case ((t, cents), i) =>
+        (i.toLong, i.toLong, t, cents.toDouble / 100.0, "{}") }
+      .toDF("event_id", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_micros(col("event_id")))
+    Caches.scoped {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q122-").toString
+      ev.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+      val got = graft.queries.Relational.groupedQuantiles(spark, tmp)
+        .collect()
+        .map(r => ((r.getAs[String]("event_type"), r.getAs[Long]("p")),
+          (r.getAs[Long]("target_rank"), r.getAs[Long]("value")))).toMap
+      assert(got == Map(
+        ("a", 25L) -> ((3L, 3L)), ("a", 50L) -> ((5L, 5L)),
+        ("a", 75L) -> ((7L, 7L)),
+        ("b", 25L) -> ((1L, 100L)), ("b", 50L) -> ((2L, 100L)),
+        ("b", 75L) -> ((3L, 100L))))
+    }
+  }
 }
