@@ -748,6 +748,35 @@ object Relational {
     sketch.join(exact, "event_type").orderBy(col("event_type"))
   }
 
+  private val SkewTopK = 20
+
+  /** q123: HOT-KEY skew census — the diagnostic every join/groupBy
+    * sizing decision at 100 TB starts from (and what
+    * [[graft.operators.Skew.autoSalts]] automates at plan time): per
+    * join key (user_id), the row count of the 20 hottest keys, each
+    * key's corpus share in ppm, and its multiple of the mean key load
+    * (`hot_x_mean_fp`, ×10⁶ fixed point) — "key 7 carries 80× the
+    * average; salt it 8 ways". All exact int64 over one
+    * map-side-combinable count; the totals frame (2 values) broadcasts.
+    *
+    * Scale shape: groupBy(user_id) count is the same shuffle the
+    * skewed join itself would pay; top-20 is a TakeOrderedAndProject
+    * (never a global sort); everything after the count is key-
+    * cardinality sized.
+    */
+  def keySkewCensus(spark: SparkSession, dir: String): DataFrame = {
+    val counts = graft.Caches.persisted(events(spark, dir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_rows")))
+    val totals = counts.agg(sum(col("n_rows")).as("total_rows"),
+      count(lit(1)).as("n_keys"))
+    counts.orderBy(col("n_rows").desc, col("user_id")).limit(SkewTopK)
+      .crossJoin(broadcast(totals))
+      .withColumn("share_ppm", expr("(1000000 * n_rows) div total_rows"))
+      .withColumn("hot_x_mean_fp",
+        expr("(1000000 * n_rows * n_keys) div total_rows"))
+      .orderBy(col("n_rows").desc, col("user_id"))
+  }
+
   private val GroupQuantilePs = Seq(25L, 50L, 75L)
 
   /** q122: GROUPED exact quantiles — per event_type p25/p50/p75 of the
@@ -1129,6 +1158,7 @@ object Relational {
     "q120_rolling_active" -> rollingActive _,
     "q121_stream_mad" -> streamMad _,
     "q122_grouped_quantiles" -> groupedQuantiles _,
+    "q123_key_skew_census" -> keySkewCensus _,
     "q118_stream_zonemap" -> streamZonemap _,
     "q102_scd2_build" -> scd2Build _,
     "q60_sessionize" -> sessionize _,
@@ -1149,6 +1179,17 @@ object Relational {
     "q45_output_gate" -> outputGate _)
 
   private val oraclesBase: Map[String, String] = Map(
+    "q123_key_skew_census" ->
+      s"""WITH c AS (
+         |  SELECT user_id, count(*)::bigint AS n_rows
+         |  FROM events GROUP BY 1),
+         |t AS (
+         |  SELECT sum(n_rows)::bigint AS total_rows,
+         |    count(*)::bigint AS n_keys FROM c)
+         |SELECT c.user_id, c.n_rows, t.total_rows, t.n_keys,
+         |  ((1000000 * c.n_rows) // t.total_rows)::bigint AS share_ppm,
+         |  ((1000000 * c.n_rows * t.n_keys) // t.total_rows)::bigint AS hot_x_mean_fp
+         |FROM c, t ORDER BY c.n_rows DESC, c.user_id LIMIT $SkewTopK""".stripMargin,
     "q122_grouped_quantiles" ->
       s"""WITH vv AS (
          |  SELECT event_type, cast(round(value * 100) AS bigint) AS v
