@@ -748,6 +748,41 @@ object Relational {
     sketch.join(exact, "event_type").orderBy(col("event_type"))
   }
 
+  /** q124: VOLUME anomaly gate — per event_type, flag days whose event
+    * count sits more than 3σ from that type's daily mean, with the
+    * sigma test done in EXACT integer arithmetic: `(x−μ)² > k²σ²`
+    * multiplied through by n² gives `(n·x − S)² > k²·(n·ΣX² − S²)` —
+    * counts, sums and squares only, no division, no floating point, so
+    * both engines land identical flags (the ingest-volume tripwire a
+    * pipeline checks before trusting a day's partition; the value-
+    * level sibling is q114's MAD). Squares ride in decimal(38,0)
+    * (Spark) / hugeint (DuckDB) so petabyte-scale daily counts cannot
+    * overflow.
+    *
+    * Scale shape: one map-side-combinable (type, day) count — day
+    * grain, so everything after is days-sized; the per-type moment
+    * table broadcasts back onto the daily frame.
+    */
+  def volumeAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val daily = graft.Caches.persisted(events(spark, dir)
+      .select(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("x")))
+    val stats = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast(dec).as("n"),
+        sum(col("x")).cast(dec).as("s"),
+        sum(col("x").cast(dec) * col("x").cast(dec)).cast(dec).as("ss"))
+    val d = col("n") * col("x").cast(dec) - col("s")
+    daily.join(broadcast(stats), "event_type")
+      .withColumn("is_anomaly",
+        (d * d > lit(9).cast(dec) * (col("n") * col("ss") - col("s") * col("s")))
+          .cast("long"))
+      .select(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("x").as("n_events"), col("is_anomaly"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   private val SkewTopK = 20
 
   /** q123: HOT-KEY skew census — the diagnostic every join/groupBy
@@ -1159,6 +1194,7 @@ object Relational {
     "q121_stream_mad" -> streamMad _,
     "q122_grouped_quantiles" -> groupedQuantiles _,
     "q123_key_skew_census" -> keySkewCensus _,
+    "q124_volume_anomaly" -> volumeAnomaly _,
     "q118_stream_zonemap" -> streamZonemap _,
     "q102_scd2_build" -> scd2Build _,
     "q60_sessionize" -> sessionize _,
@@ -1179,6 +1215,22 @@ object Relational {
     "q45_output_gate" -> outputGate _)
 
   private val oraclesBase: Map[String, String] = Map(
+    "q124_volume_anomaly" ->
+      s"""WITH d AS (
+         |  SELECT event_type, date_trunc('day', ts) AS day,
+         |    count(*)::bigint AS x
+         |  FROM events GROUP BY 1, 2),
+         |st AS (
+         |  SELECT event_type, count(*)::hugeint AS n,
+         |    sum(x)::hugeint AS s,
+         |    sum(x::hugeint * x::hugeint)::hugeint AS ss
+         |  FROM d GROUP BY 1)
+         |SELECT d.event_type, strftime(d.day, '%Y-%m-%d') AS day,
+         |  d.x AS n_events,
+         |  (CASE WHEN (st.n * d.x - st.s) * (st.n * d.x - st.s)
+         |          > 9 * (st.n * st.ss - st.s * st.s)
+         |        THEN 1 ELSE 0 END)::bigint AS is_anomaly
+         |FROM d JOIN st USING (event_type) ORDER BY 1, 2""".stripMargin,
     "q123_key_skew_census" ->
       s"""WITH c AS (
          |  SELECT user_id, count(*)::bigint AS n_rows

@@ -605,4 +605,28 @@ class AgreementSpec extends AnyFunSuite {
         ("b", 75L) -> ((3L, 100L))))
     }
   }
+  test("q124 volume anomaly: integer 3-sigma flags exactly the planted spike") {
+    import spark.implicits._
+    // type a: 10 days at 10 events + 1 day at 40.
+    // mean=160/11, var=(11*2500-160^2)/121=(27500-25600)/121 ~ 15.70,
+    // sigma~3.96: day at 40 deviates 25.45 > 3 sigma -> flagged;
+    // days at 10 deviate 4.55 < 11.9 -> not flagged.
+    val us = 86400L * 1000000L
+    val rows = (0 until 10).flatMap(d => Seq.fill(10)(d.toLong)) ++
+      Seq.fill(40)(10L)
+    val ev = rows.zipWithIndex.map { case (d, i) =>
+      (i.toLong, i.toLong, "a", 1.0, "{}", d * us) }
+      .toDF("event_id", "user_id", "event_type", "value", "props", "ts_us")
+      .withColumn("ts", timestamp_micros(col("ts_us"))).drop("ts_us")
+    Caches.scoped {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q124-").toString
+      ev.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+      val got = graft.queries.Relational.volumeAnomaly(spark, tmp)
+        .collect().map(r => (r.getAs[String]("day"),
+          r.getAs[Long]("n_events"), r.getAs[Long]("is_anomaly")))
+      assert(got.length == 11)
+      assert(got.filter(_._3 == 1L).map(_._2).toSeq == Seq(40L))
+      assert(got.count(_._3 == 0L) == 10)
+    }
+  }
 }
