@@ -629,4 +629,48 @@ class AgreementSpec extends AnyFunSuite {
       assert(got.count(_._3 == 0L) == 10)
     }
   }
+  test("q117/q119/q123: brute-force local recomputation matches on sf0.001") {
+    val dir = "/root/testdata/sf0.001"
+    Caches.scoped {
+      // q117 winsorized stats vs driver-side recomputation
+      val xs = Tables.lineitem(spark, dir)
+        .select(col("l_extendedprice")).collect().map(_.getDouble(0))
+      val sortedXs = xs.sorted
+      def qd(p: Int): Double = sortedXs((xs.length - 1) * p / 100)
+      val (lo, hi) = (qd(1), qd(99))
+      val w = xs.map(x => math.min(math.max(x, lo), hi))
+      val r = graft.queries.Relational.winsorizedStats(spark, dir).collect().head
+      assert(r.getAs[Double]("lo") == lo && r.getAs[Double]("hi") == hi)
+      assert(r.getAs[Long]("n") == xs.length.toLong)
+      assert(r.getAs[Long]("n_clip_lo") == xs.count(_ < lo).toLong)
+      assert(r.getAs[Long]("n_clip_hi") == xs.count(_ > hi).toLong)
+      assert(r.getAs[Double]("sum_w") ==
+        w.map(x => math.round(x * 100.0)).sum.toDouble / 100.0)
+
+      // q119 dup inflation vs local grouping
+      val docs = Tables.documents(spark, dir)
+        .select("source", "text").collect()
+        .map(r2 => (r2.getString(0), r2.getString(1)))
+      val bySource = docs.groupBy(_._1)
+      val got = graft.queries.TextPack.dupInflation(spark, dir).collect()
+      assert(got.length == bySource.size)
+      got.foreach { g =>
+        val ds = bySource(g.getAs[String]("source"))
+        val distinct = ds.map(_._2).distinct.length.toLong
+        assert(g.getAs[Long]("n_docs") == ds.length.toLong)
+        assert(g.getAs[Long]("n_distinct_fp") == distinct)
+        assert(g.getAs[Long]("n_dup_docs") == ds.length - distinct)
+        assert(g.getAs[Long]("inflation_ppm") == 1000000L * ds.length / distinct)
+      }
+
+      // q123 skew census vs local top-20
+      val users = Tables.events(spark, dir)
+        .select("user_id").collect().map(_.getLong(0))
+      val counts = users.groupBy(identity).map { case (u, a) => (u, a.length.toLong) }
+      val top = counts.toSeq.sortBy { case (u, c) => (-c, u) }.take(20)
+      val census = graft.queries.Relational.keySkewCensus(spark, dir).collect()
+        .map(r2 => (r2.getAs[Long]("user_id"), r2.getAs[Long]("n_rows")))
+      assert(census.toSeq == top)
+    }
+  }
 }
