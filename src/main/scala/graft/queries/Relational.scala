@@ -748,6 +748,39 @@ object Relational {
     sketch.join(exact, "event_type").orderBy(col("event_type"))
   }
 
+  private val BucketCount = 8
+
+  /** q125: the BUCKETED-STORAGE join path under the oracle hash gate —
+    * both fact sides written as co-bucketed, per-bucket-sorted tables
+    * on the join key ([[graft.operators.Bucketing.writeBucketed]]),
+    * joined via the catalog relations ([[graft.operators.Bucketing
+    * .coLocatedJoin]] — BucketingSpec proves ZERO shuffle exchanges in
+    * this plan), then a priority-keyed revenue rollup whose values
+    * must hash-equal a plain DuckDB join. The write-once/join-many
+    * layout is how a 100 TB fact-fact join amortizes its shuffle into
+    * the storage layer; this query pins that the layout path is
+    * value-identical to the logical join, not just shuffle-free.
+    * (The in-query write to a temp dir is harness plumbing —
+    * production writes the bucketed tables once at ingest.)
+    */
+  def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q125-").toString
+    graft.operators.Bucketing.writeBucketed(
+      lineitem(spark, dir).select(col("l_orderkey"), col("l_extendedprice"),
+        col("l_discount")),
+      "graft_q125_lineitem", s"$tmp/lineitem", "l_orderkey", BucketCount)
+    graft.operators.Bucketing.writeBucketed(
+      orders(spark, dir).select(col("o_orderkey"), col("o_orderpriority")),
+      "graft_q125_orders", s"$tmp/orders", "o_orderkey", BucketCount)
+    graft.operators.Bucketing.coLocatedJoin(spark,
+        "graft_q125_lineitem", "graft_q125_orders", "l_orderkey", "o_orderkey")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+          .as("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** q124: VOLUME anomaly gate — per event_type, flag days whose event
     * count sits more than 3σ from that type's daily mean, with the
     * sigma test done in EXACT integer arithmetic: `(x−μ)² > k²σ²`
@@ -1195,6 +1228,7 @@ object Relational {
     "q122_grouped_quantiles" -> groupedQuantiles _,
     "q123_key_skew_census" -> keySkewCensus _,
     "q124_volume_anomaly" -> volumeAnomaly _,
+    "q125_bucketed_join" -> bucketedJoin _,
     "q118_stream_zonemap" -> streamZonemap _,
     "q102_scd2_build" -> scd2Build _,
     "q60_sessionize" -> sessionize _,
@@ -1215,6 +1249,11 @@ object Relational {
     "q45_output_gate" -> outputGate _)
 
   private val oraclesBase: Map[String, String] = Map(
+    "q125_bucketed_join" ->
+      s"""SELECT o_orderpriority, count(*)::bigint AS n_items,
+         |  ${Tables.sqlExactSum("l_extendedprice * (1.0 - l_discount)", 4)} AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q124_volume_anomaly" ->
       s"""WITH d AS (
          |  SELECT event_type, date_trunc('day', ts) AS day,
