@@ -68,6 +68,28 @@ object TextPack {
         expr("(1000000 * n_docs) div n_distinct_fp"))
       .orderBy(col("source"))
 
+  /** q126: power-of-two LENGTH histogram — the doc-length panel every
+    * corpus card shows (and the input to packing/truncation budget
+    * decisions), with the log-scale bucket computed WITHOUT floating
+    * point: `bucket = length(bin(n_chars))` (= ⌊log₂⌋+1 for positive
+    * ints — the binary-string length is integer-exact in any engine,
+    * where `floor(log2(x))` is one ulp away from flipping at exact
+    * powers). Per bucket: doc count, char mass, exact min/max, and
+    * ppm share of docs. One map-side-combinable groupBy on a derived
+    * key; output is ≤64 rows.
+    */
+  def lengthHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("n_chars"), length(bin(col("n_chars"))).cast("long").as("bucket"))
+    val tot = d.agg(count(lit(1)).as("n_total"))
+    d.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+        min(col("n_chars")).as("min_chars"), max(col("n_chars")).as("max_chars"))
+      .crossJoin(broadcast(tot))
+      .withColumn("share_ppm", expr("(1000000 * n_docs) div n_total"))
+      .orderBy(col("bucket"))
+  }
+
   def tokenFrequency(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
     d.select(explode(TextOps.tokens(col("text"))).as("token"))
@@ -489,6 +511,7 @@ object TextPack {
     "q33_bpe_token_count" -> bpeTokenCounts _,
     "q112_tokenizer_fertility" -> tokenizerFertility _,
     "q119_dup_inflation" -> dupInflation _,
+    "q126_length_histogram" -> lengthHistogram _,
     "q34_rolling_fingerprint" -> rollingFingerprints _,
     "q13_text_stats" -> textStats _,
     "q14_fingerprint_dedup" -> fingerprintDedup _,
@@ -561,6 +584,16 @@ object TextPack {
          |  start_offset // $PackBudget AS bin,
          |  start_offset % $PackBudget AS bin_offset
          |FROM o ORDER BY doc_id""".stripMargin,
+    "q126_length_histogram" ->
+      """WITH d AS (
+        |  SELECT n_chars, length(bin(n_chars))::bigint AS bucket
+        |  FROM documents),
+        |t AS (SELECT count(*)::bigint AS n_total FROM d)
+        |SELECT bucket, count(*)::bigint AS n_docs,
+        |  sum(n_chars)::bigint AS sum_chars,
+        |  min(n_chars)::bigint AS min_chars, max(n_chars)::bigint AS max_chars,
+        |  t.n_total, ((1000000 * count(*)) // t.n_total)::bigint AS share_ppm
+        |FROM d, t GROUP BY bucket, t.n_total ORDER BY bucket""".stripMargin,
     "q119_dup_inflation" ->
       """WITH f AS (
         |  SELECT source, md5(text) AS fp, count(*)::bigint AS c
