@@ -294,9 +294,15 @@ class WsIngestSpec extends AnyFunSuite {
       handle.stop()
       handle.ingest.join(10000)
       assert(!handle.ingest.isAlive, "stop handle must retire the ingest thread")
-      // everything received before the stop reached the spool
-      assert(spark.read.format("graft-tokens").load(spool)
-        .select(col("frame_id")).distinct().count() == 2L)
+      // everything received before the stop reached the spool. Under
+      // machine load a read timeout can abort the silent session and
+      // the loop reconnects (by design — frame ids continue across
+      // sessions), re-receiving the server's two pre-silence frames —
+      // so the count is 2 per completed session, not exactly 2.
+      val n = spark.read.format("graft-tokens").load(spool)
+        .select(col("frame_id")).distinct().count()
+      assert(n >= 2L && n % 2L == 0L,
+        s"expected 2 frames per completed session in the spool, got $n")
     } finally { handle.query.stop(); handle.stop(); srv.close() }
   }
 
