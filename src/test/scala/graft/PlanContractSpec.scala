@@ -413,4 +413,46 @@ class PlanContractSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
       assert(collect(plan) { case n: BroadcastNestedLoopJoinExec => n }.isEmpty)
     }
   }
+  test("q116/q118/q121 incremental merges: no cartesian, merge frames equi-keyed") {
+    for (q <- Seq("q116_stream_quantiles", "q118_stream_zonemap",
+        "q121_stream_mad")) Caches.scoped {
+      val plan = executed(q)
+      assert(collect(plan) { case c: CartesianProductExec => c }.isEmpty,
+        s"$q must not cartesian:\n$plan")
+    }
+  }
+
+  test("q122 grouped quantiles: window ranks the collapsed count frame only") {
+    Caches.scoped {
+      val plan = executed("q122_grouped_quantiles")
+      val wins = collect(plan) {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w }
+      assert(wins.nonEmpty)
+      wins.foreach { w =>
+        val names = w.child.output.map(_.name)
+        assert(names.contains("c") && !names.contains("value"),
+          s"window must consume the (type, v, c) frame, got $names:\n$plan")
+      }
+    }
+  }
+
+  test("q123 skew census: top-20 is TakeOrdered, totals broadcast") {
+    Caches.scoped {
+      val plan = executed("q123_key_skew_census")
+      assert(collect(plan) {
+        case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+      }.nonEmpty, s"hot-key top-k must plan as TakeOrderedAndProject:\n$plan")
+      assert(collect(plan) { case b: BroadcastExchangeLike => b }.nonEmpty)
+    }
+  }
+
+  test("q124/q126: day/bucket-grain panels — no window, no cartesian") {
+    for (q <- Seq("q124_volume_anomaly", "q126_length_histogram")) Caches.scoped {
+      val plan = executed(q)
+      assert(collect(plan) {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }.isEmpty, s"$q must not plan a window:\n$plan")
+      assert(collect(plan) { case c: CartesianProductExec => c }.isEmpty)
+    }
+  }
 }
