@@ -1031,6 +1031,39 @@ object Relational {
     sketch.join(exact, "event_type").orderBy(col("event_type"))
   }
 
+  /** q127: sketch ERROR calibration panel — the HLL (q62) and KMV
+    * (q87) distinct estimates side by side with the exact count and
+    * each sketch's absolute error in ppm, per event_type: the table
+    * an engineer reads before choosing which sketch (and which m/k)
+    * to deploy at 100 TB, produced by the engine itself instead of a
+    * notebook. Error is `(10⁶·|est − exact|) div exact` — kept
+    * non-negative so Spark's truncate-toward-zero `div` and DuckDB's
+    * flooring `//` agree.
+    *
+    * Scale shape: both sketch subtrees are the already-gated q62/q87
+    * shapes (register/kept-set state, map-side combinable); the exact
+    * side is the one countDistinct they approximate (gate
+    * instrumentation — at production scale you drop it and keep the
+    * two sketch columns). Three #type-row frames meet in equi-joins.
+    */
+  def sketchErrorPanel(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ext.SketchOps
+    val ev = graft.Caches.persisted(events(spark, dir)
+      .select(col("event_type"), col("user_id")))
+    val hll = SketchOps.hllDistinct(ev, Seq("event_type"), "user_id")
+      .select(col("event_type"), col("estimate").as("hll_est"))
+    val kmv = SketchOps.kmvDistinct(ev, Seq("event_type"), "user_id")
+      .select(col("event_type"), col("est_distinct").as("kmv_est"))
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_distinct"))
+    exact.join(hll, "event_type").join(kmv, "event_type")
+      .withColumn("hll_err_ppm",
+        expr("(1000000 * abs(hll_est - exact_distinct)) div exact_distinct"))
+      .withColumn("kmv_err_ppm",
+        expr("(1000000 * abs(kmv_est - exact_distinct)) div exact_distinct"))
+      .orderBy(col("event_type"))
+  }
+
   /** q84: greedy ordered FUNNEL over the event stream — the classic
     * product-analytics sequence operator (view → click → purchase):
     * stage 1 is each user's earliest view; stage k>1 is the earliest
@@ -1220,6 +1253,7 @@ object Relational {
     "q93_stream_funnel" -> streamFunnel _,
     "q96_stream_hll" -> streamHll _,
     "q113_stream_kmv" -> streamKmv _,
+    "q127_sketch_errors" -> sketchErrorPanel _,
     "q114_mad_outliers" -> madOutliers _,
     "q116_stream_quantiles" -> streamQuantiles _,
     "q117_winsorized_stats" -> winsorizedStats _,
@@ -1249,6 +1283,60 @@ object Relational {
     "q45_output_gate" -> outputGate _)
 
   private val oraclesBase: Map[String, String] = Map(
+    "q127_sketch_errors" ->
+      """WITH hh AS (
+        |  SELECT event_type,
+        |    ('0x' || substr(md5('hll:' || user_id), 1, 15))::bigint AS h
+        |  FROM events),
+        |obs AS (
+        |  SELECT event_type, h % 64 AS bucket,
+        |    CASE WHEN h // 64 = 0 THEN 55
+        |         ELSE instr(lpad(bin(h // 64), 54, '0'), '1') END AS rho
+        |  FROM hh),
+        |regs0 AS (SELECT event_type, bucket, max(rho)::bigint AS r
+        |          FROM obs GROUP BY 1, 2),
+        |frame AS (SELECT DISTINCT event_type, b AS bucket
+        |          FROM hh CROSS JOIN (SELECT unnest(range(64)) AS b)),
+        |regs AS (
+        |  SELECT frame.event_type, frame.bucket, coalesce(r, 0)::bigint AS r
+        |  FROM frame LEFT JOIN regs0
+        |    ON regs0.event_type = frame.event_type AND regs0.bucket = frame.bucket),
+        |hagg AS (
+        |  SELECT event_type,
+        |    sum(1::bigint << cast(55 - r AS int))::bigint AS z
+        |  FROM regs GROUP BY 1),
+        |hest AS (
+        |  SELECT event_type,
+        |    floor(2905460736.0::double * 36028797018963968.0::double
+        |          / 1000000.0::double / z::double)::bigint AS hll_est
+        |  FROM hagg),
+        |kh AS (
+        |  SELECT DISTINCT event_type,
+        |    ('0x' || substr(md5('kmv:' || user_id), 1, 8))::bigint AS h
+        |  FROM events),
+        |kr AS (
+        |  SELECT event_type, h,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        |  FROM kh),
+        |ks AS (
+        |  SELECT event_type, count(*)::bigint AS n_kept,
+        |    max(h)::bigint AS kth_hash
+        |  FROM kr WHERE rn <= 64 GROUP BY event_type),
+        |kest AS (
+        |  SELECT event_type,
+        |    (CASE WHEN n_kept < 64 THEN n_kept
+        |          ELSE (63::bigint * 4294967296) // greatest(kth_hash, 1) END
+        |    )::bigint AS kmv_est
+        |  FROM ks),
+        |ex AS (SELECT event_type, count(DISTINCT user_id)::bigint AS exact_distinct
+        |       FROM events GROUP BY 1)
+        |SELECT ex.event_type, ex.exact_distinct, hest.hll_est, kest.kmv_est,
+        |  ((1000000 * abs(hest.hll_est - ex.exact_distinct))
+        |    // ex.exact_distinct)::bigint AS hll_err_ppm,
+        |  ((1000000 * abs(kest.kmv_est - ex.exact_distinct))
+        |    // ex.exact_distinct)::bigint AS kmv_err_ppm
+        |FROM ex JOIN hest USING (event_type) JOIN kest USING (event_type)
+        |ORDER BY ex.event_type""".stripMargin,
     "q125_bucketed_join" ->
       s"""SELECT o_orderpriority, count(*)::bigint AS n_items,
          |  ${Tables.sqlExactSum("l_extendedprice * (1.0 - l_discount)", 4)} AS revenue
