@@ -1031,6 +1031,65 @@ object Relational {
     sketch.join(exact, "event_type").orderBy(col("event_type"))
   }
 
+  /** q129: OUT-OF-ORDER ingest audit — per zone (q110's row-group
+    * proxy, ingest order), how far the zone's earliest event-time sits
+    * BEHIND the maximum event-time already ingested in prior zones:
+    * `late_us = max(0, runmax(prev zones' max_ts) − min_ts)`. The
+    * distribution of `late_us` IS the watermark-delay sizing input —
+    * a streaming job's allowed lateness must cover the observed
+    * disorder or q10/q60's watermarks silently drop rows.
+    *
+    * Scale shape: the corpus collapses to zone grain first (one
+    * map-side-combinable groupBy); the running max is a single-task
+    * window over the ZONES frame only — at row-group-sized zones
+    * that is corpus/10⁶ rows, the same bounded-frame concession as
+    * q75's per-doc islands, documented here deliberately (PrefixOps
+    * covers running SUMS; a running max over a bounded frame does not
+    * warrant a custom pass).
+    */
+  def ingestDisorder(spark: SparkSession, dir: String): DataFrame = {
+    val zones = events(spark, dir)
+      .select(expr(s"event_id div $ZoneRows").as("zone"),
+        unix_micros(col("ts")).as("ts_us"))
+      .groupBy(col("zone"))
+      .agg(min(col("ts_us")).as("min_ts_us"), max(col("ts_us")).as("max_ts_us"))
+    val w = Window.orderBy(col("zone"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    zones.withColumn("pm", max(col("max_ts_us")).over(w))
+      .select(col("zone"), col("min_ts_us"), col("max_ts_us"),
+        coalesce(col("pm"), col("min_ts_us")).as("prev_max_ts_us"),
+        greatest(lit(0L), coalesce(col("pm") - col("min_ts_us"), lit(0L)))
+          .as("late_us"),
+        (coalesce(col("pm") - col("min_ts_us"), lit(0L)) > 0L)
+          .cast("long").as("is_disordered"))
+      .orderBy(col("zone"))
+  }
+
+  private val LagPs = Seq(25, 50, 75, 90, 99)
+
+  /** q128: CONVERSION-LAG quantiles — the exact p25/p50/p75/p90/p99 of
+    * each user's first-view → first-purchase delay in epoch
+    * microseconds, the latency distribution behind every funnel SLA
+    * ("half convert within X, the p99 takes Y"). Lag construction is
+    * the q84 funnel shape — two pushed type-filters, two groupBy-mins,
+    * one user-keyed equi-join, integer subtraction — and the
+    * distribution goes through the two-pass exact-quantile operator
+    * ([[graft.ext.StatOps.exactQuantiles]]): no global sort, no
+    * per-user window, O(parts) driver traffic.
+    */
+  def conversionLags(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Caches.persisted(events(spark, dir)
+      .select(col("event_type"), col("user_id"), unix_micros(col("ts")).as("ts_us")))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("t_view"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("t_buy"))
+    val lags = v.join(p, "user_id")
+      .filter(col("t_buy") >= col("t_view"))
+      .select((col("t_buy") - col("t_view")).as("lag_us"))
+    graft.ext.StatOps.exactQuantiles(lags, "lag_us", LagPs).orderBy(col("p"))
+  }
+
   /** q127: sketch ERROR calibration panel — the HLL (q62) and KMV
     * (q87) distinct estimates side by side with the exact count and
     * each sketch's absolute error in ppm, per event_type: the table
@@ -1254,6 +1313,8 @@ object Relational {
     "q96_stream_hll" -> streamHll _,
     "q113_stream_kmv" -> streamKmv _,
     "q127_sketch_errors" -> sketchErrorPanel _,
+    "q128_conversion_lags" -> conversionLags _,
+    "q129_ingest_disorder" -> ingestDisorder _,
     "q114_mad_outliers" -> madOutliers _,
     "q116_stream_quantiles" -> streamQuantiles _,
     "q117_winsorized_stats" -> winsorizedStats _,
@@ -1283,6 +1344,42 @@ object Relational {
     "q45_output_gate" -> outputGate _)
 
   private val oraclesBase: Map[String, String] = Map(
+    "q129_ingest_disorder" ->
+      s"""WITH z AS (
+         |  SELECT event_id // $ZoneRows AS zone,
+         |    min(epoch_us(ts))::bigint AS min_ts_us,
+         |    max(epoch_us(ts))::bigint AS max_ts_us
+         |  FROM events GROUP BY 1),
+         |w AS (
+         |  SELECT *, max(max_ts_us) OVER (ORDER BY zone
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+         |  FROM z)
+         |SELECT zone, min_ts_us, max_ts_us,
+         |  coalesce(pm, min_ts_us)::bigint AS prev_max_ts_us,
+         |  greatest(0, coalesce(pm - min_ts_us, 0))::bigint AS late_us,
+         |  (CASE WHEN coalesce(pm - min_ts_us, 0) > 0
+         |        THEN 1 ELSE 0 END)::bigint AS is_disordered
+         |FROM w ORDER BY zone""".stripMargin,
+    "q128_conversion_lags" ->
+      """WITH e AS (
+        |  SELECT event_type, user_id, epoch_us(ts) AS ts_us FROM events),
+        |v AS (SELECT user_id, min(ts_us) AS t_view FROM e
+        |      WHERE event_type = 'view' GROUP BY 1),
+        |pp AS (SELECT user_id, min(ts_us) AS t_buy FROM e
+        |       WHERE event_type = 'purchase' GROUP BY 1),
+        |l AS (SELECT t_buy - t_view AS v FROM v JOIN pp USING (user_id)
+        |      WHERE t_buy >= t_view),
+        |c AS (SELECT v, count(*)::bigint AS c FROM l GROUP BY 1),
+        |o AS (SELECT v, c, sum(c) OVER (ORDER BY v)::bigint AS cum_end FROM c),
+        |n AS (SELECT sum(c)::bigint AS n FROM c),
+        |r AS (
+        |  SELECT p::bigint AS p,
+        |    (floor((n.n - 1) * p / 100) + 1)::bigint AS target_rank
+        |  FROM (SELECT unnest([25, 50, 75, 90, 99]) AS p) CROSS JOIN n)
+        |SELECT r.p, r.target_rank, min(o.v) AS value
+        |FROM r JOIN o
+        |  ON o.cum_end >= r.target_rank AND o.cum_end - o.c < r.target_rank
+        |GROUP BY 1, 2 ORDER BY p""".stripMargin,
     "q127_sketch_errors" ->
       """WITH hh AS (
         |  SELECT event_type,
