@@ -1342,6 +1342,34 @@ object CurationPack {
       .orderBy(col("bin"))
   }
 
+  /** q130: PERCENTILE-RANK normalization — every doc's corpus-relative
+    * quality standing in ppm (`(10⁶·(rank−1)) div (n−1)` over the
+    * total order (score_fp, doc_id)), the normalization a curriculum
+    * or mixture-weighting stage consumes instead of raw scores (raw
+    * fixed-point scores aren't comparable across corpora; percentile
+    * ranks are). Score is q83's exact type-token ratio; the global
+    * rank comes from [[graft.ext.PrefixOps.groupedRunningAgg]] over a
+    * single group — the range-partitioned two-pass, NOT a global
+    * row_number window (which would serialize the corpus through one
+    * task); the 1-row total broadcasts.
+    */
+  def percentileRanks(spark: SparkSession, dir: String): DataFrame = {
+    val s = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"),
+        floor(lit(1000000.0) * size(array_distinct(col("toks"))).cast("double") /
+          size(col("toks")).cast("double")).cast("long").as("score_fp"),
+        lit(1).as("g"))
+    val ranked = graft.ext.PrefixOps.groupedRunningAgg(
+      s, Seq("g"), Seq("score_fp", "doc_id"), None, rankName = "rank")
+    val tot = s.agg(count(lit(1)).as("n_total"))
+    ranked.crossJoin(broadcast(tot))
+      .withColumn("pct_ppm",
+        expr("(1000000 * (rank - 1)) div greatest(n_total - 1, 1L)"))
+      .select(col("doc_id"), col("score_fp"), col("rank"), col("pct_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1368,6 +1396,7 @@ object CurationPack {
     "q80_corpus_split" -> corpusSplit _,
     "q81_importance_resample" -> importanceResample _,
     "q83_quality_deciles" -> qualityDeciles _,
+    "q130_percentile_ranks" -> percentileRanks _,
     "q90_textrank_keywords" -> textrankKeywords _,
     "q91_inverted_index" -> invertedIndex _,
     "q95_chunk_dedup" -> chunkDedup _,
@@ -1805,6 +1834,20 @@ object CurationPack {
          |WHERE (cum_w * $SysSampleTarget) // t.w_total
          |    > ((cum_w - n_chars) * $SysSampleTarget) // t.w_total
          |ORDER BY doc_id""".stripMargin,
+    "q130_percentile_ranks" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    floor(1000000.0 * len(list_distinct(string_split(text, ' ')))
+        |          / len(string_split(text, ' ')))::bigint AS score_fp
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, score_fp,
+        |    row_number() OVER (ORDER BY score_fp, doc_id)::bigint AS rank
+        |  FROM s),
+        |t AS (SELECT count(*)::bigint AS n_total FROM s)
+        |SELECT r.doc_id, r.score_fp, r.rank,
+        |  ((1000000 * (r.rank - 1)) // greatest(t.n_total - 1, 1))::bigint AS pct_ppm
+        |FROM r, t ORDER BY r.doc_id""".stripMargin,
     "q111_pmi_collocations" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
          |bgx AS (
