@@ -1031,6 +1031,36 @@ object Relational {
     sketch.join(exact, "event_type").orderBy(col("event_type"))
   }
 
+  /** q131: REFERENTIAL-INTEGRITY audit — orphan census for the two
+    * fact→dim edges (lineitem→orders, orders→customer): child rows
+    * whose key has no parent, as count + ppm. The data-quality gate a
+    * pipeline runs after every ingest/compaction before downstream
+    * joins silently drop rows (an inner join on a corrupted edge
+    * doesn't fail, it shrinks). A zero-orphan corpus makes the audit
+    * MORE valuable, not less — the output proves the invariant.
+    *
+    * Scale shape: each edge is one left-anti equi-join on the join
+    * key (the same shuffle the production join pays) feeding a 1-row
+    * count; parent key sets never collect anywhere.
+    */
+  def fkOrphans(spark: SparkSession, dir: String): DataFrame = {
+    def edge(name: String, child: DataFrame, key: Column,
+        parent: DataFrame, pkey: Column): DataFrame = {
+      val orphans = child.join(parent, key === pkey, "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+      child.agg(count(lit(1)).as("n_child")).crossJoin(broadcast(orphans))
+        .select(lit(name).as("edge"), col("n_child"), col("n_orphans"),
+          expr("(1000000 * n_orphans) div n_child").as("orphan_ppm"))
+    }
+    edge("lineitem->orders",
+        lineitem(spark, dir).select(col("l_orderkey")), col("l_orderkey"),
+        orders(spark, dir).select(col("o_orderkey")), col("o_orderkey"))
+      .unionByName(edge("orders->customer",
+        orders(spark, dir).select(col("o_custkey")), col("o_custkey"),
+        customer(spark, dir).select(col("c_custkey")), col("c_custkey")))
+      .orderBy(col("edge"))
+  }
+
   /** q129: OUT-OF-ORDER ingest audit — per zone (q110's row-group
     * proxy, ingest order), how far the zone's earliest event-time sits
     * BEHIND the maximum event-time already ingested in prior zones:
@@ -1315,6 +1345,7 @@ object Relational {
     "q127_sketch_errors" -> sketchErrorPanel _,
     "q128_conversion_lags" -> conversionLags _,
     "q129_ingest_disorder" -> ingestDisorder _,
+    "q131_fk_orphans" -> fkOrphans _,
     "q114_mad_outliers" -> madOutliers _,
     "q116_stream_quantiles" -> streamQuantiles _,
     "q117_winsorized_stats" -> winsorizedStats _,
@@ -1344,6 +1375,23 @@ object Relational {
     "q45_output_gate" -> outputGate _)
 
   private val oraclesBase: Map[String, String] = Map(
+    "q131_fk_orphans" ->
+      """WITH a AS (
+        |  SELECT 'lineitem->orders' AS edge,
+        |    (SELECT count(*) FROM lineitem)::bigint AS n_child,
+        |    (SELECT count(*) FROM lineitem l
+        |     WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                       WHERE o.o_orderkey = l.l_orderkey))::bigint AS n_orphans),
+        |b AS (
+        |  SELECT 'orders->customer' AS edge,
+        |    (SELECT count(*) FROM orders)::bigint AS n_child,
+        |    (SELECT count(*) FROM orders o
+        |     WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |                       WHERE c.c_custkey = o.o_custkey))::bigint AS n_orphans),
+        |u AS (SELECT * FROM a UNION ALL SELECT * FROM b)
+        |SELECT edge, n_child, n_orphans,
+        |  ((1000000 * n_orphans) // n_child)::bigint AS orphan_ppm
+        |FROM u ORDER BY edge""".stripMargin,
     "q129_ingest_disorder" ->
       s"""WITH z AS (
          |  SELECT event_id // $ZoneRows AS zone,

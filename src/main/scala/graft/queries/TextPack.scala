@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.ext.TextOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis / deduplication query pack over the `documents` table:
@@ -88,6 +89,30 @@ object TextPack {
       .crossJoin(broadcast(tot))
       .withColumn("share_ppm", expr("(1000000 * n_docs) div n_total"))
       .orderBy(col("bucket"))
+  }
+
+  private val TermsPerSource = 5
+
+  /** q132: top terms PER SOURCE — the per-slice vocabulary panel (what
+    * does each crawl actually talk about), q15's global top-20 made
+    * group-wise. The rank window runs on the COLLAPSED (source, token,
+    * freq) count frame — vocabulary × sources sized, corpus-
+    * independent — never on token occurrence rows, and `rank <= 5`
+    * plans as WindowGroupLimit (rank pushdown) rather than a full
+    * per-group sort. Tie-break (freq desc, token asc) is total, so
+    * both engines elect identical terms.
+    */
+  def topTermsPerSource(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .select(col("source"), explode(TextOps.tokens(col("text"))).as("token"))
+      .groupBy(col("source"), col("token")).agg(count(lit(1)).as("freq"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("freq").desc, col("token"))
+    counts.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TermsPerSource)
+      .select(col("source"), col("rank").cast("long").as("rank"),
+        col("token"), col("freq"))
+      .orderBy(col("source"), col("rank"))
   }
 
   def tokenFrequency(spark: SparkSession, dir: String): DataFrame = {
@@ -512,6 +537,7 @@ object TextPack {
     "q112_tokenizer_fertility" -> tokenizerFertility _,
     "q119_dup_inflation" -> dupInflation _,
     "q126_length_histogram" -> lengthHistogram _,
+    "q132_top_terms_per_source" -> topTermsPerSource _,
     "q34_rolling_fingerprint" -> rollingFingerprints _,
     "q13_text_stats" -> textStats _,
     "q14_fingerprint_dedup" -> fingerprintDedup _,
@@ -584,6 +610,19 @@ object TextPack {
          |  start_offset // $PackBudget AS bin,
          |  start_offset % $PackBudget AS bin_offset
          |FROM o ORDER BY doc_id""".stripMargin,
+    "q132_top_terms_per_source" ->
+      """WITH c AS (
+        |  SELECT source, token, count(*)::bigint AS freq FROM (
+        |    SELECT source, unnest(string_split(text, ' ')) AS token
+        |    FROM documents)
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT source, token, freq,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY freq DESC, token)::bigint AS rank
+        |  FROM c)
+        |SELECT source, rank, token, freq FROM r
+        |WHERE rank <= 5 ORDER BY source, rank""".stripMargin,
     "q126_length_histogram" ->
       """WITH d AS (
         |  SELECT n_chars, length(bin(n_chars))::bigint AS bucket
