@@ -1342,6 +1342,38 @@ object CurationPack {
       .orderBy(col("bin"))
   }
 
+  private val LorenzPcts = Seq(1L, 10L, 50L)
+
+  /** q133: corpus CONCENTRATION curve — Lorenz points: what share of
+    * the corpus' character mass do the heaviest 1% / 10% / 50% of
+    * documents hold? The inequality number behind mixture planning
+    * ("half the tokens come from 2% of docs — cap or split them") and
+    * behind q58's sqrt rebalancing decision. Docs rank by
+    * (n_chars desc, doc_id) through [[graft.ext.PrefixOps
+    * .groupedRunningAgg]] (single group, range-partitioned two-pass —
+    * no global window) carrying the inclusive char running sum; the
+    * Lorenz point p keeps the row at rank `(n·p) div 100` (the
+    * heaviest p%), emitting exact `(10⁶·cum_chars) div total_chars`.
+    */
+  def concentrationCurve(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"),
+        (-col("n_chars")).as("neg_chars"), lit(1).as("g"))
+    val ranked = graft.ext.PrefixOps.groupedRunningAgg(
+      d, Seq("g"), Seq("neg_chars", "doc_id"), Some("n_chars"),
+      rankName = "rank", sumName = "cum_chars")
+    val tot = d.agg(count(lit(1)).as("n_total"),
+      sum(col("n_chars")).as("total_chars"))
+    ranked.crossJoin(broadcast(tot))
+      .join(broadcast(spark.createDataFrame(
+          LorenzPcts.map(p => (p, p))).toDF("p", "p2")).drop("p2"),
+        col("rank") === expr("(n_total * p) div 100"))
+      .select(col("p"), col("rank").as("n_docs_top"),
+        col("cum_chars"), col("total_chars"),
+        expr("(1000000 * cum_chars) div total_chars").as("char_share_ppm"))
+      .orderBy(col("p"))
+  }
+
   /** q130: PERCENTILE-RANK normalization — every doc's corpus-relative
     * quality standing in ppm (`(10⁶·(rank−1)) div (n−1)` over the
     * total order (score_fp, doc_id)), the normalization a curriculum
@@ -1397,6 +1429,7 @@ object CurationPack {
     "q81_importance_resample" -> importanceResample _,
     "q83_quality_deciles" -> qualityDeciles _,
     "q130_percentile_ranks" -> percentileRanks _,
+    "q133_concentration_curve" -> concentrationCurve _,
     "q90_textrank_keywords" -> textrankKeywords _,
     "q91_inverted_index" -> invertedIndex _,
     "q95_chunk_dedup" -> chunkDedup _,
@@ -1834,6 +1867,20 @@ object CurationPack {
          |WHERE (cum_w * $SysSampleTarget) // t.w_total
          |    > ((cum_w - n_chars) * $SysSampleTarget) // t.w_total
          |ORDER BY doc_id""".stripMargin,
+    "q133_concentration_curve" ->
+      """WITH r AS (
+        |  SELECT doc_id, n_chars,
+        |    row_number() OVER (ORDER BY n_chars DESC, doc_id)::bigint AS rank,
+        |    sum(n_chars) OVER (ORDER BY n_chars DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::bigint AS cum_chars
+        |  FROM documents),
+        |t AS (SELECT count(*)::bigint AS n_total,
+        |        sum(n_chars)::bigint AS total_chars FROM documents)
+        |SELECT p.p, r.rank AS n_docs_top, r.cum_chars, t.total_chars,
+        |  ((1000000 * r.cum_chars) // t.total_chars)::bigint AS char_share_ppm
+        |FROM (SELECT unnest([1, 10, 50])::bigint AS p) p, t
+        |JOIN r ON r.rank = (t.n_total * p.p) // 100
+        |ORDER BY p.p""".stripMargin,
     "q130_percentile_ranks" ->
       """WITH s AS (
         |  SELECT doc_id,

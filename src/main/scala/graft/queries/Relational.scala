@@ -1031,6 +1031,36 @@ object Relational {
     sketch.join(exact, "event_type").orderBy(col("event_type"))
   }
 
+  private val BalanceBuckets = 32L
+
+  /** q134: hash-PARTITION balance audit — before committing a
+    * partitioning/bucketing key at 100 TB, measure how evenly it
+    * spreads: rows per `hash32(key) mod 32` bucket for the events
+    * user_id key, plus each bucket's load as a ×10⁶ multiple of the
+    * mean (`x_mean_fp`). Complements q123 (which finds the hot KEYS;
+    * this measures the resulting BUCKET spread the shuffle actually
+    * sees). The hash is the engine's md5-derived 32-bit
+    * ([[graft.ext.TextOps.hash32]] — the sketches' hash), so the
+    * oracle reproduces bucket assignment bit-for-bit, which a
+    * Murmur3-based audit could not.
+    *
+    * Scale shape: one map-side-combinable groupBy on the derived
+    * bucket (32 partials per input partition); the 1-row total
+    * broadcasts. Output is exactly 32 rows.
+    */
+  def partitionBalance(spark: SparkSession, dir: String): DataFrame = {
+    val b = events(spark, dir)
+      .select(pmod(graft.ext.TextOps.hash32(
+        concat(lit("part:"), col("user_id").cast("string"))),
+        lit(BalanceBuckets)).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_rows"))
+    val tot = b.agg(sum(col("n_rows")).as("total_rows"))
+    b.crossJoin(broadcast(tot))
+      .withColumn("x_mean_fp",
+        expr(s"(1000000 * n_rows * $BalanceBuckets) div total_rows"))
+      .orderBy(col("bucket"))
+  }
+
   /** q131: REFERENTIAL-INTEGRITY audit — orphan census for the two
     * fact→dim edges (lineitem→orders, orders→customer): child rows
     * whose key has no parent, as count + ppm. The data-quality gate a
@@ -1346,6 +1376,7 @@ object Relational {
     "q128_conversion_lags" -> conversionLags _,
     "q129_ingest_disorder" -> ingestDisorder _,
     "q131_fk_orphans" -> fkOrphans _,
+    "q134_partition_balance" -> partitionBalance _,
     "q114_mad_outliers" -> madOutliers _,
     "q116_stream_quantiles" -> streamQuantiles _,
     "q117_winsorized_stats" -> winsorizedStats _,
@@ -1375,6 +1406,16 @@ object Relational {
     "q45_output_gate" -> outputGate _)
 
   private val oraclesBase: Map[String, String] = Map(
+    "q134_partition_balance" ->
+      s"""WITH b AS (
+         |  SELECT ('0x' || substr(md5('part:' || user_id), 1, 8))::bigint
+         |    % $BalanceBuckets AS bucket
+         |  FROM events),
+         |c AS (SELECT bucket, count(*)::bigint AS n_rows FROM b GROUP BY 1),
+         |t AS (SELECT sum(n_rows)::bigint AS total_rows FROM c)
+         |SELECT c.bucket, c.n_rows, t.total_rows,
+         |  ((1000000 * c.n_rows * $BalanceBuckets) // t.total_rows)::bigint AS x_mean_fp
+         |FROM c, t ORDER BY c.bucket""".stripMargin,
     "q131_fk_orphans" ->
       """WITH a AS (
         |  SELECT 'lineitem->orders' AS edge,
