@@ -91,6 +91,25 @@ object TextPack {
       .orderBy(col("bucket"))
   }
 
+  /** q135: duplicate-CLUSTER size histogram — the dedup report's
+    * headline table: for each exact-duplicate cluster size (q14's
+    * per-fingerprint count), how many clusters exist, how many docs
+    * they hold, and how many docs dedup would drop. Reads the
+    * collapsed fingerprint frame (the q14 shuffle), then aggregates
+    * the CLUSTER-cardinality frame by size — output is ≤ max-cluster-
+    * size rows, and `sum(n_dropped)` over it is the corpus' dedup
+    * savings (q119's number, itemized by cluster size).
+    */
+  def dupClusterHistogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(TextOps.fingerprint(col("text")).as("fp"))
+      .groupBy(col("fp")).agg(count(lit(1)).as("size"))
+      .groupBy(col("size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        (count(lit(1)) * col("size")).as("n_docs"),
+        (count(lit(1)) * (col("size") - 1)).as("n_dropped"))
+      .orderBy(col("size"))
+
   private val TermsPerSource = 5
 
   /** q132: top terms PER SOURCE — the per-slice vocabulary panel (what
@@ -538,6 +557,7 @@ object TextPack {
     "q119_dup_inflation" -> dupInflation _,
     "q126_length_histogram" -> lengthHistogram _,
     "q132_top_terms_per_source" -> topTermsPerSource _,
+    "q135_dup_cluster_histogram" -> dupClusterHistogram _,
     "q34_rolling_fingerprint" -> rollingFingerprints _,
     "q13_text_stats" -> textStats _,
     "q14_fingerprint_dedup" -> fingerprintDedup _,
@@ -610,6 +630,14 @@ object TextPack {
          |  start_offset // $PackBudget AS bin,
          |  start_offset % $PackBudget AS bin_offset
          |FROM o ORDER BY doc_id""".stripMargin,
+    "q135_dup_cluster_histogram" ->
+      """WITH f AS (
+        |  SELECT md5(text) AS fp, count(*)::bigint AS size
+        |  FROM documents GROUP BY 1)
+        |SELECT size, count(*)::bigint AS n_clusters,
+        |  (count(*) * size)::bigint AS n_docs,
+        |  (count(*) * (size - 1))::bigint AS n_dropped
+        |FROM f GROUP BY size ORDER BY size""".stripMargin,
     "q132_top_terms_per_source" ->
       """WITH c AS (
         |  SELECT source, token, count(*)::bigint AS freq FROM (
