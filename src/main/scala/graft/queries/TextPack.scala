@@ -134,6 +134,42 @@ object TextPack {
       .orderBy(col("source"), col("rank"))
   }
 
+  /** q136: LSH PRECISION calibration — for each shared-band count
+    * (1..b), how many candidate pairs the banding emits and what
+    * fraction verify at true Jaccard ≥ 0.5: the b/r tuning panel (more
+    * shared bands ⇒ higher minhash agreement ⇒ higher precision) read
+    * before re-banding a corpus. Composes q18's banded candidate join
+    * with q47's exact-shingle verification and aggregates at the
+    * CANDIDATE-PAIR grain — never all-pairs; the expensive subtrees
+    * are exactly the already-gated q18/q47 shapes off one persisted
+    * shingle pass.
+    */
+  def lshPrecisionPanel(spark: SparkSession, dir: String): DataFrame = {
+    val sh = graft.Caches.persisted(Tables.documents(spark, dir)
+      .select(col("doc_id"), TextOps.wordShingles(col("text"), 3).as("sh")))
+    val hashRows = sh.select(col("doc_id"), explode(col("sh")).as("_s"))
+      .select(col("doc_id"), TextOps.hash32(col("_s")).as("_h"))
+    val banded = TextOps.minhashAggFromHashes(hashRows, "doc_id", "_h", K)
+      .select(col("doc_id"), posexplode(TextOps.lshBandKeys(col("sig"), Bands, R))
+        .as(Seq("band", "key")))
+      .select(col("doc_id"),
+        concat(col("band").cast("string"), lit(":"), col("key")).as("band_key"))
+    val pairs = banded.select(col("doc_id").as("doc1"), col("band_key"))
+      .join(banded.select(col("doc_id").as("doc2"), col("band_key")), "band_key")
+      .filter(col("doc1") < col("doc2"))
+      .groupBy(col("doc1"), col("doc2"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+    pairs
+      .join(sh.select(col("doc_id").as("doc1"), col("sh").as("sh1")), "doc1")
+      .join(sh.select(col("doc_id").as("doc2"), col("sh").as("sh2")), "doc2")
+      .withColumn("ok",
+        (TextOps.jaccard(col("sh1"), col("sh2")) >= lit(VerifyJaccard)).cast("long"))
+      .groupBy(col("n_shared_bands"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("ok")).as("n_verified"))
+      .withColumn("precision_ppm", expr("(1000000 * n_verified) div n_pairs"))
+      .orderBy(col("n_shared_bands"))
+  }
+
   def tokenFrequency(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
     d.select(explode(TextOps.tokens(col("text"))).as("token"))
@@ -558,6 +594,7 @@ object TextPack {
     "q126_length_histogram" -> lengthHistogram _,
     "q132_top_terms_per_source" -> topTermsPerSource _,
     "q135_dup_cluster_histogram" -> dupClusterHistogram _,
+    "q136_lsh_precision" -> lshPrecisionPanel _,
     "q34_rolling_fingerprint" -> rollingFingerprints _,
     "q13_text_stats" -> textStats _,
     "q14_fingerprint_dedup" -> fingerprintDedup _,
@@ -775,6 +812,34 @@ object TextPack {
          |SELECT doc_id, j, sig[j+1] AS minhash
          |FROM sig CROSS JOIN (SELECT unnest(range($K)) AS j)
          |ORDER BY doc_id, j""".stripMargin,
+    "q136_lsh_precision" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, $shinglesSql AS sh
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+         |sig AS (SELECT doc_id, $sigSql AS sig FROM sh),
+         |bands AS (
+         |  SELECT doc_id, b,
+         |    b || ':' || array_to_string(sig[b*$R+1:b*$R+$R], ',') AS band_key
+         |  FROM sig CROSS JOIN (SELECT unnest(range($Bands)) AS b)),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+         |    count(*)::bigint AS n_shared_bands
+         |  FROM bands a JOIN bands b
+         |    ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |j AS (
+         |  SELECT p.n_shared_bands,
+         |    CASE WHEN cast(len(list_intersect(s1.sh, s2.sh)) AS double)
+         |           / cast(len(list_distinct(list_concat(s1.sh, s2.sh))) AS double)
+         |           >= $VerifyJaccard
+         |         THEN 1 ELSE 0 END AS ok
+         |  FROM pairs p
+         |  JOIN sh s1 ON s1.doc_id = p.doc1
+         |  JOIN sh s2 ON s2.doc_id = p.doc2)
+         |SELECT n_shared_bands, count(*)::bigint AS n_pairs,
+         |  sum(ok)::bigint AS n_verified,
+         |  ((1000000 * sum(ok)) // count(*))::bigint AS precision_ppm
+         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     "q18_lsh_candidate_pairs" ->
       s"""WITH sh AS (
          |  SELECT doc_id, $shinglesSql AS sh
