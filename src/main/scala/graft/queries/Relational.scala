@@ -1255,6 +1255,39 @@ object Relational {
       .orderBy(col("cohort_day"), col("day_offset"))
   }
 
+  /** q137: cohort REVENUE matrix (the LTV curve) — q85's retention
+    * matrix with money on it: per signup-day cohort and day offset,
+    * purchase count, distinct buyers, and exact revenue in integer
+    * cents (`sum(round(value·100))` — order-independent int64, so
+    * both engines land the identical sum where a double sum would
+    * drift in the last ulps). Same scale shape as q85: one cohort
+    * groupBy-min, one user-keyed equi-join, one (cohort, offset)
+    * aggregate — no per-user window anywhere.
+    */
+  def cohortRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400L * 1000000L
+    val ev = events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"),
+        round(col("value") * 100).cast("long").as("v"))
+    val cohort = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(date_trunc("day", min(col("ts"))).as("cd"))
+    ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("v"), date_trunc("day", col("ts")).as("ad"))
+      .join(cohort, "user_id")
+      .filter(col("ad") >= col("cd"))
+      .select(col("user_id"), col("v"), col("cd"),
+        ((unix_micros(col("ad")) - unix_micros(col("cd"))) / lit(dayUs))
+          .cast("long").as("day_offset"))
+      .groupBy(col("cd"), col("day_offset"))
+      .agg(count(lit(1)).as("n_purchases"),
+        countDistinct(col("user_id")).as("n_buyers"),
+        sum(col("v")).as("revenue_cents"))
+      .select(date_format(col("cd"), "yyyy-MM-dd").as("cohort_day"),
+        col("day_offset"), col("n_purchases"), col("n_buyers"),
+        col("revenue_cents"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
   private val ZoneRows = 512L            // rows per zone (row-group proxy)
   private val ZoneHiValue = 400.0        // audit predicate: value > 400
   private val ZoneStaleUs = 86400L * 1000000L // audit predicate: last 1 day
@@ -1377,6 +1410,7 @@ object Relational {
     "q129_ingest_disorder" -> ingestDisorder _,
     "q131_fk_orphans" -> fkOrphans _,
     "q134_partition_balance" -> partitionBalance _,
+    "q137_cohort_revenue" -> cohortRevenue _,
     "q114_mad_outliers" -> madOutliers _,
     "q116_stream_quantiles" -> streamQuantiles _,
     "q117_winsorized_stats" -> winsorizedStats _,
@@ -1406,6 +1440,22 @@ object Relational {
     "q45_output_gate" -> outputGate _)
 
   private val oraclesBase: Map[String, String] = Map(
+    "q137_cohort_revenue" ->
+      """WITH s AS (
+        |  SELECT user_id, date_trunc('day', min(ts)) AS cd FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |p AS (
+        |  SELECT e.user_id,
+        |    cast(round(e.value * 100) AS bigint) AS v,
+        |    s.cd, date_trunc('day', e.ts) AS ad
+        |  FROM events e JOIN s USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND date_trunc('day', e.ts) >= s.cd)
+        |SELECT strftime(cd, '%Y-%m-%d') AS cohort_day,
+        |  ((epoch_us(ad) - epoch_us(cd)) / 86400000000)::bigint AS day_offset,
+        |  count(*)::bigint AS n_purchases,
+        |  count(DISTINCT user_id)::bigint AS n_buyers,
+        |  sum(v)::bigint AS revenue_cents
+        |FROM p GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin,
     "q134_partition_balance" ->
       s"""WITH b AS (
          |  SELECT ('0x' || substr(md5('part:' || user_id), 1, 8))::bigint
