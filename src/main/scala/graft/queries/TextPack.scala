@@ -480,6 +480,37 @@ object TextPack {
       .orderBy(col("doc1"), col("doc2"))
   }
 
+  /** q138: SimHash DISTANCE histogram — the q32 banded candidate pairs
+    * WITHOUT the ≤20 cut, aggregated by hamming distance: the
+    * threshold-tuning table (where does the distance mass sit; what
+    * would a cut at 15 or 25 keep) read before pinning MaxHamming on
+    * a new corpus — q136's calibration sibling for the SimHash rung.
+    * Same candidate-pair-grain scale posture as q32; output is ≤61
+    * rows (distances representable in 60 bits).
+    */
+  def simhashDistanceHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val sims = graft.Caches.persisted {
+      val toks = docs
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+      TextOps.simhash(toks, "doc_id", "tok", bits = 60)
+    }
+    val bandKeys = array((0 until SimBands).map(b =>
+      shiftright(col("simhash"), b * SimBandBits).bitwiseAND(lit((1L << SimBandBits) - 1))): _*)
+    val banded = sims.select(col("doc_id"), col("simhash"),
+      posexplode(bandKeys).as(Seq("band", "key")))
+    banded.select(col("doc_id").as("doc1"), col("simhash").as("s1"),
+        col("band"), col("key"))
+      .join(banded.select(col("doc_id").as("doc2"), col("simhash").as("s2"),
+        col("band"), col("key")), Seq("band", "key"))
+      .filter(col("doc1") < col("doc2"))
+      .select(col("doc1"), col("doc2"),
+        bit_count(col("s1").bitwiseXOR(col("s2"))).cast("long").as("hamming"))
+      .distinct()
+      .groupBy(col("hamming")).agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("hamming"))
+  }
+
   /** See [[lshCandidatePairsFrom]] for the hot-band salting contract. */
   def simhashNearDup(spark: SparkSession, dir: String): DataFrame =
     simhashNearDupFrom(Tables.documents(spark, dir))
@@ -595,6 +626,7 @@ object TextPack {
     "q132_top_terms_per_source" -> topTermsPerSource _,
     "q135_dup_cluster_histogram" -> dupClusterHistogram _,
     "q136_lsh_precision" -> lshPrecisionPanel _,
+    "q138_simhash_distances" -> simhashDistanceHistogram _,
     "q34_rolling_fingerprint" -> rollingFingerprints _,
     "q13_text_stats" -> textStats _,
     "q14_fingerprint_dedup" -> fingerprintDedup _,
@@ -737,6 +769,19 @@ object TextPack {
          |        (a, b) -> (a * ${TextOps.RollB} + b) % ${TextOps.RollP})))
          |  END AS roll_fp
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "q138_simhash_distances" ->
+      s"""WITH $simhashCte,
+         |banded AS (
+         |  SELECT doc_id, simhash, b,
+         |    (simhash >> (b * $SimBandBits)) & ${(1L << SimBandBits) - 1} AS key
+         |  FROM sims CROSS JOIN (SELECT unnest(range($SimBands)) AS b)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc1, b2.doc_id AS doc2,
+         |    cast(bit_count(xor(a.simhash, b2.simhash)) AS bigint) AS hamming
+         |  FROM banded a JOIN banded b2
+         |    ON a.b = b2.b AND a.key = b2.key AND a.doc_id < b2.doc_id)
+         |SELECT hamming, count(*)::bigint AS n_pairs
+         |FROM cand GROUP BY hamming ORDER BY hamming""".stripMargin,
     "q32_simhash_neardup" ->
       s"""WITH $simhashCte,
          |banded AS (
