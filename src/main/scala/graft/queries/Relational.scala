@@ -1255,6 +1255,27 @@ object Relational {
       .orderBy(col("cohort_day"), col("day_offset"))
   }
 
+  /** q139: REPEAT-PURCHASE gap quantiles — the exact distribution of
+    * the time between a user's consecutive purchases (p25/p50/p75/p90/
+    * p99 in epoch µs): q128 measures first-conversion latency, this
+    * measures the repeat cycle — the re-engagement number. Gaps come
+    * from a lag window PARTITIONED PER USER over the type-filtered
+    * purchase stream (bounded by one user's purchase count — the q88
+    * transition-window shape, never a global window), then the gap set
+    * goes through the two-pass exact-quantile operator.
+    */
+  def purchaseGapQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val p = events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_id"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val gaps = p.withColumn("prev", lag(col("ts_us"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select((col("ts_us") - col("prev")).as("gap_us"))
+    graft.ext.StatOps.exactQuantiles(gaps, "gap_us", LagPs).orderBy(col("p"))
+  }
+
   /** q137: cohort REVENUE matrix (the LTV curve) — q85's retention
     * matrix with money on it: per signup-day cohort and day offset,
     * purchase count, distinct buyers, and exact revenue in integer
@@ -1411,6 +1432,7 @@ object Relational {
     "q131_fk_orphans" -> fkOrphans _,
     "q134_partition_balance" -> partitionBalance _,
     "q137_cohort_revenue" -> cohortRevenue _,
+    "q139_purchase_gaps" -> purchaseGapQuantiles _,
     "q114_mad_outliers" -> madOutliers _,
     "q116_stream_quantiles" -> streamQuantiles _,
     "q117_winsorized_stats" -> winsorizedStats _,
@@ -1440,6 +1462,26 @@ object Relational {
     "q45_output_gate" -> outputGate _)
 
   private val oraclesBase: Map[String, String] = Map(
+    "q139_purchase_gaps" ->
+      """WITH p AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events
+        |  WHERE event_type = 'purchase'),
+        |g AS (
+        |  SELECT ts_us - lag(ts_us) OVER (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id) AS v
+        |  FROM p),
+        |l AS (SELECT v FROM g WHERE v IS NOT NULL),
+        |c AS (SELECT v, count(*)::bigint AS c FROM l GROUP BY 1),
+        |o AS (SELECT v, c, sum(c) OVER (ORDER BY v)::bigint AS cum_end FROM c),
+        |n AS (SELECT sum(c)::bigint AS n FROM c),
+        |r AS (
+        |  SELECT p2.p::bigint AS p,
+        |    (floor((n.n - 1) * p2.p / 100) + 1)::bigint AS target_rank
+        |  FROM (SELECT unnest([25, 50, 75, 90, 99]) AS p) p2 CROSS JOIN n)
+        |SELECT r.p, r.target_rank, min(o.v) AS value
+        |FROM r JOIN o
+        |  ON o.cum_end >= r.target_rank AND o.cum_end - o.c < r.target_rank
+        |GROUP BY 1, 2 ORDER BY p""".stripMargin,
     "q137_cohort_revenue" ->
       """WITH s AS (
         |  SELECT user_id, date_trunc('day', min(ts)) AS cd FROM events
