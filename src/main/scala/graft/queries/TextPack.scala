@@ -134,6 +134,46 @@ object TextPack {
       .orderBy(col("source"), col("rank"))
   }
 
+  /** q140: MinHash ESTIMATOR-BIAS audit — for every banded candidate
+    * pair, the minhash Jaccard estimate (matching signature positions
+    * / K, in ppm) next to the true shingle Jaccard (ppm) and the
+    * absolute error: the calibration of the estimator itself (q136
+    * calibrates the BANDING's precision; this calibrates the
+    * SIGNATURE's accuracy — K=16 gives a ±25% standard error, and this
+    * table shows it measured, the input to choosing K). Candidate-pair
+    * grain throughout, off the same persisted shingle pass.
+    */
+  def minhashBiasAudit(spark: SparkSession, dir: String): DataFrame = {
+    val sh = graft.Caches.persisted(Tables.documents(spark, dir)
+      .select(col("doc_id"), TextOps.wordShingles(col("text"), 3).as("sh")))
+    val hashRows = sh.select(col("doc_id"), explode(col("sh")).as("_s"))
+      .select(col("doc_id"), TextOps.hash32(col("_s")).as("_h"))
+    val sigs = graft.Caches.persisted(
+      TextOps.minhashAggFromHashes(hashRows, "doc_id", "_h", K))
+    val banded = sigs
+      .select(col("doc_id"), posexplode(TextOps.lshBandKeys(col("sig"), Bands, R))
+        .as(Seq("band", "key")))
+      .select(col("doc_id"),
+        concat(col("band").cast("string"), lit(":"), col("key")).as("band_key"))
+    val pairs = banded.select(col("doc_id").as("doc1"), col("band_key"))
+      .join(banded.select(col("doc_id").as("doc2"), col("band_key")), "band_key")
+      .filter(col("doc1") < col("doc2"))
+      .select(col("doc1"), col("doc2")).distinct()
+    pairs
+      .join(sigs.select(col("doc_id").as("doc1"), col("sig").as("sig1")), "doc1")
+      .join(sigs.select(col("doc_id").as("doc2"), col("sig").as("sig2")), "doc2")
+      .join(sh.select(col("doc_id").as("doc1"), col("sh").as("sh1")), "doc1")
+      .join(sh.select(col("doc_id").as("doc2"), col("sh").as("sh2")), "doc2")
+      .select(col("doc1"), col("doc2"),
+        expr(s"""(1000000 * aggregate(zip_with(sig1, sig2,
+                 |  (x, y) -> CASE WHEN x = y THEN 1L ELSE 0L END),
+                 |  0L, (a, x) -> a + x)) div $K""".stripMargin).as("est_ppm"),
+        expr("(1000000 * size(array_intersect(sh1, sh2))) div " +
+          "size(array_union(sh1, sh2))").as("jacc_ppm"))
+      .withColumn("abs_err_ppm", abs(col("est_ppm") - col("jacc_ppm")))
+      .orderBy(col("doc1"), col("doc2"))
+  }
+
   /** q136: LSH PRECISION calibration — for each shared-band count
     * (1..b), how many candidate pairs the banding emits and what
     * fraction verify at true Jaccard ≥ 0.5: the b/r tuning panel (more
@@ -627,6 +667,7 @@ object TextPack {
     "q135_dup_cluster_histogram" -> dupClusterHistogram _,
     "q136_lsh_precision" -> lshPrecisionPanel _,
     "q138_simhash_distances" -> simhashDistanceHistogram _,
+    "q140_minhash_bias" -> minhashBiasAudit _,
     "q34_rolling_fingerprint" -> rollingFingerprints _,
     "q13_text_stats" -> textStats _,
     "q14_fingerprint_dedup" -> fingerprintDedup _,
@@ -782,6 +823,33 @@ object TextPack {
          |    ON a.b = b2.b AND a.key = b2.key AND a.doc_id < b2.doc_id)
          |SELECT hamming, count(*)::bigint AS n_pairs
          |FROM cand GROUP BY hamming ORDER BY hamming""".stripMargin,
+    "q140_minhash_bias" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, $shinglesSql AS sh
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+         |sig AS (SELECT doc_id, $sigSql AS sig FROM sh),
+         |bands AS (
+         |  SELECT doc_id, b,
+         |    b || ':' || array_to_string(sig[b*$R+1:b*$R+$R], ',') AS band_key
+         |  FROM sig CROSS JOIN (SELECT unnest(range($Bands)) AS b)),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+         |  FROM bands a JOIN bands b
+         |    ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |x AS (
+         |  SELECT p.doc1, p.doc2,
+         |    ((1000000 * len([j for j in range($K)
+         |       if g1.sig[j+1] = g2.sig[j+1]])) // $K)::bigint AS est_ppm,
+         |    ((1000000 * len(list_intersect(s1.sh, s2.sh)))
+         |       // len(list_distinct(list_concat(s1.sh, s2.sh))))::bigint AS jacc_ppm
+         |  FROM pairs p
+         |  JOIN sig g1 ON g1.doc_id = p.doc1
+         |  JOIN sig g2 ON g2.doc_id = p.doc2
+         |  JOIN sh s1 ON s1.doc_id = p.doc1
+         |  JOIN sh s2 ON s2.doc_id = p.doc2)
+         |SELECT doc1, doc2, est_ppm, jacc_ppm,
+         |  abs(est_ppm - jacc_ppm)::bigint AS abs_err_ppm
+         |FROM x ORDER BY doc1, doc2""".stripMargin,
     "q32_simhash_neardup" ->
       s"""WITH $simhashCte,
          |banded AS (
