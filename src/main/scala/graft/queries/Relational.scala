@@ -1393,6 +1393,38 @@ object Relational {
       .orderBy(col("zone"))
   }
 
+  private val CompactTargetRows = 2048L
+
+  /** q141: COMPACTION plan — the planning half of an OPTIMIZE job,
+    * fed by the q110 zone map: greedily pack consecutive zones into
+    * target files of ~2048 rows (stride-crossing on the zones' row-
+    * count prefix sum — q115's arithmetic applied to storage), then
+    * emit the per-file manifest: zone span, exact row count, and a
+    * fill factor in ppm of target. Consecutive packing preserves the
+    * table's physical order, so the time-clustering that makes q110's
+    * staleness pruning work survives the rewrite.
+    *
+    * Scale shape: operates on the ZONES frame only (corpus/zone_rows
+    * rows); the prefix sum is a single-task window over that bounded
+    * frame (same documented concession as q129), the rollup is one
+    * groupBy(file_id).
+    */
+  def compactionPlan(spark: SparkSession, dir: String): DataFrame = {
+    val zones = events(spark, dir)
+      .select(expr(s"event_id div $ZoneRows").as("zone"))
+      .groupBy(col("zone")).agg(count(lit(1)).as("n_rows"))
+    val w = Window.orderBy(col("zone"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    zones.withColumn("cum", sum(col("n_rows")).over(w))
+      .withColumn("file_id", expr(s"(cum - n_rows) div $CompactTargetRows"))
+      .groupBy(col("file_id"))
+      .agg(min(col("zone")).as("zone_from"), max(col("zone")).as("zone_to"),
+        count(lit(1)).as("n_zones"), sum(col("n_rows")).as("n_rows"))
+      .withColumn("fill_ppm",
+        expr(s"(1000000 * n_rows) div $CompactTargetRows"))
+      .orderBy(col("file_id"))
+  }
+
   /** q118: INCREMENTAL zone-map maintenance, oracle-gated — the
     * lakehouse stats layer as a streaming structure: three event_id-
     * ranged micro-batches (boundaries deliberately NOT zone-aligned —
@@ -1433,6 +1465,7 @@ object Relational {
     "q134_partition_balance" -> partitionBalance _,
     "q137_cohort_revenue" -> cohortRevenue _,
     "q139_purchase_gaps" -> purchaseGapQuantiles _,
+    "q141_compaction_plan" -> compactionPlan _,
     "q114_mad_outliers" -> madOutliers _,
     "q116_stream_quantiles" -> streamQuantiles _,
     "q117_winsorized_stats" -> winsorizedStats _,
@@ -1462,6 +1495,24 @@ object Relational {
     "q45_output_gate" -> outputGate _)
 
   private val oraclesBase: Map[String, String] = Map(
+    "q141_compaction_plan" ->
+      s"""WITH z AS (
+         |  SELECT event_id // $ZoneRows AS zone, count(*)::bigint AS n_rows
+         |  FROM events GROUP BY 1),
+         |c AS (
+         |  SELECT zone, n_rows,
+         |    sum(n_rows) OVER (ORDER BY zone
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::bigint AS cum
+         |  FROM z),
+         |f AS (
+         |  SELECT zone, n_rows,
+         |    ((cum - n_rows) // $CompactTargetRows)::bigint AS file_id
+         |  FROM c)
+         |SELECT file_id, min(zone)::bigint AS zone_from,
+         |  max(zone)::bigint AS zone_to, count(*)::bigint AS n_zones,
+         |  sum(n_rows)::bigint AS n_rows,
+         |  ((1000000 * sum(n_rows)) // $CompactTargetRows)::bigint AS fill_ppm
+         |FROM f GROUP BY file_id ORDER BY file_id""".stripMargin,
     "q139_purchase_gaps" ->
       """WITH p AS (
         |  SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events
