@@ -134,6 +134,32 @@ object TextPack {
       .orderBy(col("source"), col("rank"))
   }
 
+  /** q142: VOCABULARY growth curve (Heaps' law, measured) — distinct
+    * tokens seen within the first 10%, 20%, … 100% of the corpus (by
+    * doc_id, the ingest proxy): the curve that budgets a tokenizer's
+    * vocab size and shows whether a crawl still yields new words or
+    * has saturated. Computed WITHOUT cumulative-distinct machinery:
+    * one groupBy(token).min(doc_id) collapses the corpus to each
+    * token's FIRST sighting (vocab-sized), and the curve is a 10-row
+    * broadcast threshold join over that frame — vocab at checkpoint c
+    * is simply the tokens first seen at or before c.
+    */
+  def vocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val firstSeen = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(min(col("doc_id")).as("first_doc"))
+    val bounds = Tables.documents(spark, dir).agg(max(col("doc_id")).as("mx"))
+    val pcts = (1 to 10).map(_ * 10L)
+    firstSeen.crossJoin(broadcast(bounds))
+      .join(broadcast(pcts.toDF("p")),
+        col("first_doc") <= expr("(mx * p) div 100"))
+      .groupBy(col("p"))
+      .agg(max(expr("(mx * p) div 100")).as("cutoff_doc"),
+        count(lit(1)).as("n_vocab"))
+      .orderBy(col("p"))
+  }
+
   /** q140: MinHash ESTIMATOR-BIAS audit — for every banded candidate
     * pair, the minhash Jaccard estimate (matching signature positions
     * / K, in ppm) next to the true shingle Jaccard (ppm) and the
@@ -668,6 +694,7 @@ object TextPack {
     "q136_lsh_precision" -> lshPrecisionPanel _,
     "q138_simhash_distances" -> simhashDistanceHistogram _,
     "q140_minhash_bias" -> minhashBiasAudit _,
+    "q142_vocab_growth" -> vocabGrowth _,
     "q34_rolling_fingerprint" -> rollingFingerprints _,
     "q13_text_stats" -> textStats _,
     "q14_fingerprint_dedup" -> fingerprintDedup _,
@@ -850,6 +877,19 @@ object TextPack {
          |SELECT doc1, doc2, est_ppm, jacc_ppm,
          |  abs(est_ppm - jacc_ppm)::bigint AS abs_err_ppm
          |FROM x ORDER BY doc1, doc2""".stripMargin,
+    "q142_vocab_growth" ->
+      """WITH fs AS (
+        |  SELECT token, min(doc_id)::bigint AS first_doc FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |    FROM documents)
+        |  GROUP BY 1),
+        |m AS (SELECT max(doc_id)::bigint AS mx FROM documents),
+        |pc AS (SELECT (unnest(range(1, 11)) * 10)::bigint AS p)
+        |SELECT pc.p, ((m.mx * pc.p) // 100)::bigint AS cutoff_doc,
+        |  count(*)::bigint AS n_vocab
+        |FROM pc CROSS JOIN m
+        |JOIN fs ON fs.first_doc <= (m.mx * pc.p) // 100
+        |GROUP BY 1, 2 ORDER BY pc.p""".stripMargin,
     "q32_simhash_neardup" ->
       s"""WITH $simhashCte,
          |banded AS (
