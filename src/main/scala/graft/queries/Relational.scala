@@ -909,6 +909,56 @@ object Relational {
       .orderBy(col("day"))
   }
 
+  /** q143: event-type ADOPTION overlap matrix — for every type pair,
+    * how many users did both (plus each side's adoption and the
+    * overlap as ppm of the smaller side): the feature-adoption
+    * co-occurrence panel. The corpus collapses to the distinct
+    * (user, type) frame first — ≤ #types rows per user — so the
+    * user-keyed self-join fans out at most types² per user, bounded
+    * regardless of event volume; the per-type adoption table
+    * broadcasts back onto the #type-pair-row output.
+    */
+  def typeOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val ut = graft.Caches.persisted(events(spark, dir)
+      .select(col("user_id"), col("event_type")).distinct())
+    val adoption = ut.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users"))
+    val pairs = ut.select(col("user_id"), col("event_type").as("t1"))
+      .join(ut.select(col("user_id"), col("event_type").as("t2")), "user_id")
+      .filter(col("t1") < col("t2"))
+      .groupBy(col("t1"), col("t2")).agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(broadcast(adoption.select(col("event_type").as("t1"),
+        col("n_users").as("n_users_1"))), "t1")
+      .join(broadcast(adoption.select(col("event_type").as("t2"),
+        col("n_users").as("n_users_2"))), "t2")
+      .withColumn("overlap_ppm",
+        expr("(1000000 * n_both) div least(n_users_1, n_users_2)"))
+      .select(col("t1"), col("t2"), col("n_both"), col("n_users_1"),
+        col("n_users_2"), col("overlap_ppm"))
+      .orderBy(col("t1"), col("t2"))
+  }
+
+  /** q144: user ACTIVITY histogram — how many users fall in each
+    * power-of-two event-count bucket (q126's integer-exact
+    * `length(bin(x))` trick on the per-user counts): the degree
+    * distribution that complements q123's top-k census — q123 names
+    * the whales, this shows the whole body. Two map-side-combinable
+    * aggregations, output ≤64 rows.
+    */
+  def userActivityHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = events(spark, dir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+    perUser
+      .select(col("n_events"),
+        length(bin(col("n_events"))).cast("long").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_users"), sum(col("n_events")).as("sum_events"),
+        min(col("n_events")).as("min_events"),
+        max(col("n_events")).as("max_events"))
+      .orderBy(col("bucket"))
+  }
+
   private val MadK = 5L // flag |x - median| > 5 * MAD
 
   /** Per-group EXACT median over an integer metric, computed on the
@@ -1466,6 +1516,8 @@ object Relational {
     "q137_cohort_revenue" -> cohortRevenue _,
     "q139_purchase_gaps" -> purchaseGapQuantiles _,
     "q141_compaction_plan" -> compactionPlan _,
+    "q143_type_overlap" -> typeOverlap _,
+    "q144_user_activity_histogram" -> userActivityHistogram _,
     "q114_mad_outliers" -> madOutliers _,
     "q116_stream_quantiles" -> streamQuantiles _,
     "q117_winsorized_stats" -> winsorizedStats _,
@@ -1495,6 +1547,29 @@ object Relational {
     "q45_output_gate" -> outputGate _)
 
   private val oraclesBase: Map[String, String] = Map(
+    "q143_type_overlap" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        |a AS (SELECT event_type, count(*)::bigint AS n_users FROM ut GROUP BY 1),
+        |p AS (
+        |  SELECT x.event_type AS t1, y.event_type AS t2,
+        |    count(*)::bigint AS n_both
+        |  FROM ut x JOIN ut y
+        |    ON x.user_id = y.user_id AND x.event_type < y.event_type
+        |  GROUP BY 1, 2)
+        |SELECT p.t1, p.t2, p.n_both,
+        |  a1.n_users AS n_users_1, a2.n_users AS n_users_2,
+        |  ((1000000 * p.n_both) // least(a1.n_users, a2.n_users))::bigint AS overlap_ppm
+        |FROM p JOIN a a1 ON a1.event_type = p.t1
+        |JOIN a a2 ON a2.event_type = p.t2
+        |ORDER BY p.t1, p.t2""".stripMargin,
+    "q144_user_activity_histogram" ->
+      """WITH u AS (
+        |  SELECT user_id, count(*)::bigint AS n_events
+        |  FROM events GROUP BY 1)
+        |SELECT length(bin(n_events))::bigint AS bucket,
+        |  count(*)::bigint AS n_users, sum(n_events)::bigint AS sum_events,
+        |  min(n_events)::bigint AS min_events, max(n_events)::bigint AS max_events
+        |FROM u GROUP BY 1 ORDER BY bucket""".stripMargin,
     "q141_compaction_plan" ->
       s"""WITH z AS (
          |  SELECT event_id // $ZoneRows AS zone, count(*)::bigint AS n_rows
