@@ -134,6 +134,39 @@ object TextPack {
       .orderBy(col("source"), col("rank"))
   }
 
+  /** q145: length↔quality CORRELATION — Pearson r between doc length
+    * (n_chars) and the exact type-token quality score (q83's), the
+    * selection-bias check a curation pipeline runs before gating on
+    * either ("am I about to select for long docs when I think I'm
+    * selecting for quality?"). The moments are EXACT: sums, squares
+    * and cross-products ride in decimal(38,0)/hugeint (n·Σxy exceeds
+    * int64 at corpus scale), and only the final
+    * `floor(10⁶·cov / sqrt(varx·vary))` touches floating point —
+    * +,−,×,/ and sqrt on identical doubles are correctly-rounded
+    * IEEE, and both engines evaluate the identical expression shape,
+    * so the fixed-point r matches bit-for-bit. One
+    * map-side-combinable global aggregate; 1-row output.
+    */
+  def lengthQualityCorr(spark: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val s = Tables.documents(spark, dir)
+      .select(col("n_chars").as("x"),
+        expr("""floor(1000000.0 * size(array_distinct(split(text, ' ')))
+               |  / size(split(text, ' ')))""".stripMargin).cast("long").as("y"))
+    s.agg(count(lit(1)).cast(dec).as("n"),
+        sum(col("x")).cast(dec).as("sx"), sum(col("y")).cast(dec).as("sy"),
+        sum(col("x").cast(dec) * col("x").cast(dec)).cast(dec).as("sxx"),
+        sum(col("y").cast(dec) * col("y").cast(dec)).cast(dec).as("syy"),
+        sum(col("x").cast(dec) * col("y").cast(dec)).cast(dec).as("sxy"))
+      .select(col("n").cast("long").as("n"),
+        col("sx").cast("long").as("sum_x"), col("sy").cast("long").as("sum_y"),
+        floor(lit(1000000.0)
+          * (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+            * (col("n") * col("syy") - col("sy") * col("sy")).cast("double")))
+          .cast("long").as("pearson_fp"))
+  }
+
   /** q142: VOCABULARY growth curve (Heaps' law, measured) — distinct
     * tokens seen within the first 10%, 20%, … 100% of the corpus (by
     * doc_id, the ingest proxy): the curve that budgets a tokenizer's
@@ -695,6 +728,7 @@ object TextPack {
     "q138_simhash_distances" -> simhashDistanceHistogram _,
     "q140_minhash_bias" -> minhashBiasAudit _,
     "q142_vocab_growth" -> vocabGrowth _,
+    "q145_length_quality_corr" -> lengthQualityCorr _,
     "q34_rolling_fingerprint" -> rollingFingerprints _,
     "q13_text_stats" -> textStats _,
     "q14_fingerprint_dedup" -> fingerprintDedup _,
@@ -890,6 +924,22 @@ object TextPack {
         |FROM pc CROSS JOIN m
         |JOIN fs ON fs.first_doc <= (m.mx * pc.p) // 100
         |GROUP BY 1, 2 ORDER BY pc.p""".stripMargin,
+    "q145_length_quality_corr" ->
+      """WITH s AS (
+        |  SELECT n_chars::hugeint AS x,
+        |    floor(1000000.0 * len(list_distinct(string_split(text, ' ')))
+        |      / len(string_split(text, ' ')))::hugeint AS y
+        |  FROM documents),
+        |m AS (
+        |  SELECT count(*)::hugeint AS n, sum(x)::hugeint AS sx,
+        |    sum(y)::hugeint AS sy, sum(x * x)::hugeint AS sxx,
+        |    sum(y * y)::hugeint AS syy, sum(x * y)::hugeint AS sxy
+        |  FROM s)
+        |SELECT n::bigint AS n, sx::bigint AS sum_x, sy::bigint AS sum_y,
+        |  floor(1000000.0 * cast(n * sxy - sx * sy AS double)
+        |    / sqrt(cast(n * sxx - sx * sx AS double)
+        |      * cast(n * syy - sy * sy AS double)))::bigint AS pearson_fp
+        |FROM m""".stripMargin,
     "q32_simhash_neardup" ->
       s"""WITH $simhashCte,
          |banded AS (
