@@ -134,6 +134,40 @@ object TextPack {
       .orderBy(col("source"), col("rank"))
   }
 
+  /** q146: INCREMENTAL vocabulary maintenance, oracle-gated — q142
+    * through the merge seam: the first-sighting table `(token,
+    * min(doc_id))` is a MIN-SEMILATTICE state (mins of mins merge
+    * exactly, any split), so three doc-ranged batches each build
+    * their own table, the tables merge by union + groupBy-min, and
+    * the Heaps curve finalized from the merged table must hash-equal
+    * the one-shot q142 via q142's own oracle. The min/max member of
+    * the incremental family (sums: q116/q121; registers: q96/q99;
+    * kept sets: q113; extrema: q118 and this).
+    */
+  def streamVocab(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = graft.Caches.persisted(Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")))
+    val mx = docs.agg(max(col("doc_id"))).head.getLong(0)
+    val firstSeen = Seq(
+      docs.filter(col("doc_id") <= mx / 3),
+      docs.filter(col("doc_id") > mx / 3 && col("doc_id") <= 2 * mx / 3),
+      docs.filter(col("doc_id") > 2 * mx / 3))
+      .map(_.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+        .groupBy(col("token")).agg(min(col("doc_id")).as("first_doc")))
+      .reduce(_ unionByName _)
+      .groupBy(col("token")).agg(min(col("first_doc")).as("first_doc"))
+    val bounds = docs.agg(max(col("doc_id")).as("mx"))
+    val pcts = (1 to 10).map(_ * 10L)
+    firstSeen.crossJoin(broadcast(bounds))
+      .join(broadcast(pcts.toDF("p")),
+        col("first_doc") <= expr("(mx * p) div 100"))
+      .groupBy(col("p"))
+      .agg(max(expr("(mx * p) div 100")).as("cutoff_doc"),
+        count(lit(1)).as("n_vocab"))
+      .orderBy(col("p"))
+  }
+
   /** q145: length↔quality CORRELATION — Pearson r between doc length
     * (n_chars) and the exact type-token quality score (q83's), the
     * selection-bias check a curation pipeline runs before gating on
@@ -729,6 +763,7 @@ object TextPack {
     "q140_minhash_bias" -> minhashBiasAudit _,
     "q142_vocab_growth" -> vocabGrowth _,
     "q145_length_quality_corr" -> lengthQualityCorr _,
+    "q146_stream_vocab" -> streamVocab _,
     "q34_rolling_fingerprint" -> rollingFingerprints _,
     "q13_text_stats" -> textStats _,
     "q14_fingerprint_dedup" -> fingerprintDedup _,
@@ -1187,6 +1222,8 @@ object TextPack {
     * exactly the batch candidate-pair join.
     */
   val oracles: Map[String, String] =
-    baseOracles + ("q74_stream_pairs" -> baseOracles("q18_lsh_candidate_pairs"))
+    baseOracles +
+      ("q74_stream_pairs" -> baseOracles("q18_lsh_candidate_pairs")) +
+      ("q146_stream_vocab" -> baseOracles("q142_vocab_growth"))
 
 }
