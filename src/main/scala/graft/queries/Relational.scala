@@ -959,6 +959,33 @@ object Relational {
       .orderBy(col("bucket"))
   }
 
+  /** q147: ROLLING volume + revenue — per day, events and exact
+    * revenue cents in the trailing 7-day window: q120's additive
+    * sibling (counts and sums ARE additive, so the corpus collapses
+    * to DAY GRAIN first — one map-side-combinable groupBy — and only
+    * day rows self-enumerate their ≤7 window anchors; everything
+    * after the collapse is days-sized, even cheaper than q120's
+    * (user × day) frame). Anchors restricted to days present in the
+    * data, matching q120's frame.
+    */
+  def rollingVolume(spark: SparkSession, dir: String): DataFrame = {
+    val daily = events(spark, dir)
+      .select(expr(s"unix_micros(date_trunc('day', ts)) div ${86400L * 1000000L}")
+        .as("day"), round(col("value") * 100).cast("long").as("v"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("rev"))
+    val days = daily.select(col("day")).distinct()
+    daily
+      .select(explode(sequence(col("day"), col("day") + lit(6))).as("anchor"),
+        col("n"), col("rev"))
+      .join(days.withColumnRenamed("day", "anchor"), "anchor")
+      .groupBy(col("anchor"))
+      .agg(sum(col("n")).as("n_events_7d"), sum(col("rev")).as("revenue_cents_7d"))
+      .select(date_format(timestamp_micros(col("anchor") * lit(86400L * 1000000L)),
+        "yyyy-MM-dd").as("day"), col("n_events_7d"), col("revenue_cents_7d"))
+      .orderBy(col("day"))
+  }
+
   private val MadK = 5L // flag |x - median| > 5 * MAD
 
   /** Per-group EXACT median over an integer metric, computed on the
@@ -1518,6 +1545,7 @@ object Relational {
     "q141_compaction_plan" -> compactionPlan _,
     "q143_type_overlap" -> typeOverlap _,
     "q144_user_activity_histogram" -> userActivityHistogram _,
+    "q147_rolling_volume" -> rollingVolume _,
     "q114_mad_outliers" -> madOutliers _,
     "q116_stream_quantiles" -> streamQuantiles _,
     "q117_winsorized_stats" -> winsorizedStats _,
@@ -1547,6 +1575,21 @@ object Relational {
     "q45_output_gate" -> outputGate _)
 
   private val oraclesBase: Map[String, String] = Map(
+    "q147_rolling_volume" ->
+      s"""WITH d AS (
+         |  SELECT epoch_us(date_trunc('day', ts)) // ${86400L * 1000000L} AS day,
+         |    count(*)::bigint AS n,
+         |    sum(cast(round(value * 100) AS bigint))::bigint AS rev
+         |  FROM events GROUP BY 1),
+         |days AS (SELECT DISTINCT day FROM d),
+         |x AS (
+         |  SELECT d.day + g.i AS anchor, d.n, d.rev
+         |  FROM d CROSS JOIN (SELECT unnest(range(7)) AS i) g)
+         |SELECT strftime(epoch_ms(x.anchor * 86400000), '%Y-%m-%d') AS day,
+         |  sum(x.n)::bigint AS n_events_7d,
+         |  sum(x.rev)::bigint AS revenue_cents_7d
+         |FROM x JOIN days ON days.day = x.anchor
+         |GROUP BY 1 ORDER BY day""".stripMargin,
     "q143_type_overlap" ->
       """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
         |a AS (SELECT event_type, count(*)::bigint AS n_users FROM ut GROUP BY 1),
