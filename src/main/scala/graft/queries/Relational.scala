@@ -986,6 +986,24 @@ object Relational {
       .orderBy(col("day"))
   }
 
+  /** q148: per-type VALUE histogram — event values in power-of-two
+    * cent buckets (q126's integer-exact `length(bin(x))` trick): the
+    * distribution SHAPE that q122's three quantile points summarize,
+    * per event_type — the panel that shows bimodality or a hard cap
+    * that quantiles alone hide. One map-side-combinable groupBy on
+    * (type, bucket); output ≤ types × 64 rows.
+    */
+  def valueHistogram(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .select(col("event_type"), col("cents"),
+        length(bin(col("cents"))).cast("long").as("bucket"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("sum_cents"),
+        min(col("cents")).as("min_cents"), max(col("cents")).as("max_cents"))
+      .orderBy(col("event_type"), col("bucket"))
+
   private val MadK = 5L // flag |x - median| > 5 * MAD
 
   /** Per-group EXACT median over an integer metric, computed on the
@@ -1546,6 +1564,7 @@ object Relational {
     "q143_type_overlap" -> typeOverlap _,
     "q144_user_activity_histogram" -> userActivityHistogram _,
     "q147_rolling_volume" -> rollingVolume _,
+    "q148_value_histogram" -> valueHistogram _,
     "q114_mad_outliers" -> madOutliers _,
     "q116_stream_quantiles" -> streamQuantiles _,
     "q117_winsorized_stats" -> winsorizedStats _,
@@ -1575,6 +1594,14 @@ object Relational {
     "q45_output_gate" -> outputGate _)
 
   private val oraclesBase: Map[String, String] = Map(
+    "q148_value_histogram" ->
+      """WITH v AS (
+        |  SELECT event_type, cast(round(value * 100) AS bigint) AS cents
+        |  FROM events)
+        |SELECT event_type, length(bin(cents))::bigint AS bucket,
+        |  count(*)::bigint AS n_events, sum(cents)::bigint AS sum_cents,
+        |  min(cents)::bigint AS min_cents, max(cents)::bigint AS max_cents
+        |FROM v GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin,
     "q147_rolling_volume" ->
       s"""WITH d AS (
          |  SELECT epoch_us(date_trunc('day', ts)) // ${86400L * 1000000L} AS day,
