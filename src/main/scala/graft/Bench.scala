@@ -78,32 +78,15 @@ object Bench {
     // 4-decimal seconds (0.1 ms): keeps the artifact line short — the
     // driver's capture tail-truncated the full-precision form twice.
     def f(v: Double) = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
-    // Stdout line uses the short `qNN` key (the full-precision rounding
-    // alone was not enough: 79 long keys × ~28 chars overflowed the
-    // driver's ~2 KB tail window even with the JSON printed last, so
-    // BENCH_r07 still recorded "parsed": null). The file copy keeps
-    // full names for human diffing. Colliding prefixes get an a/b/c
-    // suffix (never a fall-back to full names, which would silently
-    // reintroduce the tail-window overflow).
-    val prefixes = results.map { case (k, _) => k.takeWhile(_ != '_') }
-    val collides = prefixes.groupBy(identity).view.mapValues(_.size > 1).toMap
-    val seen = scala.collection.mutable.Map.empty[String, Int]
-    val shortKeys = prefixes.map { p =>
-      if (!collides(p)) p
-      else {
-        val i = seen.getOrElse(p, 0); seen(p) = i + 1
-        s"$p${('a' + i).toChar}"
-      }
-    }
     // Failed queries appear as the string "err" (full message only in the
     // file copy, to keep the stdout line inside the driver's tail window)
     // and are listed in top-level "failed".
-    def qsJson(short: Boolean) = results.zip(shortKeys).map { case ((k, r), sk) =>
+    val qsJson = results.map { case (k, r) =>
       val v = r match {
         case Right((minS, _)) => f(minS)
         case Left(_)          => "\"err\""
       }
-      "\"" + (if (short) sk else k) + "\":" + v
+      "\"" + k + "\":" + v
     }.mkString("{", ",", "}")
     val ok = results.collect { case (_, Right(v)) => v }
     val errsJson = results.collect { case (k, Left(m)) =>
@@ -111,15 +94,23 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = ok.map(_._1).sum
     val firstRunTotal = ok.map(_._2).sum
-    def failedJson(short: Boolean) = results.zip(shortKeys)
-      .collect { case ((k, Left(_)), sk) => if (short) sk else k }
-      .map("\"" + _ + "\"").mkString("[", ",", "]")
-    def jsonLine(short: Boolean) = {
-      val errs = if (short) "" else s""","errors":$errsJson"""
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":${qsJson(short)},"sf":"$sfDir","repeats":$repeats,"first_run_total":${f(firstRunTotal)},"failed":${failedJson(short)}$errs}"""
+    // The failed list is capped at 20 names on stdout so a catastrophic
+    // round (everything failing) still cannot push the headline past the
+    // driver's tail window; the file copy always carries the full list.
+    def failedJson(cap: Int) = {
+      val all = results.collect { case (k, Left(_)) => k }
+      (all.take(cap).map("\"" + _ + "\"") ++
+        (if (all.size > cap) Seq("\"...+" + (all.size - cap) + "\"") else Nil))
+        .mkString("[", ",", "]")
     }
-    val json = jsonLine(short = true)
-    val jsonFull = jsonLine(short = false)
+    // Stdout carries ONLY the headline: at 148 queries even maximally
+    // shortened per-query keys overflow the driver's ~2 KB tail window
+    // (BENCH_r09 arrived head-truncated mid-key), so the per-query map
+    // lives solely in the file artifact, pointed to by "queries_file".
+    val json =
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","sf":"$sfDir","repeats":$repeats,"first_run_total":${f(firstRunTotal)},"query_count":${results.size},"failed":${failedJson(20)},"queries_file":"target/bench.json"}"""
+    val jsonFull =
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qsJson,"sf":"$sfDir","repeats":$repeats,"first_run_total":${f(firstRunTotal)},"failed":${failedJson(Int.MaxValue)},"errors":$errsJson}"""
     // Also write the artifact to a file: stdout capture has truncated a
     // round's per-query tail before; the file is never capture-limited.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json")

@@ -168,58 +168,102 @@ object TokenExtractor {
   /** D8 (scraper.py:587-674): three ordered scans (doubles stride 1,
     * floats stride 1, uint32 stride 1) with first-match-wins assignment
     * per field — scan order IS the semantics (SURVEY §7.4.1).
+    * Copying reference form; the hot path is [[extractValidatedTokenRecordSlice]].
     */
   def extractValidatedTokenRecord(tokenName: String, recordData: Array[Byte],
-      position: Int): Option[TokenProfile] = {
-    var price = Option.empty[Double]
-    var volume = Option.empty[Double]
-    var txns = Option.empty[Int]
-    var makers = Option.empty[Int]
-    var liquidity = Option.empty[Double]
-    var marketCap = Option.empty[Double]
+      position: Int): Option[TokenProfile] =
+    extractValidatedTokenRecordSlice(tokenName, recordData, 0, recordData.length, position)
 
-    // Faithful elif-chain transcription (scraper.py:599-614): note the
-    // 1000..10M branch shadows 1000..50000, so the counts bucket only ever
-    // sees 10..999 here (txns ≥1000 arrive via the uint32 pass alone), and
-    // a 1000..99999 value falls through to liquidity.
-    def classify(v: Double): Unit = {
-      if (v >= 0.000001 && v <= 0.1) {
-        if (price.isEmpty) price = Some(v)
-      } else if (v >= 1000 && v <= 10000000) {
-        if (v >= 1000000 && marketCap.isEmpty) marketCap = Some(v)
-        else if (v >= 100000 && volume.isEmpty) volume = Some(v)
-        else if (liquidity.isEmpty) liquidity = Some(v)
-      } else if (v >= 10 && v <= 50000) {
-        if (v >= 1000 && txns.isEmpty) txns = Some(v.toInt)
-        else if (makers.isEmpty) makers = Some(v.toInt)
-      }
+  // Faithful elif-chain transcription (scraper.py:599-614): note the
+  // 1000..10M branch shadows 1000..50000, so the counts bucket only ever
+  // sees 10..999 here (txns ≥1000 arrive via the uint32 pass alone), and
+  // a 1000..99999 value falls through to liquidity. Returns the slot the
+  // value binds under first-match-wins (0 = none) — primitives in/out so
+  // the JIT inlines it into the stride-1 scan loops with no boxing.
+  private val SlotNone = 0
+  private val SlotPrice = 1; private val SlotMarketCap = 2
+  private val SlotVolume = 3; private val SlotLiquidity = 4
+  private val SlotTxns = 5; private val SlotMakers = 6
+  @inline private def classifySlot(v: Double, hasPrice: Boolean, hasMc: Boolean,
+      hasVol: Boolean, hasLiq: Boolean, hasTx: Boolean, hasMk: Boolean): Int =
+    if (v >= 0.000001 && v <= 0.1) { if (!hasPrice) SlotPrice else SlotNone }
+    else if (v >= 1000 && v <= 10000000) {
+      if (v >= 1000000 && !hasMc) SlotMarketCap
+      else if (v >= 100000 && !hasVol) SlotVolume
+      else if (!hasLiq) SlotLiquidity
+      else SlotNone
+    } else if (v >= 10 && v <= 50000) {
+      if (v >= 1000 && !hasTx) SlotTxns
+      else if (!hasMk) SlotMakers
+      else SlotNone
+    } else SlotNone
+
+  /** [[extractValidatedTokenRecord]] over `[from, until)` of the SHARED
+    * frame buffer — the per-symbol window scans call this, so the hot
+    * loop must not copy ~1 KB per symbol nor allocate per probe.
+    * De-allocated kernel (the same promotion as the D3 chunk scan,
+    * [[LegacyDecoder.decodePairSlice]]): primitive found-flags instead
+    * of captured `Option` refs, the elif chain as the primitive
+    * [[classifySlot]], and an early exit once all six fields are bound
+    * (first-match-wins means no later read can change anything —
+    * byte-identical results, DecodeSpec pins agreement with the
+    * copying form on random buffers).
+    */
+  def extractValidatedTokenRecordSlice(tokenName: String, data: Array[Byte],
+      from: Int, until: Int, position: Int): Option[TokenProfile] = {
+    var price = 0.0; var hasPrice = false
+    var volume = 0.0; var hasVol = false
+    var txns = 0; var hasTx = false
+    var makers = 0; var hasMk = false
+    var liquidity = 0.0; var hasLiq = false
+    var marketCap = 0.0; var hasMc = false
+
+    @inline def complete: Boolean = hasPrice && hasVol && hasTx && hasMk && hasLiq && hasMc
+    @inline def bind(slot: Int, v: Double): Unit = slot match {
+      case SlotPrice     => price = v; hasPrice = true
+      case SlotMarketCap => marketCap = v; hasMc = true
+      case SlotVolume    => volume = v; hasVol = true
+      case SlotLiquidity => liquidity = v; hasLiq = true
+      case SlotTxns      => txns = v.toInt; hasTx = true
+      case SlotMakers    => makers = v.toInt; hasMk = true
+      case _             =>
     }
 
+    val len = until - from
     var off = 0
-    while (off < recordData.length - 8) {
-      classify(Wire.readDoubleLE(recordData, off))
+    while (off < len - 8 && !complete) {
+      val slot = classifySlot(Wire.readDoubleLE(data, from + off),
+        hasPrice, hasMc, hasVol, hasLiq, hasTx, hasMk)
+      if (slot != SlotNone) bind(slot, Wire.readDoubleLE(data, from + off))
       off += 1
     }
     off = 0
-    while (off < recordData.length - 4) {
-      classify(Wire.readFloatLE(recordData, off).toDouble)
+    while (off < len - 4 && !complete) {
+      val v = Wire.readFloatLE(data, from + off).toDouble
+      val slot = classifySlot(v, hasPrice, hasMc, hasVol, hasLiq, hasTx, hasMk)
+      if (slot != SlotNone) bind(slot, v)
       off += 1
     }
     off = 0
-    while (off < recordData.length - 4) {
-      val v = Wire.readUInt32LE(recordData, off)
-      if (v >= 1000 && v <= 50000 && txns.isEmpty) txns = Some(v.toInt)
-      else if (v >= 10 && v <= 1000 && makers.isEmpty) makers = Some(v.toInt)
+    while (off < len - 4 && !(hasTx && hasMk)) {
+      val v = Wire.readUInt32LE(data, from + off)
+      if (v >= 1000 && v <= 50000 && !hasTx) { txns = v.toInt; hasTx = true }
+      else if (v >= 10 && v <= 1000 && !hasMk) { makers = v.toInt; hasMk = true }
       off += 1
     }
 
-    val fieldCount = Seq(price, volume, txns, makers, liquidity, marketCap).count(_.nonEmpty)
+    val fieldCount = (if (hasPrice) 1 else 0) + (if (hasVol) 1 else 0) +
+      (if (hasTx) 1 else 0) + (if (hasMk) 1 else 0) +
+      (if (hasLiq) 1 else 0) + (if (hasMc) 1 else 0)
     if (fieldCount >= 3)
       Some(TokenProfile(
         symbol = Some(tokenName),
-        price = price, volume_24h = volume,
-        txns_24h = txns, makers = makers,
-        liquidity = liquidity, market_cap = marketCap,
+        price = if (hasPrice) Some(price) else None,
+        volume_24h = if (hasVol) Some(volume) else None,
+        txns_24h = if (hasTx) Some(txns) else None,
+        makers = if (hasMk) Some(makers) else None,
+        liquidity = if (hasLiq) Some(liquidity) else None,
+        market_cap = if (hasMc) Some(marketCap) else None,
         confidence_score = math.min(0.7 + fieldCount * 0.05, 0.95),
         field_count = fieldCount,
         record_position = Some(position)))
@@ -308,11 +352,11 @@ object TokenExtractor {
       val tokenName = tokenNames(pos)
       val recordStart = math.max(0, pos - dataStart - 500)
       val recordEnd = math.min(data.length, pos - dataStart + 500)
-      val recordData = java.util.Arrays.copyOfRange(data, recordStart, recordEnd)
-      extractValidatedTokenRecord(tokenName, recordData, pos).map { rec =>
-        enrichTokenProfile(rec, tokenName, pos, metadata)
-          .copy(timestamp = Some(extractionTs))
-      }
+      extractValidatedTokenRecordSlice(tokenName, data, recordStart, recordEnd, pos)
+        .map { rec =>
+          enrichTokenProfile(rec, tokenName, pos, metadata)
+            .copy(timestamp = Some(extractionTs))
+        }
     }
   }
 

@@ -348,9 +348,43 @@ object VectorOps {
     * Returns (cell, cvec) at scale 1000, ready for [[ivfTopK]]-style
     * assign/probe/re-rank.
     */
+  /** Process-wide memo of TRAINED codebooks, keyed by the canonicalized
+    * input plan + training params. The trainer is fully deterministic,
+    * so two calls over the same input produce the identical k×dims
+    * table — re-running the unrolled Lloyd plan per query (q38, q48,
+    * q82's assignment, q73's stream index, q94's four subspace slices
+    * all train over the same corpus read) is pure re-computation.
+    * Entries are k×dims longs (KBs); lookups compare plans with
+    * `sameResult` (exact, collision-free — the same mechanism Spark's
+    * own CacheManager uses), never a hash that could alias two inputs.
+    * Hits return a LocalRelation, which downstream consumers broadcast
+    * exactly as they broadcast the lazily-trained frame, so result
+    * hashes are unchanged by construction.
+    */
+  private val codebookMemo = scala.collection.mutable.ArrayBuffer.empty[
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int, Int,
+      String, String, Array[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType)]
+  private val CodebookMemoMax = 64
+
   def kmeansCodebook(vectors: DataFrame, k: Int, iters: Int,
       idCol: String = "vec_id", vecCol: String = "qvec"): DataFrame = {
     require(k > 0 && iters >= 0, "k and iters must be positive")
+    val spark = vectors.sparkSession
+    val keyPlan = vectors.queryExecution.analyzed.canonicalized
+    def asLocal(rows: Array[org.apache.spark.sql.Row],
+        schema: org.apache.spark.sql.types.StructType): DataFrame =
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    val hit = codebookMemo.synchronized {
+      codebookMemo.find { case (p, k2, i2, id2, v2, _, _) =>
+        k2 == k && i2 == iters && id2 == idCol && v2 == vecCol &&
+          p.sameResult(keyPlan)
+      }
+    }
+    hit match {
+      case Some((_, _, _, _, _, rows, schema)) => return asLocal(rows, schema)
+      case None                                => ()
+    }
     val vecs = graft.Caches.persisted(vectors.select(col(idCol), col(vecCol)))
     val Array(lo, hi) = vecs.agg(min(col(idCol)), max(col(idCol)))
       .head.toSeq.map(_.asInstanceOf[Long]).toArray
@@ -388,7 +422,15 @@ object VectorOps {
       // counts so the gated q38 plan (iters=2) is byte-identical to r3.
       if (iters > 2) codebook = codebook.localCheckpoint()
     }
-    codebook
+    // Materialize the trained k×dims table once and memo it; every
+    // caller (this one included) consumes the LocalRelation form.
+    val rows = codebook.collect()
+    val schema = codebook.schema
+    codebookMemo.synchronized {
+      if (codebookMemo.size < CodebookMemoMax)
+        codebookMemo += ((keyPlan, k, iters, idCol, vecCol, rows, schema))
+    }
+    asLocal(rows, schema)
   }
 
   /** Final cell assignment for a trained codebook (argmin of the exact
@@ -677,11 +719,32 @@ object VectorOps {
     * shuffle n·d rows) followed by a map-side-combinable
     * groupBy(ord,di,dj) sum — the shuffle carries parts × d² partial
     * rows, independent of n. Magnitudes: |v|≤~10³ per dim, so
-    * n·G − s·sᵀ entries ≤ n²·10⁶ — int64-safe to n ≈ 3×10⁶; at larger
-    * corpora rescale the quantization, not the shape.
+    * n·G − s·sᵀ entries ≤ 2·n²·10⁶ — int64-safe to n ≈ 2×10⁶, and the
+    * envelope is ENFORCED by a `require` before the d² explode (a
+    * silent wrap would corrupt hashes; out-of-envelope corpora must
+    * rescale the quantization, not the shape).
     */
   def scatterState(vectors: DataFrame, vecCol: String = "qvec"): DataFrame = {
     val cached = graft.Caches.persisted(vectors.select(col(vecCol)))
+    // Fail LOUDLY if the documented int64 envelope is exceeded, instead
+    // of letting a silent wrap corrupt hashes at scale: every centered-
+    // scatter entry is bounded by |n·G_ij − s_i·s_j| ≤ 2·n²·vmax²
+    // (|G_ij| ≤ n·vmax², |s_i| ≤ n·vmax), so the pre-explode check is
+    // one cheap (count, max|v|) aggregate over the already-persisted
+    // frame, with the bound itself evaluated in BigInt so the guard
+    // cannot overflow either. Out-of-envelope corpora rescale the
+    // quantization (the vs in [[pcaPowerDirection]]), not the shape.
+    val env = cached.agg(count(lit(1)).as("n"),
+      max(expr(s"aggregate($vecCol, 0L, (a, x) -> greatest(a, abs(x)))")).as("vmax"))
+      .head()
+    val nRows = env.getLong(0)
+    val vmax = if (env.isNullAt(1)) 0L else env.getLong(1)
+    require(
+      BigInt(2) * BigInt(nRows) * BigInt(nRows) * BigInt(vmax) * BigInt(vmax)
+        <= BigInt(Long.MaxValue),
+      s"scatterState int64 envelope exceeded: n=$nRows rows at max|v|=$vmax " +
+        s"gives centered-scatter entries up to 2·n²·vmax² > 2⁶³−1; " +
+        s"rescale the vector quantization before computing the scatter")
     val outer = cached.select(explode(expr(
         s"flatten(transform($vecCol, (vi, i) -> " +
         s"transform($vecCol, (vj, j) -> struct(i AS di, j AS dj, vi * vj AS p))))")).as("e"))

@@ -95,11 +95,26 @@ object DecodePack {
     * distance 5 (≤220 gate), age at 13 (≤180 gate), SOL mint → quote,
     * second address → token_address (greedy role order).
     */
+  /** The customer key column spread across all cores: the synthetic
+    * frame generators downstream are CPU-bound per ROW, but the
+    * customer parquet is a few hundred KB — one split — so without an
+    * explicit repartition the whole generate+decode chain (and the
+    * range-sort's sampling pass, which re-executes it) runs on ONE
+    * task. Shuffling the bare keys costs ~8 bytes/row; the decode then
+    * parallelizes N-ways (q12 1.70 → 0.50 s, q25 1.96 → 0.49 s at
+    * sf0.1/16 cores). Same fix as [[lineitemFrames]]'s encode spread.
+    */
+  private def customerKeys(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    graft.Tables.customer(spark, dir)
+      .select(col("c_custkey")).as[Long]
+      .repartition(spark.sparkContext.defaultParallelism)
+  }
+
   def tokenPipeline(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     implicit val frameEnc: Encoder[Decode.Frame] = Encoders.product[Decode.Frame]
-    val frames = graft.Tables.customer(spark, dir)
-      .select(col("c_custkey")).as[Long]
+    val frames = customerKeys(spark, dir)
       .map(c => Decode.Frame(c, deepFrame(c), 1700000000L))
     Decode.tokens(spark, frames)
       .withColumnRenamed("frame_id", "c_custkey")
@@ -167,8 +182,7 @@ object DecodePack {
   def clusterPipeline(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     implicit val frameEnc: Encoder[Decode.Frame] = Encoders.product[Decode.Frame]
-    val frames = graft.Tables.customer(spark, dir)
-      .select(col("c_custkey")).as[Long]
+    val frames = customerKeys(spark, dir)
       .map(c => Decode.Frame(c, clusterFrame(c), 1700000000L))
     implicit val enc: Encoder[(Long, graft.model.TokenProfile)] =
       Encoders.product[(Long, graft.model.TokenProfile)]
@@ -244,8 +258,7 @@ object DecodePack {
     */
   def textDecode(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val rows = graft.Tables.customer(spark, dir)
-      .select(col("c_custkey")).as[Long]
+    val rows = customerKeys(spark, dir)
       .flatMap { c =>
         val l1 = ('b' + (c % 25).toInt).toChar
         val l2 = ('b' + ((c / 25) % 25).toInt).toChar
@@ -281,8 +294,7 @@ object DecodePack {
     */
   def enhancedClusters(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val rows = graft.Tables.customer(spark, dir)
-      .select(col("c_custkey")).as[Long]
+    val rows = customerKeys(spark, dir)
       .flatMap { c =>
         graft.decode.EnhancedDecoder.parseMessage(enhancedFrame(c), 1700000000L)
           .map(p => (c, p.chain, p.protocol, p.base_token_name, p.base_token_symbol,
@@ -333,8 +345,7 @@ object DecodePack {
     */
   def variableLength(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val rows = graft.Tables.customer(spark, dir)
-      .select(col("c_custkey")).as[Long]
+    val rows = customerKeys(spark, dir)
       .flatMap { c =>
         val l1 = ('b' + (c % 25).toInt).toChar
         val l2 = ('b' + ((c / 25) % 25).toInt).toChar

@@ -764,7 +764,19 @@ object Relational {
     * production writes the bucketed tables once at ingest.)
     */
   def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q125-").toString
+    // Fixed per-query path, cleared before each write: a fresh temp dir
+    // per invocation leaked disk across repeated bench/verify runs
+    // (saveAsTable overwrote only the catalog entry, not the old path),
+    // and a pre-existing non-empty location would trip Spark's
+    // CTAS-into-non-empty-directory check in a fresh catalog. Disk
+    // usage is now bounded at one copy regardless of run count.
+    val tmpPath = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft-q125-bucketed")
+    if (java.nio.file.Files.exists(tmpPath)) {
+      java.nio.file.Files.walk(tmpPath).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+    val tmp = tmpPath.toString
     graft.operators.Bucketing.writeBucketed(
       lineitem(spark, dir).select(col("l_orderkey"), col("l_extendedprice"),
         col("l_discount")),

@@ -193,12 +193,19 @@ object TextPack {
         sum(col("y").cast(dec) * col("y").cast(dec)).cast(dec).as("syy"),
         sum(col("x").cast(dec) * col("y").cast(dec)).cast(dec).as("sxy"))
       .select(col("n").cast("long").as("n"),
-        col("sx").cast("long").as("sum_x"), col("sy").cast("long").as("sum_y"),
-        floor(lit(1000000.0)
-          * (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
-          / sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
-            * (col("n") * col("syy") - col("sy") * col("sy")).cast("double")))
-          .cast("long").as("pearson_fp"))
+        col("sx").cast("long").as("sum_x"), col("sy").cast("long").as("sum_y"), {
+          // Zero-variance guard (degenerate corpus: constant length or
+          // constant score): the raw form divides by sqrt(0) — Spark
+          // floors the resulting Inf/NaN to null while DuckDB errors
+          // casting inf to bigint, so both engines instead get an
+          // explicit null via nullif on the variance product.
+          val vp = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+            (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+          floor(lit(1000000.0)
+            * (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / sqrt(when(vp === lit(0.0), lit(null)).otherwise(vp)))
+            .cast("long").as("pearson_fp")
+        })
   }
 
   /** q142: VOCABULARY growth curve (Heaps' law, measured) — distinct
@@ -972,8 +979,8 @@ object TextPack {
         |  FROM s)
         |SELECT n::bigint AS n, sx::bigint AS sum_x, sy::bigint AS sum_y,
         |  floor(1000000.0 * cast(n * sxy - sx * sy AS double)
-        |    / sqrt(cast(n * sxx - sx * sx AS double)
-        |      * cast(n * syy - sy * sy AS double)))::bigint AS pearson_fp
+        |    / sqrt(nullif(cast(n * sxx - sx * sx AS double)
+        |      * cast(n * syy - sy * sy AS double), 0.0)))::bigint AS pearson_fp
         |FROM m""".stripMargin,
     "q32_simhash_neardup" ->
       s"""WITH $simhashCte,

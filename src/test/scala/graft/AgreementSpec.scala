@@ -403,6 +403,27 @@ class AgreementSpec extends AnyFunSuite {
       assert(cos > 0.9998, s"planted direction not recovered: cosine $cos")
     }
   }
+  test("scatterState refuses corpora above its int64 envelope") {
+    import spark.implicits._
+    // 2 rows at |v| = 3e9: 2·n²·vmax² = 7.2e19 > 2⁶³−1 — the guard must
+    // trip BEFORE the d² explode, loudly, instead of a silent wrap
+    // corrupting the scatter (and every downstream hash) at scale.
+    val over = Seq((0L, Seq(3000000000L, 1L)), (1L, Seq(-3000000000L, 2L)))
+      .toDF("vec_id", "qvec")
+    Caches.scoped {
+      val err = intercept[IllegalArgumentException] {
+        graft.ext.VectorOps.scatterState(over)
+      }
+      assert(err.getMessage.contains("int64 envelope"))
+    }
+    // the same shape inside the envelope plans and computes fine
+    val under = Seq((0L, Seq(1000L, 1L)), (1L, Seq(-1000L, 2L)))
+      .toDF("vec_id", "qvec")
+    Caches.scoped {
+      assert(graft.ext.VectorOps.scatterState(under).count() == 2L * 2 + 2 + 1)
+    }
+  }
+
   test("q110 zonemap: zones cover the table exactly and pruning flags are sound") {
     val dir = "/root/testdata/sf0.001"
     Caches.scoped {

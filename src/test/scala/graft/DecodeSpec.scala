@@ -272,6 +272,74 @@ class DecodeSpec extends AnyFunSuite {
     }
   }
 
+  test("D8 slice kernel ≡ reference scan semantics at arbitrary offsets (incl. early exit)") {
+    // Test-local oracle: the original Option-based transcription of
+    // scraper.py:587-674 — full scans, no early exit, fresh copy. The
+    // production kernel (extractValidatedTokenRecordSlice) must be
+    // byte-identical on every input, including buffers that bind all six
+    // fields early (where its early exit skips reads the oracle makes —
+    // first-match-wins means those reads can't change anything).
+    def oracle(name: String, rec: Array[Byte], pos: Int) = {
+      var price = Option.empty[Double]; var volume = Option.empty[Double]
+      var txns = Option.empty[Int]; var makers = Option.empty[Int]
+      var liquidity = Option.empty[Double]; var marketCap = Option.empty[Double]
+      def classify(v: Double): Unit = {
+        if (v >= 0.000001 && v <= 0.1) { if (price.isEmpty) price = Some(v) }
+        else if (v >= 1000 && v <= 10000000) {
+          if (v >= 1000000 && marketCap.isEmpty) marketCap = Some(v)
+          else if (v >= 100000 && volume.isEmpty) volume = Some(v)
+          else if (liquidity.isEmpty) liquidity = Some(v)
+        } else if (v >= 10 && v <= 50000) {
+          if (v >= 1000 && txns.isEmpty) txns = Some(v.toInt)
+          else if (makers.isEmpty) makers = Some(v.toInt)
+        }
+      }
+      var off = 0
+      while (off < rec.length - 8) { classify(Wire.readDoubleLE(rec, off)); off += 1 }
+      off = 0
+      while (off < rec.length - 4) { classify(Wire.readFloatLE(rec, off).toDouble); off += 1 }
+      off = 0
+      while (off < rec.length - 4) {
+        val v = Wire.readUInt32LE(rec, off)
+        if (v >= 1000 && v <= 50000 && txns.isEmpty) txns = Some(v.toInt)
+        else if (v >= 10 && v <= 1000 && makers.isEmpty) makers = Some(v.toInt)
+        off += 1
+      }
+      val fc = Seq(price, volume, txns, makers, liquidity, marketCap).count(_.nonEmpty)
+      if (fc >= 3)
+        Some(graft.model.TokenProfile(symbol = Some(name), price = price,
+          volume_24h = volume, txns_24h = txns, makers = makers,
+          liquidity = liquidity, market_cap = marketCap,
+          confidence_score = math.min(0.7 + fc * 0.05, 0.95), field_count = fc,
+          record_position = Some(pos)))
+      else None
+    }
+    val rnd = new scala.util.Random(20261)
+    // dense plants (bind everything early, then more in-range bytes
+    // follow: exercises the early exit), sparse plants, and pure noise
+    val dense = {
+      val b = java.nio.ByteBuffer.allocate(96).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.putDouble(0, 0.05); b.putDouble(8, 2000000.0); b.putDouble(16, 200000.0)
+      b.putDouble(24, 5000.0); b.putDouble(32, 2000.0); b.putDouble(40, 500.0)
+      b.putDouble(48, 0.07); b.putDouble(56, 3000000.0); b.putInt(64, 1500)
+      b.putInt(68, 900); b.putFloat(72, 150000f); b.putFloat(76, 0.02f)
+      b.array()
+    }
+    val recs: Seq[Array[Byte]] = Seq(dense, dense.take(40), Array.empty[Byte],
+      new Array[Byte](7)) ++
+      (0 until 80).map { _ => val b = new Array[Byte](rnd.nextInt(1000)); rnd.nextBytes(b); b }
+    recs.foreach { rec =>
+      val off = rnd.nextInt(200)
+      val buf = new Array[Byte](off + rec.length + 13)
+      rnd.nextBytes(buf)
+      System.arraycopy(rec, 0, buf, off, rec.length)
+      val sliced = TokenExtractor.extractValidatedTokenRecordSlice(
+        "TK", buf, off, off + rec.length, 7)
+      assert(sliced == oracle("TK", rec, 7),
+        s"D8 slice/reference divergence at off=$off len=${rec.length}")
+    }
+  }
+
   test("hasTextMarker ≡ printable-projection contains() on random and crafted bytes") {
     val rnd = new scala.util.Random(42)
     def oracle(b: Array[Byte]): Boolean = {

@@ -297,12 +297,13 @@ class WsIngestSpec extends AnyFunSuite {
       // everything received before the stop reached the spool. Under
       // machine load a read timeout can abort the silent session and
       // the loop reconnects (by design — frame ids continue across
-      // sessions), re-receiving the server's two pre-silence frames —
-      // so the count is 2 per completed session, not exactly 2.
+      // sessions), re-receiving the server's pre-silence frames — and
+      // stop() can land after a reconnected session has re-received
+      // only ONE of the two, so the count is >= 2, not a multiple of 2.
       val n = spark.read.format("graft-tokens").load(spool)
         .select(col("frame_id")).distinct().count()
-      assert(n >= 2L && n % 2L == 0L,
-        s"expected 2 frames per completed session in the spool, got $n")
+      assert(n >= 2L,
+        s"expected at least the 2 pre-stop frames in the spool, got $n")
     } finally { handle.query.stop(); handle.stop(); srv.close() }
   }
 
