@@ -230,11 +230,24 @@ object Rfc6455 {
         n = defl.deflate(buf, 0, buf.length, java.util.zip.Deflater.SYNC_FLUSH)
       }
       val b = out.toByteArray
-      require(b.length >= 4 && b(b.length - 4) == 0x00 && b(b.length - 3) == 0x00 &&
-        (b(b.length - 2) & 0xff) == 0xff && (b(b.length - 1) & 0xff) == 0xff,
-        "sync-flushed deflate must end in 00 00 ff ff")
-      if (noContextTakeover) defl.reset()
-      java.util.Arrays.copyOf(b, b.length - 4)
+      // JDK quirk (vs zlib): an empty message AFTER a sync-flushed one
+      // has nothing pending, so deflate(SYNC_FLUSH) emits ZERO bytes —
+      // no sync marker at all (a fresh deflater emits the 5-byte empty
+      // stored block; a warm one emits nothing). The RFC 7692 §7.2.1
+      // wire form for that case is the stripped empty stored block
+      // `00` — the receiver re-appends 00 00 ff ff and inflates the
+      // 5-byte block to an empty message. Surfaced by the PropertySpec
+      // fragmentation round-trip.
+      if (b.isEmpty) {
+        if (noContextTakeover) defl.reset()
+        Array[Byte](0x00)
+      } else {
+        require(b.length >= 4 && b(b.length - 4) == 0x00 && b(b.length - 3) == 0x00 &&
+          (b(b.length - 2) & 0xff) == 0xff && (b(b.length - 1) & 0xff) == 0xff,
+          "sync-flushed deflate must end in 00 00 ff ff")
+        if (noContextTakeover) defl.reset()
+        java.util.Arrays.copyOf(b, b.length - 4)
+      }
     }
   }
 

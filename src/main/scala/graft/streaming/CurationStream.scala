@@ -55,9 +55,13 @@ final class CurationStream(spark: SparkSession,
   private val fpLog = new AppendLog(spark, StructType(Seq(
     StructField("fp", StringType, nullable = true),
     StructField("doc_id", LongType, nullable = false))))
+  // carries n_shared_bands so [[NearDupStream.ingest]]'s returned
+  // checkpoint can be appended by OWNERSHIP (no per-batch re-copy job);
+  // reconcile() only reads doc1/doc2
   private val pairLog = new AppendLog(spark, StructType(Seq(
     StructField("doc1", LongType, nullable = false),
-    StructField("doc2", LongType, nullable = false))))
+    StructField("doc2", LongType, nullable = false),
+    StructField("n_shared_bands", LongType, nullable = false))))
   private val docLog = new AppendLog(spark, StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
     StructField("source", StringType, nullable = true),
@@ -145,12 +149,17 @@ final class CurationStream(spark: SparkSession,
         max(col("_g") === "rep").as("keep_rep"),
         max(col("_g") === "lm").as("keep_lm"),
         max(col("_g") === "ct").as("contaminated"))
+    // `fp` rides the decisions checkpoint so the fingerprint-log append
+    // below is a column-select of an already-materialized frame instead
+    // of its own md5-recompute job over the batch
     val decisions = batch
       .select(col("doc_id"), col("source"),
         graft.ext.TextOps.tokenCount(col("text")).as("n_tokens"),
-        (col("doc_id") % 101 === 0).as("is_bench"))
+        (col("doc_id") % 101 === 0).as("is_bench"),
+        md5(col("text")).as("fp"))
       .join(bits, Seq("doc_id"), "left")
       .select(col("doc_id"), col("source"), col("n_tokens"), col("is_bench"),
+        col("fp"),
         coalesce(col("keep_exact"), lit(false)).as("keep_exact"),
         (!coalesce(col("_nd"), lit(false))).as("keep_neardup"),
         // a doc with no bigram rows is absent from the gates — the
@@ -163,12 +172,12 @@ final class CurationStream(spark: SparkSession,
           col("keep_rep") && col("keep_lm") && !col("contaminated"))
       .localCheckpoint(eager = true)
 
-    fpLog.append(fps)
-    pairLog.append(pairs.select(col("doc1"), col("doc2")))
+    fpLog.append(decisions.select(col("fp"), col("doc_id")))
+    pairLog.appendOwned(pairs) // log takes the ingest checkpoint — no re-copy
     docLog.append(decisions.select(col("doc_id"), col("source"), col("n_tokens"),
       col("is_bench"), col("keep_rep"), col("keep_lm"), col("contaminated")))
     lastBatchId = batchId
-    decisions
+    decisions.drop("fp")
   }
 
   /** The exact batch corpus build recomposed from accumulated state —
@@ -201,7 +210,13 @@ final class CurationStream(spark: SparkSession,
     */
   def restore(fps: DataFrame, pairs: DataFrame, docs: DataFrame,
       bandLog: DataFrame): Unit = {
-    fpLog.restore(fps); pairLog.restore(pairs); docLog.restore(docs)
+    // the stored pair log carries n_shared_bands (appendOwned takes the
+    // ingest checkpoint verbatim); a restore from a bare edge list —
+    // reconcile() only reads doc1/doc2 — backfills the column
+    val pairsFull =
+      if (pairs.columns.contains("n_shared_bands")) pairs
+      else pairs.withColumn("n_shared_bands", lit(0L))
+    fpLog.restore(fps); pairLog.restore(pairsFull); docLog.restore(docs)
     nd.restore(bandLog)
     lastBatchId = Long.MinValue
   }

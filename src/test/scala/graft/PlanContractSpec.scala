@@ -296,10 +296,11 @@ class PlanContractSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     }
   }
 
-  test("q104 PCA: scatter is explode+agg (no corpus self-join), matvecs broadcast") {
+  test("q104 PCA: scatter is a narrow partition kernel (no corpus self-join), matvecs broadcast") {
     Caches.scoped {
-      // the d^2 accumulation must come from the nested-transform explode,
-      // never a self-join of the exploded corpus — pin it on the scatter
+      // the d^2 accumulation must come from the per-partition Gramian
+      // kernel — never a self-join of the exploded corpus, and never an
+      // explode materializing n·d² rows — pin it on the scatter
       // sub-frame (the full query truncates its lineage per power round,
       // so the final plan can't show it)
       val sc = graft.ext.VectorOps.scatterState(
@@ -309,11 +310,11 @@ class PlanContractSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
               org.apache.spark.sql.functions.col("embedding")).as("qvec")))
       sc.collect()
       val scPlan = sc.queryExecution.executedPlan
-      assert(collect(scPlan) { case g: org.apache.spark.sql.execution.GenerateExec => g }.nonEmpty,
-        s"scatter must come from a generate (explode), not a join:\n$scPlan")
+      assert(collect(scPlan) { case g: org.apache.spark.sql.execution.GenerateExec => g }.isEmpty,
+        s"scatter must not explode n·d² rows (partition kernel instead):\n$scPlan")
       assert(collect(scPlan) {
         case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
-      }.isEmpty, s"the scatter state is union+agg only — no joins at all:\n$scPlan")
+      }.isEmpty, s"the scatter state is kernel+agg only — no joins at all:\n$scPlan")
       // and the full query never goes quadratic or shuffle-joins either
       val plan = executed("q104_pca_power")
       assert(collect(plan) {

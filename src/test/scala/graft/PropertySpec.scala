@@ -199,4 +199,117 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  // ---- permessage-deflate codec (RFC 7692) -------------------------
+
+  import graft.sources.Rfc6455
+
+  /** One raw server→client frame (unmasked), with explicit FIN —
+    * [[Rfc6455.writeFrame]] never fragments on send, so the
+    * fragmentation properties hand-roll the wire form here.
+    */
+  private def rawFrame(fin: Boolean, rsv1: Boolean, opcode: Int,
+      payload: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write((if (fin) 0x80 else 0x00) | (if (rsv1) 0x40 else 0x00) | (opcode & 0x0f))
+    val n = payload.length
+    if (n < 126) out.write(n)
+    else if (n < (1 << 16)) { out.write(126); out.write(n >>> 8); out.write(n & 0xff) }
+    else {
+      out.write(127)
+      var i = 7
+      while (i >= 0) { out.write(((n.toLong >>> (8 * i)) & 0xff).toInt); i -= 1 }
+    }
+    out.write(payload)
+    out.toByteArray
+  }
+
+  private def deflatePayload(trial: Int): Array[Byte] = (trial % 5) match {
+    case 0 => Array.empty[Byte]
+    case 1 => Array.fill(1 + rnd.nextInt(64))('a'.toByte)
+    case 2 => // repetitive text — exercises cross-message window back-references
+      ("the quick brown fox " * (1 + rnd.nextInt(200))).getBytes("UTF-8")
+    case 3 => { val b = new Array[Byte](rnd.nextInt(4096)); rnd.nextBytes(b); b }
+    case _ => { val b = new Array[Byte](66000); rnd.nextBytes(b); b } // 64-bit length form
+  }
+
+  test("permessage-deflate round-trips under random fragmentation, both takeover modes") {
+    for (noTakeover <- Seq(false, true)) {
+      val defl = new Rfc6455.PmdDeflater(noTakeover)
+      val inflater = new Rfc6455.PmdInflater(Rfc6455.PmdParams(noTakeover))
+      val payloads = (0 until 40).map(deflatePayload)
+      // one shared stream: context takeover (the default) carries the
+      // 32 KB window ACROSS messages, so order and completeness matter
+      val wire = new java.io.ByteArrayOutputStream()
+      payloads.foreach { p =>
+        val comp = defl(p)
+        // split the compressed body into 1..4 fragments at random cuts;
+        // rsv1 only on the first frame; sometimes a ping interleaves
+        // mid-fragment (§5.5 — control frames may)
+        val nFrag = 1 + rnd.nextInt(4)
+        val cuts = (Seq(0, comp.length) ++
+          Seq.fill(nFrag - 1)(if (comp.length == 0) 0 else rnd.nextInt(comp.length + 1)))
+          .sorted.distinct
+        val frags0 = cuts.zip(cuts.tail).map { case (a, b) => comp.slice(a, b) }
+        val frags = if (frags0.isEmpty) Seq(Array.empty[Byte]) else frags0
+        frags.zipWithIndex.foreach { case (f, i) =>
+          if (i > 0 && rnd.nextBoolean())
+            wire.write(rawFrame(fin = true, rsv1 = false, Rfc6455.OpPing, Array[Byte](7)))
+          wire.write(rawFrame(fin = i == frags.length - 1, rsv1 = i == 0,
+            if (i == 0) Rfc6455.OpBinary else 0x0, f))
+        }
+      }
+      val in = new java.io.ByteArrayInputStream(wire.toByteArray)
+      var pings = 0
+      payloads.foreach { want =>
+        val got = Rfc6455.readMessage(in,
+          onControl = (op, _) => if (op == Rfc6455.OpPing) pings += 1,
+          inflate = Some(inflater))
+        assert(got.isDefined && got.get._1 == Rfc6455.OpBinary)
+        assert(java.util.Arrays.equals(got.get._2, want),
+          s"deflate roundtrip diverged (noTakeover=$noTakeover, len=${want.length})")
+      }
+      assert(Rfc6455.readMessage(in, inflate = Some(inflater)).isEmpty) // clean EOF
+    }
+  }
+
+  test("permessage-deflate adversarial frames: trailing garbage, un-negotiated RSV1") {
+    val defl = new Rfc6455.PmdDeflater()
+    val inflater = new Rfc6455.PmdInflater(Rfc6455.PmdParams(false))
+    // bytes AFTER a complete deflate block must fail loudly, not be
+    // silently dropped (they would desynchronize the shared window)
+    val garbage = defl("hello".getBytes("UTF-8")) ++ Array[Byte](1, 2, 3, 4, 5, 6, 7, 8)
+    // depending on where the junk lands in the bit stream, the inflater
+    // either rejects it as a corrupt block (DataFormatException) or
+    // stops at the sync point with input remaining (the require) — both
+    // are LOUD failures; silence is the bug being guarded against
+    val e = intercept[Exception] { inflater(garbage) }
+    assert(e.isInstanceOf[IllegalArgumentException] ||
+      e.isInstanceOf[java.util.zip.DataFormatException], e.toString)
+    // RSV1 without a negotiated inflater is a protocol error, never data
+    val wire = rawFrame(fin = true, rsv1 = true, Rfc6455.OpBinary,
+      new Rfc6455.PmdDeflater()("x".getBytes("UTF-8")))
+    intercept[IllegalStateException] {
+      Rfc6455.readMessage(new java.io.ByteArrayInputStream(wire), inflate = None)
+    }
+  }
+
+  test("deflate response parser: window-bits 8..15 accepted, malformed params rejected") {
+    for (wb <- 8 to 15; key <- Seq("server_max_window_bits", "client_max_window_bits")) {
+      assert(Rfc6455.parseDeflateResponse(s"permessage-deflate; $key=$wb").isDefined, s"$key=$wb")
+      assert(Rfc6455.parseDeflateResponse(s"""permessage-deflate; $key="$wb"""").isDefined)
+    }
+    val bad = Seq(
+      "permessage-deflate; server_max_window_bits=7",   // below RFC 7692 range
+      "permessage-deflate; server_max_window_bits=16",  // above
+      "permessage-deflate; client_max_window_bits=abc", // non-numeric
+      "permessage-deflate; server_no_context_takeover=1", // valueless param given a value
+      "permessage-deflate; unknown_param",
+      "x-webkit-deflate-frame",                          // never offered
+      "permessage-deflate, x-other")                     // multiple extensions
+    bad.foreach(v => assert(Rfc6455.parseDeflateResponse(v).isEmpty, v))
+    assert(Rfc6455.parseDeflateResponse(
+      "permessage-deflate; server_no_context_takeover")
+      .contains(Rfc6455.PmdParams(serverNoContextTakeover = true)))
+  }
 }
