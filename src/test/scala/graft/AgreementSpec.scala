@@ -277,6 +277,31 @@ class AgreementSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("kmeansCodebook memo: same input hits (identical rows), different inputs never alias") {
+    import spark.implicits._
+    import graft.ext.VectorOps
+    // the memo keys on the canonicalized plan via sameResult — LOCAL
+    // relations compare by data, so two frames with the same schema but
+    // different rows MUST train separately (a hash-keyed memo could
+    // alias them; sameResult cannot)
+    def frame(shift: Long) = (0L until 40L)
+      .map(i => (i, Seq(i * 3 + shift, 100L - i, shift + 7)))
+      .toDF("vec_id", "qvec")
+    Caches.scoped {
+      val a1 = VectorOps.kmeansCodebook(frame(0), 4, 2).orderBy("cell")
+        .collect().map(_.toSeq).toSeq
+      val a2 = VectorOps.kmeansCodebook(frame(0), 4, 2).orderBy("cell")
+        .collect().map(_.toSeq).toSeq // memo hit
+      val b = VectorOps.kmeansCodebook(frame(500), 4, 2).orderBy("cell")
+        .collect().map(_.toSeq).toSeq // different data, same shape
+      val c = VectorOps.kmeansCodebook(frame(0), 3, 2).orderBy("cell")
+        .collect().map(_.toSeq).toSeq // same data, different k
+      assert(a1 == a2, "memo hit must return the identical codebook")
+      assert(a1 != b, "different input data must not alias in the memo")
+      assert(c.size <= 3 && a1 != c, "different k must not alias in the memo")
+    }
+  }
+
   test("kmeansCodebook: iters=8 runs via per-round localCheckpoint, SSE still monotone") {
     import graft.ext.VectorOps
     val dir = "/root/testdata/sf0.001"

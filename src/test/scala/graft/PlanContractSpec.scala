@@ -47,6 +47,29 @@ class PlanContractSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("q12/q25: synthetic decode spreads across cores before the generate map") {
+    // the customer parquet is one split; without an explicit key
+    // repartition the CPU-bound frame-generate+decode chain (and the
+    // range-sort's sampling re-execution of it) runs on ONE task —
+    // round-10 measured 1.70 → 0.50 s from this exchange. Pin the
+    // round-robin shuffle so a refactor can't silently serialize the
+    // decode again.
+    for (q <- Seq("q12_token_pipeline", "q25_cluster_pipeline")) Caches.scoped {
+      val plan = executed(q)
+      val spread = collect(plan) {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+          if e.outputPartitioning
+            .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.RoundRobinPartitioning] ||
+            // AQE may wrap/replace; accept any shuffle whose child is the
+            // bare key scan (one narrow column), which is the repartition
+            e.child.output.map(_.name) == Seq("c_custkey") ||
+            e.child.output.map(_.name) == Seq("value") => e
+      }
+      assert(spread.nonEmpty,
+        s"$q must repartition the key column before the generate map:\n$plan")
+    }
+  }
+
   test("q58/q69 domain cap + mixture draw: no per-group Window anywhere") {
     // the sqrt cap and mixture draw rank/sum via PrefixOps' range-
     // partitioned prefix pass — a Window.partitionBy(source) here would
