@@ -1372,7 +1372,10 @@ object CurationPack {
         col("rank") === expr("(n_total * p) div 100"))
       .select(col("p"), col("rank").as("n_docs_top"),
         col("cum_chars"), col("total_chars"),
-        expr("(1000000 * cum_chars) div total_chars").as("char_share_ppm"))
+        // decimal/hugeint: 10⁶·cum_chars is corpus-total-chars scale,
+        // which wraps int64 at ~9 TB of text — far below target scale
+        expr("(cast(1000000 as decimal(38,0)) * cum_chars) div total_chars")
+          .as("char_share_ppm"))
       .orderBy(col("p"))
   }
 
@@ -1879,7 +1882,7 @@ object CurationPack {
         |t AS (SELECT count(*)::bigint AS n_total,
         |        sum(n_chars)::bigint AS total_chars FROM documents)
         |SELECT p.p, r.rank AS n_docs_top, r.cum_chars, t.total_chars,
-        |  ((1000000 * r.cum_chars) // t.total_chars)::bigint AS char_share_ppm
+        |  ((1000000::hugeint * r.cum_chars) // t.total_chars)::bigint AS char_share_ppm
         |FROM (SELECT unnest([1, 10, 50])::bigint AS p) p, t
         |JOIN r ON r.rank = (t.n_total * p.p) // 100
         |ORDER BY p.p""".stripMargin,

@@ -851,9 +851,14 @@ object Relational {
       count(lit(1)).as("n_keys"))
     counts.orderBy(col("n_rows").desc, col("user_id")).limit(SkewTopK)
       .crossJoin(broadcast(totals))
-      .withColumn("share_ppm", expr("(1000000 * n_rows) div total_rows"))
+      // decimal/hugeint: n_rows·n_keys is a product of two corpus-scale
+      // counts (a 10¹⁰-row hot key × 10⁸ keys wraps int64 by 10⁴×); the
+      // share numerator wraps at ~9×10¹² rows — both far below target
+      // scale, so the ppm arithmetic rides wide unconditionally
+      .withColumn("share_ppm",
+        expr("(cast(1000000 as decimal(38,0)) * n_rows) div total_rows"))
       .withColumn("hot_x_mean_fp",
-        expr("(1000000 * n_rows * n_keys) div total_rows"))
+        expr("(cast(1000000 as decimal(38,0)) * n_rows * n_keys) div total_rows"))
       .orderBy(col("n_rows").desc, col("user_id"))
   }
 
@@ -1164,7 +1169,9 @@ object Relational {
     val tot = b.agg(sum(col("n_rows")).as("total_rows"))
     b.crossJoin(broadcast(tot))
       .withColumn("x_mean_fp",
-        expr(s"(1000000 * n_rows * $BalanceBuckets) div total_rows"))
+        // same wide-arithmetic treatment as q123: 10⁶·32·n_rows wraps
+        // int64 at ~3×10¹¹ rows per bucket
+        expr(s"(cast(1000000 as decimal(38,0)) * n_rows * $BalanceBuckets) div total_rows"))
       .orderBy(col("bucket"))
   }
 
@@ -1187,7 +1194,9 @@ object Relational {
         .agg(count(lit(1)).as("n_orphans"))
       child.agg(count(lit(1)).as("n_child")).crossJoin(broadcast(orphans))
         .select(lit(name).as("edge"), col("n_child"), col("n_orphans"),
-          expr("(1000000 * n_orphans) div n_child").as("orphan_ppm"))
+          // greatest(…,1): an EMPTY child table must yield ppm 0 in both
+          // engines, not Spark-null vs DuckDB divide-by-zero error
+          expr("(1000000 * n_orphans) div greatest(n_child, 1L)").as("orphan_ppm"))
     }
     edge("lineitem->orders",
         lineitem(spark, dir).select(col("l_orderkey")), col("l_orderkey"),
@@ -1714,7 +1723,7 @@ object Relational {
          |c AS (SELECT bucket, count(*)::bigint AS n_rows FROM b GROUP BY 1),
          |t AS (SELECT sum(n_rows)::bigint AS total_rows FROM c)
          |SELECT c.bucket, c.n_rows, t.total_rows,
-         |  ((1000000 * c.n_rows * $BalanceBuckets) // t.total_rows)::bigint AS x_mean_fp
+         |  ((1000000::hugeint * c.n_rows * $BalanceBuckets) // t.total_rows)::bigint AS x_mean_fp
          |FROM c, t ORDER BY c.bucket""".stripMargin,
     "q131_fk_orphans" ->
       """WITH a AS (
@@ -1731,7 +1740,7 @@ object Relational {
         |                       WHERE c.c_custkey = o.o_custkey))::bigint AS n_orphans),
         |u AS (SELECT * FROM a UNION ALL SELECT * FROM b)
         |SELECT edge, n_child, n_orphans,
-        |  ((1000000 * n_orphans) // n_child)::bigint AS orphan_ppm
+        |  ((1000000 * n_orphans) // greatest(n_child, 1))::bigint AS orphan_ppm
         |FROM u ORDER BY edge""".stripMargin,
     "q129_ingest_disorder" ->
       s"""WITH z AS (
@@ -1852,8 +1861,8 @@ object Relational {
          |  SELECT sum(n_rows)::bigint AS total_rows,
          |    count(*)::bigint AS n_keys FROM c)
          |SELECT c.user_id, c.n_rows, t.total_rows, t.n_keys,
-         |  ((1000000 * c.n_rows) // t.total_rows)::bigint AS share_ppm,
-         |  ((1000000 * c.n_rows * t.n_keys) // t.total_rows)::bigint AS hot_x_mean_fp
+         |  ((1000000::hugeint * c.n_rows) // t.total_rows)::bigint AS share_ppm,
+         |  ((1000000::hugeint * c.n_rows * t.n_keys) // t.total_rows)::bigint AS hot_x_mean_fp
          |FROM c, t ORDER BY c.n_rows DESC, c.user_id LIMIT $SkewTopK""".stripMargin,
     "q122_grouped_quantiles" ->
       s"""WITH vv AS (

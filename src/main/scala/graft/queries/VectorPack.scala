@@ -72,7 +72,11 @@ object VectorPack {
     vecs.groupBy(col("label"), col("dim"))
       .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
       .groupBy(col("label"))
-      .agg(sum(col("s") * col("s")).as("sum_sq_sums"),
+      // decimal/hugeint: s ≤ n·10³ per dim, so Σ_dim s² ≤ d·n²·10⁶ —
+      // int64 wraps near 4×10⁵ vectors per label; ride wide and cast
+      // the (bounded, ppm-scale-free) result back to long
+      .agg(sum(col("s").cast("decimal(38,0)") * col("s").cast("decimal(38,0)"))
+        .cast("decimal(38,0)").as("sum_sq_sums"),
         max(col("n")).as("n_vectors"))
       .orderBy(col("label"))
   }
@@ -461,7 +465,12 @@ object VectorPack {
       .select(col("dim"), col("n").as("n2"), col("s").as("s2"), col("ss").as("ss2"))
     h1.join(broadcast(h2), "dim")
       .withColumn("mean_shift_fp",
-        floor((col("s1") * col("n2") - col("s2") * col("n1")).cast("double")
+        // the cross term s1·n2 is (n·10³)·n — int64 wraps near 10⁸
+        // vectors per half, so it rides in decimal/hugeint; the final
+        // decimal→double is the same correctly-rounded conversion in
+        // both engines (identical 128-bit value in, identical double out)
+        floor((col("s1").cast("decimal(38,0)") * col("n2")
+            - col("s2").cast("decimal(38,0)") * col("n1")).cast("double")
           * lit(DriftScale.toDouble)
           / (col("n1") * col("n2")).cast("double")).cast("long"))
       .select(col("dim"), col("n1"), col("n2"), col("s1"), col("s2"),
@@ -633,7 +642,8 @@ object VectorPack {
          |  FROM e CROSS JOIN mid GROUP BY 1, 2)
          |SELECT h1.dim, h1.n AS n1, h2.n AS n2, h1.s AS s1, h2.s AS s2,
          |  h1.ss AS ss1, h2.ss AS ss2,
-         |  floor((h1.s * h2.n - h2.s * h1.n)::double * ${DriftScale}.0::double
+         |  floor((h1.s::hugeint * h2.n - h2.s::hugeint * h1.n)::double
+         |    * ${DriftScale}.0::double
          |    / (h1.n * h2.n)::double)::bigint AS mean_shift_fp
          |FROM (SELECT * FROM m WHERE half = 1) h1
          |JOIN (SELECT * FROM m WHERE half = 0) h2 ON h2.dim = h1.dim
@@ -962,7 +972,8 @@ object VectorPack {
          |      generate_subscripts($qv, 1) - 1 AS dim
          |    FROM embeddings)
          |  GROUP BY label, dim)
-         |SELECT label, sum(s * s)::bigint AS sum_sq_sums, max(n) AS n_vectors
+         |SELECT label, sum(s::hugeint * s)::decimal(38,0) AS sum_sq_sums,
+         |  max(n) AS n_vectors
          |FROM e GROUP BY label ORDER BY label""".stripMargin)
 
   /** q73 shares q48's oracle verbatim: a probe over streamed postings
