@@ -449,6 +449,33 @@ class AgreementSpec extends AnyFunSuite {
     }
   }
 
+  test("scatterState kernel: partition-invariant, null vectors count but don't accumulate") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20263)
+    val rows = (0L until 137L).map(i =>
+      (i, Seq.fill(6)((rnd.nextInt(2001) - 1000).toLong)))
+    val base = rows.toDF("vec_id", "qvec")
+    def stateOf(df: org.apache.spark.sql.DataFrame) = Caches.scoped {
+      graft.ext.VectorOps.scatterState(df)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(t => (t._1, t._2, t._3)).toSeq
+    }
+    // the per-partition Gramian accumulator must be invariant to how
+    // rows land on partitions (integer sums commute; the groupBy-sum
+    // merge recomposes the same state from any split)
+    val want = stateOf(base.repartition(1))
+    for (k <- Seq(3, 7, 32))
+      assert(stateOf(base.repartition(k)) == want, s"split-variant at k=$k")
+    // a null vector row counts toward n (as count(1) did in the explode
+    // form) but contributes nothing to the moments
+    val withNull = base.unionByName(
+      Seq((999L, Option.empty[Seq[Long]])).toDF("vec_id", "qvec"))
+    val got = stateOf(withNull.repartition(5))
+    assert(got.find(t => t._1 == 0L).get._4 == 138L, "null row must count")
+    assert(got.filter(_._1 != 0L) == want.filter(_._1 != 0L),
+      "null row must not perturb the moments")
+  }
+
   test("q110 zonemap: zones cover the table exactly and pruning flags are sound") {
     val dir = "/root/testdata/sf0.001"
     Caches.scoped {
