@@ -294,6 +294,26 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("inflater accepts a real small-window (wbits=9) peer stream with context takeover") {
+    // The JDK deflater always writes a 32 KB window, so a SMALL-window
+    // peer can't be produced in-process — these bytes are a checked-in
+    // zlib stream (compressobj(6, DEFLATED, -9), two messages, sync-
+    // flushed, tails stripped) as a server that negotiated
+    // server_max_window_bits=9 would send. Message 2 is 21 bytes for
+    // 1764 plaintext bytes — almost entirely back-references into
+    // message 1's window, so this also proves cross-message context
+    // takeover against a foreign compressor.
+    def unhex(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val b1 = unhex("2ac94855282ccd4cce56482aca2fcf5348cbaf50c82acd2d2856c82f4b2d5228014ae72456552aa4e4a78339a36a47d58eaa1d553baa7654ed50500b00")
+    val b2 = unhex("1a553baa7654eda8da51b5a36a87a5dac4cc1c0000")
+    val m1 = ("the quick brown fox jumps over the lazy dog " * 40).getBytes("UTF-8")
+    val m2 = (("the quick brown fox jumps over the lazy dog " * 40) + "tail").getBytes("UTF-8")
+    val inflater = new Rfc6455.PmdInflater(Rfc6455.PmdParams(serverNoContextTakeover = false))
+    assert(java.util.Arrays.equals(inflater(b1), m1))
+    assert(java.util.Arrays.equals(inflater(b2), m2))
+  }
+
   test("deflate response parser: window-bits 8..15 accepted, malformed params rejected") {
     for (wb <- 8 to 15; key <- Seq("server_max_window_bits", "client_max_window_bits")) {
       assert(Rfc6455.parseDeflateResponse(s"permessage-deflate; $key=$wb").isDefined, s"$key=$wb")
