@@ -17,6 +17,65 @@ import org.apache.spark.sql.SparkSession
   * the old single-shot sum for cross-round continuity.
   */
 object Bench {
+
+  /** Per-query outcome: Left(error message) or Right((min seconds,
+    * first-run seconds)).
+    */
+  type Results = Seq[(String, Either[String, (Double, Double)])]
+
+  // 4-decimal seconds (0.1 ms): keeps the artifact line short — the
+  // driver's capture tail-truncated the full-precision form twice.
+  private def f(v: Double) =
+    BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+
+  private def totals(results: Results): (String, String) = {
+    val ok = results.collect { case (_, Right(v)) => v }
+    (f(ok.map(_._1).sum), f(ok.map(_._2).sum))
+  }
+
+  // The failed list is capped at 20 names on stdout so a catastrophic
+  // round (everything failing) still cannot push the headline past the
+  // driver's tail window; the file copy always carries the full list.
+  private def failedJson(results: Results, cap: Int) = {
+    val all = results.collect { case (k, Left(_)) => k }
+    (all.take(cap).map("\"" + _ + "\"") ++
+      (if (all.size > cap) Seq("\"...+" + (all.size - cap) + "\"") else Nil))
+      .mkString("[", ",", "]")
+  }
+
+  /** The one stdout line. Carries ONLY the headline: at 148 queries even
+    * maximally shortened per-query keys overflow the driver's ~2 KB tail
+    * window (BENCH_r09 arrived head-truncated mid-key), so the per-query
+    * map lives solely in the file artifact, pointed to by
+    * "queries_file". BenchSpec pins the <2 KB bound at adversarial query
+    * counts and failure mixes — four rounds of artifacts were lost to
+    * this line outgrowing the capture.
+    */
+  private[graft] def headlineJson(results: Results, sfDir: String,
+      repeats: Int): String = {
+    val (total, firstRun) = totals(results)
+    s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","repeats":$repeats,"first_run_total":$firstRun,"query_count":${results.size},"failed":${failedJson(results, 20)},"queries_file":"target/bench.json"}"""
+  }
+
+  /** The file artifact: full per-query map (failures as the string
+    * "err"), full failed list, full error messages.
+    */
+  private[graft] def fullJson(results: Results, sfDir: String,
+      repeats: Int): String = {
+    val qsJson = results.map { case (k, r) =>
+      val v = r match {
+        case Right((minS, _)) => f(minS)
+        case Left(_)          => "\"err\""
+      }
+      "\"" + k + "\":" + v
+    }.mkString("{", ",", "}")
+    val errsJson = results.collect { case (k, Left(m)) =>
+      "\"" + k + "\":\"" + m.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    }.mkString("{", ",", "}")
+    val (total, firstRun) = totals(results)
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsJson,"sf":"$sfDir","repeats":$repeats,"first_run_total":$firstRun,"failed":${failedJson(results, Int.MaxValue)},"errors":$errsJson}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmupDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.001")
@@ -75,42 +134,8 @@ object Bench {
       }
       (name, err.toLeft((samples.min, samples.head)))
     }
-    // 4-decimal seconds (0.1 ms): keeps the artifact line short — the
-    // driver's capture tail-truncated the full-precision form twice.
-    def f(v: Double) = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
-    // Failed queries appear as the string "err" (full message only in the
-    // file copy, to keep the stdout line inside the driver's tail window)
-    // and are listed in top-level "failed".
-    val qsJson = results.map { case (k, r) =>
-      val v = r match {
-        case Right((minS, _)) => f(minS)
-        case Left(_)          => "\"err\""
-      }
-      "\"" + k + "\":" + v
-    }.mkString("{", ",", "}")
-    val ok = results.collect { case (_, Right(v)) => v }
-    val errsJson = results.collect { case (k, Left(m)) =>
-      "\"" + k + "\":\"" + m.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-    }.mkString("{", ",", "}")
-    val total = ok.map(_._1).sum
-    val firstRunTotal = ok.map(_._2).sum
-    // The failed list is capped at 20 names on stdout so a catastrophic
-    // round (everything failing) still cannot push the headline past the
-    // driver's tail window; the file copy always carries the full list.
-    def failedJson(cap: Int) = {
-      val all = results.collect { case (k, Left(_)) => k }
-      (all.take(cap).map("\"" + _ + "\"") ++
-        (if (all.size > cap) Seq("\"...+" + (all.size - cap) + "\"") else Nil))
-        .mkString("[", ",", "]")
-    }
-    // Stdout carries ONLY the headline: at 148 queries even maximally
-    // shortened per-query keys overflow the driver's ~2 KB tail window
-    // (BENCH_r09 arrived head-truncated mid-key), so the per-query map
-    // lives solely in the file artifact, pointed to by "queries_file".
-    val json =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","sf":"$sfDir","repeats":$repeats,"first_run_total":${f(firstRunTotal)},"query_count":${results.size},"failed":${failedJson(20)},"queries_file":"target/bench.json"}"""
-    val jsonFull =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qsJson,"sf":"$sfDir","repeats":$repeats,"first_run_total":${f(firstRunTotal)},"failed":${failedJson(Int.MaxValue)},"errors":$errsJson}"""
+    val json = headlineJson(results, sfDir, repeats)
+    val jsonFull = fullJson(results, sfDir, repeats)
     // Also write the artifact to a file: stdout capture has truncated a
     // round's per-query tail before; the file is never capture-limited.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json")
