@@ -10,7 +10,9 @@ query families read:
     schema as the driver's testdata (dense ids, so the modular plantings
     appear at 10x their sf0.1 multiplicity);
   - embeddings.parquet: 20 000 vectors, deterministic per-(vec_id, dim)
-    hash values in [-1, 1], 10 labels.
+    hash values in [-1, 1], 10 labels;
+  - events.parquet: 1 000 000 events over the same 30-day window, 15 000
+    users, the same five types and {"k": int} props shape.
 
 No oracle runs here (DuckDB recursive CTEs would be intractable and the
 operators are already hash-gated at sf0.001/sf0.01/sf0.1) - this fixture
@@ -33,6 +35,8 @@ SRC = "/root/testdata/sf0.1"
 N_DOCS = 50000
 N_VECS = 20000
 DIMS = 64
+N_EVENTS = 1000000
+N_USERS = 15000
 
 VOCAB = ['a', 'agg', 'batch', 'big', 'column', 'customer', 'data', 'dup',
          'fast', 'filter', 'group', 'hash', 'join', 'key', 'line', 'merge',
@@ -43,7 +47,8 @@ VOCAB = ['a', 'agg', 'batch', 'big', 'column', 'customer', 'data', 'dup',
 def main():
     os.makedirs(OUT, exist_ok=True)
     for f in os.listdir(SRC):
-        if f.endswith(".parquet") and f not in ("documents.parquet", "embeddings.parquet"):
+        if f.endswith(".parquet") and f not in (
+            "documents.parquet", "embeddings.parquet", "events.parquet"):
             shutil.copy(os.path.join(SRC, f), os.path.join(OUT, f))
     con = duckdb.connect()
     vocab_rows = ", ".join(f"({i}, '{w}')" for i, w in enumerate(VOCAB))
@@ -80,9 +85,24 @@ def main():
         FROM (SELECT range::bigint AS vec_id FROM range({N_VECS})) v
         ORDER BY v.vec_id
       ) TO '{OUT}/embeddings.parquet' (FORMAT PARQUET)""")
+    con.execute(f"""
+      COPY (
+        SELECT k AS event_id,
+          TIMESTAMP '2024-01-01 00:00:00'
+            + to_microseconds((hash(k * 2654435761 + 17)
+                               % 2592000000000)::bigint) AS ts,
+          (hash(k * 97 + 5) % {N_USERS})::bigint AS user_id,
+          ['view', 'click', 'purchase', 'signup',
+           'error'][(hash(k * 13 + 3) % 5 + 1)::int] AS event_type,
+          ((hash(k * 31 + 9) % 56022)::bigint / 100.0)::double AS value,
+          '{{"k": ' || (hash(k * 7 + 1) % 100)::varchar || '}}' AS props
+        FROM (SELECT range::bigint AS k FROM range({N_EVENTS}))
+        ORDER BY event_id
+      ) TO '{OUT}/events.parquet' (FORMAT PARQUET)""")
     n1 = con.execute(f"SELECT count(*) FROM '{OUT}/documents.parquet'").fetchone()[0]
     n2 = con.execute(f"SELECT count(*) FROM '{OUT}/embeddings.parquet'").fetchone()[0]
-    print(f"wrote {OUT}: documents={n1} embeddings={n2}")
+    n3 = con.execute(f"SELECT count(*) FROM '{OUT}/events.parquet'").fetchone()[0]
+    print(f"wrote {OUT}: documents={n1} embeddings={n2} events={n3}")
 
 
 if __name__ == "__main__":
