@@ -72,12 +72,24 @@ object VectorPack {
     vecs.groupBy(col("label"), col("dim"))
       .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
       .groupBy(col("label"))
-      // decimal/hugeint: s ≤ n·10³ per dim, so Σ_dim s² ≤ d·n²·10⁶ —
-      // int64 wraps near 4×10⁵ vectors per label; ride wide and cast
-      // the (bounded, ppm-scale-free) result back to long
+      // decimal/hugeint internally: s ≤ n·10³ per dim, so Σ_dim s² ≤
+      // d·n²·10⁶ — int64 wraps near 4×10⁵ vectors per label. The final
+      // column must still be BIGINT (output schemas carry only driver-
+      // hashable types — see OutputSchemaSpec), so the wide sum is
+      // guard-cast: past the envelope this errors loudly instead of
+      // wrapping (DuckDB's hugeint→bigint cast errors the same way).
       .agg(sum(col("s").cast("decimal(38,0)") * col("s").cast("decimal(38,0)"))
-        .cast("decimal(38,0)").as("sum_sq_sums"),
+        .as("ss_wide"),
         max(col("n")).as("n_vectors"))
+      .select(col("label"),
+        when(col("ss_wide") <= lit(Long.MaxValue).cast("decimal(38,0)"),
+          col("ss_wide").cast("long"))
+          .otherwise(raise_error(concat(
+            lit("q24 sum_sq_sums exceeds int64 for label "),
+            col("label").cast("string"),
+            lit("; rescale the quantization"))))
+          .as("sum_sq_sums"),
+        col("n_vectors"))
       .orderBy(col("label"))
   }
 
@@ -972,7 +984,7 @@ object VectorPack {
          |      generate_subscripts($qv, 1) - 1 AS dim
          |    FROM embeddings)
          |  GROUP BY label, dim)
-         |SELECT label, sum(s::hugeint * s)::decimal(38,0) AS sum_sq_sums,
+         |SELECT label, sum(s::hugeint * s)::bigint AS sum_sq_sums,
          |  max(n) AS n_vectors
          |FROM e GROUP BY label ORDER BY label""".stripMargin)
 
