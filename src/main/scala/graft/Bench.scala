@@ -52,9 +52,9 @@ object Bench {
     * this line outgrowing the capture.
     */
   private[graft] def headlineJson(results: Results, sfDir: String,
-      repeats: Int): String = {
+      repeats: Int, queriesFile: String = "target/bench.json"): String = {
     val (total, firstRun) = totals(results)
-    s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","repeats":$repeats,"first_run_total":$firstRun,"query_count":${results.size},"failed":${failedJson(results, 20)},"queries_file":"target/bench.json"}"""
+    s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","repeats":$repeats,"first_run_total":$firstRun,"query_count":${results.size},"failed":${failedJson(results, 20)},"queries_file":"$queriesFile"}"""
   }
 
   /** The file artifact: full per-query map (failures as the string
@@ -134,11 +134,13 @@ object Bench {
       }
       (name, err.toLeft((samples.min, samples.head)))
     }
-    val json = headlineJson(results, sfDir, repeats)
+    // The headline must point at the artifact actually written, so the
+    // resolved (env-overridable) path feeds both.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json")
+    val json = headlineJson(results, sfDir, repeats, outPath)
     val jsonFull = fullJson(results, sfDir, repeats)
     // Also write the artifact to a file: stdout capture has truncated a
     // round's per-query tail before; the file is never capture-limited.
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json")
     try {
       val p = java.nio.file.Paths.get(outPath)
       if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)

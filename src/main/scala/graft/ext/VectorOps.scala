@@ -349,7 +349,8 @@ object VectorOps {
     * assign/probe/re-rank.
     */
   /** Process-wide memo of TRAINED codebooks, keyed by the canonicalized
-    * input plan + training params. The trainer is fully deterministic,
+    * input plan + training params + a CONTENT SNAPSHOT of every file
+    * relation the plan reads. The trainer is fully deterministic,
     * so two calls over the same input produce the identical k×dims
     * table — re-running the unrolled Lloyd plan per query (q38, q48,
     * q82's assignment, q73's stream index, q94's four subspace slices
@@ -360,30 +361,72 @@ object VectorOps {
     * Hits return a LocalRelation, which downstream consumers broadcast
     * exactly as they broadcast the lazily-trained frame, so result
     * hashes are unchanged by construction.
+    *
+    * The snapshot closes the staleness hole plan comparison alone
+    * leaves open: two scans of the same root path compare `sameResult`
+    * even if the directory was REWRITTEN between them (file indexes
+    * canonicalize by root path, not contents), so a fixture
+    * regeneration within one JVM would otherwise return a codebook
+    * trained on the old bytes. A plan+params match whose snapshot
+    * differs EVICTS the stale entry and retrains, which also bounds
+    * growth under rewrite loops.
     */
   private val codebookMemo = scala.collection.mutable.ArrayBuffer.empty[
     (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int, Int,
-      String, String, Array[org.apache.spark.sql.Row],
+      String, String, String, Array[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType)]
   private val CodebookMemoMax = 64
+
+  /** (path, length, mtime) fingerprint of every file-source relation in
+    * `plan` — listed through each relation's own (memoized) file index,
+    * so a memo probe costs no re-listing; a NEW scan of a rewritten dir
+    * builds a new index and therefore a different snapshot.
+    */
+  private def contentSnapshot(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): String = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val sb = new StringBuilder
+    plan.foreach {
+      case lr: LogicalRelation =>
+        lr.relation match {
+          case fs: HadoopFsRelation =>
+            fs.location.listFiles(Nil, Nil).foreach(_.files.foreach { f =>
+              sb.append(f.getPath.toString).append(':').append(f.getLen)
+                .append(':').append(f.getModificationTime).append(';')
+            })
+          case _ => ()
+        }
+      case _ => ()
+    }
+    sb.result()
+  }
 
   def kmeansCodebook(vectors: DataFrame, k: Int, iters: Int,
       idCol: String = "vec_id", vecCol: String = "qvec"): DataFrame = {
     require(k > 0 && iters >= 0, "k and iters must be positive")
     val spark = vectors.sparkSession
     val keyPlan = vectors.queryExecution.analyzed.canonicalized
+    val snapshot = contentSnapshot(vectors.queryExecution.analyzed)
     def asLocal(rows: Array[org.apache.spark.sql.Row],
         schema: org.apache.spark.sql.types.StructType): DataFrame =
       spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
     val hit = codebookMemo.synchronized {
-      codebookMemo.find { case (p, k2, i2, id2, v2, _, _) =>
+      // evict plan-equal entries whose underlying files changed — they
+      // can never hit again and would mask the retrained entry
+      val stale = codebookMemo.indices.filter { i =>
+        val (p, k2, i2, id2, v2, snap2, _, _) = codebookMemo(i)
         k2 == k && i2 == iters && id2 == idCol && v2 == vecCol &&
-          p.sameResult(keyPlan)
+          p.sameResult(keyPlan) && snap2 != snapshot
+      }
+      stale.reverseIterator.foreach(codebookMemo.remove(_))
+      codebookMemo.find { case (p, k2, i2, id2, v2, snap2, _, _) =>
+        k2 == k && i2 == iters && id2 == idCol && v2 == vecCol &&
+          snap2 == snapshot && p.sameResult(keyPlan)
       }
     }
     hit match {
-      case Some((_, _, _, _, _, rows, schema)) => return asLocal(rows, schema)
-      case None                                => ()
+      case Some((_, _, _, _, _, _, rows, schema)) => return asLocal(rows, schema)
+      case None                                   => ()
     }
     val vecs = graft.Caches.persisted(vectors.select(col(idCol), col(vecCol)))
     val Array(lo, hi) = vecs.agg(min(col(idCol)), max(col(idCol)))
@@ -428,7 +471,7 @@ object VectorOps {
     val schema = codebook.schema
     codebookMemo.synchronized {
       if (codebookMemo.size < CodebookMemoMax)
-        codebookMemo += ((keyPlan, k, iters, idCol, vecCol, rows, schema))
+        codebookMemo += ((keyPlan, k, iters, idCol, vecCol, snapshot, rows, schema))
     }
     asLocal(rows, schema)
   }
@@ -762,7 +805,7 @@ object VectorOps {
       rows.foreach { row =>
         n += 1 // count EVERY row (a null vector counts, as count(1) did)
         if (!row.isNullAt(0)) {
-          val seq = row.getSeq[Long](0)
+          val seq = row.getSeq[Any](0)
           if (g == null) {
             d = seq.length; g = new Array[Long](d * d); s = new Array[Long](d)
           }
@@ -770,7 +813,14 @@ object VectorOps {
             s"scatterState: mixed vector lengths (${seq.length} vs $d)")
           val v = new Array[Long](d)
           var i = 0
-          while (i < d) { v(i) = seq(i); i += 1 }
+          while (i < d) {
+            // reject (don't NPE, don't silently skip) a null ELEMENT —
+            // a hole inside a fixed-width embedding is corrupt input
+            // and skipping it would shift every moment it touches
+            require(seq(i) != null,
+              s"scatterState: null element at dim $i of a $d-dim vector")
+            v(i) = seq(i).asInstanceOf[Long]; i += 1
+          }
           var a = 0
           while (a < d) {
             val va = v(a)
@@ -787,16 +837,30 @@ object VectorOps {
       else Iterator.tabulate(d * d)(k => (2L, (k / d).toLong, (k % d).toLong, g(k))) ++
         Iterator.tabulate(d)(j => (1L, -1L, j.toLong, s(j))) ++ count
     }
-    partials.toDF("ord", "di", "dj", "m")
-      .groupBy(col("ord"), col("di"), col("dj")).agg(sum(col("m")).as("m"))
+    // Seed rows make the state self-describing for the MERGED path:
+    // (ord=0, 0) guarantees the n row exists even for an empty corpus
+    // (it sums away under any non-empty kernel output), and (ord=3,
+    // vmax) carries the quantization bound so [[pcaFromState]] can
+    // re-check the envelope on a merged n — three batches that each
+    // pass their own 2·n²·vmax² check admit up to 9× the bound when
+    // summed, so the per-call require above is NOT sufficient there.
+    val seeds = spark.createDataFrame(Seq(
+      (0L, -1L, -1L, 0L), (3L, -1L, -1L, vmax)))
+      .toDF("ord", "di", "dj", "m")
+    mergeScatterStates(Seq(partials.toDF("ord", "di", "dj", "m"), seeds))
   }
 
   /** Merge independently built [[scatterState]]s: one union + one
-    * map-side-combinable groupBy-sum over ≤ d²+d+1 keyed rows per state.
+    * map-side-combinable groupBy over ≤ d²+d+2 keyed rows per state —
+    * moments and counts are additive (sum); the carried vmax bound
+    * (ord=3) merges by max.
     */
   def mergeScatterStates(states: Seq[DataFrame]): DataFrame =
     states.reduce(_ unionByName _)
-      .groupBy(col("ord"), col("di"), col("dj")).agg(sum(col("m")).as("m"))
+      .groupBy(col("ord"), col("di"), col("dj"))
+      .agg(sum(col("m")).as("sm"), max(col("m")).as("mx"))
+      .select(col("ord"), col("di"), col("dj"),
+        when(col("ord") === 3L, col("mx")).otherwise(col("sm")).as("m"))
 
   /** Finish PCA from a (possibly merged) [[scatterState]]: recompose the
     * centered scatter `c_ij = n·G_ij − s_i·s_j` and power-iterate — both
@@ -805,18 +869,35 @@ object VectorOps {
     */
   def pcaFromState(state: DataFrame, rounds: Int, vs: Long): DataFrame = {
     val spark = state.sparkSession
+    import spark.implicits._
     val rows = state.collect()
       .map(r => (r.getLong(0), r.getLong(1).toInt, r.getLong(2).toInt, r.getLong(3)))
-    val d = rows.iterator.collect { case (2L, i, _, _) => i }.max + 1
+    val dims = rows.iterator.collect { case (2L, i, _, _) => i }
+    if (dims.isEmpty) // empty corpus: a (ord=0, n=0) state, no moments
+      return Seq.empty[(Long, Long, Long)].toDF("dim", "c_diag", "v")
+    val d = dims.max + 1
     val g = Array.ofDim[Long](d, d)
     val s = Array.ofDim[Long](d)
     var n = 0L
+    var vmax = 0L
     rows.foreach {
+      case (3L, _, _, m) => vmax = m
       case (2L, i, j, m) => g(i)(j) = m
       case (1L, _, j, m) => s(j) = m
       case (0L, _, _, m) => n = m
       case other => throw new IllegalStateException(s"bad state row $other")
     }
+    // Re-check the int64 envelope on the MERGED totals: each input
+    // state passed its own per-batch check, but k merged batches admit
+    // up to k² × the centered-scatter bound (n sums across batches).
+    // States written before the vmax row existed (ord=3 absent) skip
+    // the check exactly as before this guard existed.
+    if (vmax > 0L) require(
+      BigInt(2) * BigInt(n) * BigInt(n) * BigInt(vmax) * BigInt(vmax)
+        <= BigInt(Long.MaxValue),
+      s"pcaFromState int64 envelope exceeded on merged state: n=$n rows " +
+        s"at max|v|=$vmax gives centered-scatter entries up to " +
+        s"2·n²·vmax² > 2⁶³−1; rescale the vector quantization")
     val c = Array.tabulate(d, d)((i, j) => n * g(i)(j) - s(i) * s(j))
     var v = Array.fill(d)(vs)
     for (_ <- 1 to rounds) {
@@ -828,7 +909,6 @@ object VectorOps {
       val m = w.iterator.map(math.abs).max
       v = w.map(wi => math.floor(wi.toDouble * vs.toDouble / m.toDouble).toLong)
     }
-    import spark.implicits._
     (0 until d).map(i => (i.toLong, c(i)(i), v(i))).toDF("dim", "c_diag", "v")
       .orderBy(col("dim"))
   }

@@ -519,9 +519,11 @@ object CurationPack {
     * when the vocab fits), the global N is a 1-row broadcast, and the
     * top-K is a TakeOrderedAndProject. The numerator cb·N·10⁶ exceeds
     * int64 long before trillion-token scale (a hot bigram with
-    * cb ≈ N/100 wraps around N ≈ 10⁸ tokens), so it rides in
-    * decimal(38,0) (Spark) / hugeint (DuckDB) unconditionally — the
-    * `div` result is back in int64 because PMI itself is bounded.
+    * cb ≈ N/100 wraps around N ≈ 10⁸ tokens), and the denominator
+    * cu1·cu2 wraps for hot unigram pairs (~5×10¹⁰ occurrences each at
+    * trillion-token scale), so BOTH ride in decimal(38,0) (Spark) /
+    * hugeint (DuckDB) unconditionally — the `div` result is back in
+    * int64 because PMI itself is bounded.
     */
   def pmiCollocations(spark: SparkSession, dir: String): DataFrame =
     pmiCollocationsFrom(Tables.documents(spark, dir))
@@ -540,7 +542,11 @@ object CurationPack {
       .join(uni.select(col("w").as("w2"), col("cu").as("cu2")), "w2")
       .crossJoin(broadcast(nUni))
       .withColumn("pmi_fp",
-        expr(s"(cast(cb - $PmiDiscount as decimal(38,0)) * n_uni * $PmiScale) div (cu1 * cu2)"))
+        // the DIVISOR rides wide too: hot unigrams at trillion-token
+        // scale give cu1·cu2 ≈ (5×10¹⁰)² > 2⁶³ — int64 would wrap
+        // silently in Spark (ANSI off) while DuckDB errors
+        expr(s"(cast(cb - $PmiDiscount as decimal(38,0)) * n_uni * $PmiScale)" +
+          s" div (cast(cu1 as decimal(38,0)) * cu2)"))
       .select(col("bg"), col("w1"), col("w2"), col("cb"), col("cu1"),
         col("cu2"), col("n_uni"), col("pmi_fp"))
       .orderBy(col("pmi_fp").desc, col("bg")).limit(PmiTopK)
@@ -1919,7 +1925,7 @@ object CurationPack {
          |SELECT s.bg, s.w1, s.w2, s.cb, u1.cu AS cu1, u2.cu AS cu2,
          |  n.n_uni,
          |  (((s.cb - $PmiDiscount)::hugeint * n.n_uni * $PmiScale)
-         |    // (u1.cu * u2.cu))::bigint AS pmi_fp
+         |    // (u1.cu::hugeint * u2.cu))::bigint AS pmi_fp
          |FROM s JOIN uni u1 ON u1.w = s.w1 JOIN uni u2 ON u2.w = s.w2, n
          |ORDER BY pmi_fp DESC, bg LIMIT $PmiTopK""".stripMargin,
     "q66_bigram_likelihood" ->

@@ -750,6 +750,22 @@ object Relational {
 
   private val BucketCount = 8
 
+  /** Per-process location for q125's bucketed tables (see the cleanup
+    * note in [[bucketedJoin]]); the shutdown hook makes the whole dir
+    * transient so per-PID paths can't accumulate across JVM runs.
+    */
+  private lazy val bucketedTmpPath: java.nio.file.Path = {
+    val p = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft-q125-bucketed-${ProcessHandle.current().pid()}")
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      if (java.nio.file.Files.exists(p))
+        scala.util.Using.resource(java.nio.file.Files.walk(p)) { st =>
+          st.sorted(java.util.Comparator.reverseOrder())
+            .forEach(q => java.nio.file.Files.deleteIfExists(q))
+        }))
+    p
+  }
+
   /** q125: the BUCKETED-STORAGE join path under the oracle hash gate —
     * both fact sides written as co-bucketed, per-bucket-sorted tables
     * on the join key ([[graft.operators.Bucketing.writeBucketed]]),
@@ -764,17 +780,22 @@ object Relational {
     * production writes the bucketed tables once at ingest.)
     */
   def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
-    // Fixed per-query path, cleared before each write: a fresh temp dir
-    // per invocation leaked disk across repeated bench/verify runs
+    // Fixed per-PROCESS path, cleared before each write: a fresh temp
+    // dir per invocation leaked disk across repeated bench/verify runs
     // (saveAsTable overwrote only the catalog entry, not the old path),
     // and a pre-existing non-empty location would trip Spark's
-    // CTAS-into-non-empty-directory check in a fresh catalog. Disk
-    // usage is now bounded at one copy regardless of run count.
-    val tmpPath = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), "graft-q125-bucketed")
+    // CTAS-into-non-empty-directory check in a fresh catalog. The PID
+    // suffix keeps two concurrent JVMs (bench + test on one machine)
+    // from deleting each other's live tables; the shutdown hook keeps
+    // per-process disk usage transient, so repeated single-run JVMs
+    // don't accumulate copies either.
+    val tmpPath = bucketedTmpPath
     if (java.nio.file.Files.exists(tmpPath)) {
-      java.nio.file.Files.walk(tmpPath).sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      // walk() holds a directory stream — close it or leak an fd per call
+      scala.util.Using.resource(java.nio.file.Files.walk(tmpPath)) { st =>
+        st.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      }
     }
     val tmp = tmpPath.toString
     graft.operators.Bucketing.writeBucketed(

@@ -442,10 +442,56 @@ class AgreementSpec extends AnyFunSuite {
       assert(err.getMessage.contains("int64 envelope"))
     }
     // the same shape inside the envelope plans and computes fine
+    // (d² moments + d sums + n row + carried vmax row)
     val under = Seq((0L, Seq(1000L, 1L)), (1L, Seq(-1000L, 2L)))
       .toDF("vec_id", "qvec")
     Caches.scoped {
-      assert(graft.ext.VectorOps.scatterState(under).count() == 2L * 2 + 2 + 1)
+      assert(graft.ext.VectorOps.scatterState(under).count() == 2L * 2 + 2 + 2)
+    }
+  }
+
+  test("scatterState: empty corpus still emits the n=0 row; merged envelope re-checked") {
+    import spark.implicits._
+    // empty corpus: the state must carry (ord=0, n=0) so a downstream
+    // merge/finish sees an explicit zero, not a missing row — and
+    // pcaFromState must finish to an empty direction, not throw
+    val empty = Seq.empty[(Long, Seq[Long])].toDF("vec_id", "qvec")
+    Caches.scoped {
+      val st = graft.ext.VectorOps.scatterState(empty).collect()
+        .map(r => (r.getLong(0), r.getLong(3)))
+      assert(st.contains((0L, 0L)), s"missing (ord=0, n=0) row: ${st.toSeq}")
+      assert(graft.ext.VectorOps.pcaFromState(
+        graft.ext.VectorOps.scatterState(empty), 2, 1000L).count() == 0L)
+    }
+    // merged envelope: three batches that EACH pass their own per-call
+    // 2·n²·vmax² check must still trip the guard once their summed n
+    // exceeds the bound (the k²-amplification hole) — vmax rides in
+    // the state (ord=3, merged by max) to make the re-check possible
+    val vmax = 1500000000L // per batch: 2·1²·vmax² ≈ 4.5e18 < 2⁶³−1
+    val batches = (0 until 3).map(b =>
+      Seq((b.toLong, Seq(vmax, 0L))).toDF("vec_id", "qvec"))
+    Caches.scoped {
+      val states = batches.map(graft.ext.VectorOps.scatterState(_))
+      val merged = graft.ext.VectorOps.mergeScatterStates(states)
+      val err = intercept[IllegalArgumentException] {
+        graft.ext.VectorOps.pcaFromState(merged, 2, 1000L)
+      }
+      assert(err.getMessage.contains("merged state"))
+    }
+  }
+
+  test("scatterState rejects a null ELEMENT inside a vector loudly") {
+    import spark.implicits._
+    val rows = Seq((0L, Seq[java.lang.Long](1L, null, 3L)))
+      .toDF("vec_id", "qvec")
+    Caches.scoped {
+      val err = intercept[org.apache.spark.SparkException] {
+        graft.ext.VectorOps.scatterState(rows).collect()
+      }
+      // the kernel's require surfaces inside the task failure — the
+      // message must say WHAT is corrupt, not be a bare NPE
+      assert(err.getMessage.contains("null element")
+        || Option(err.getCause).exists(_.getMessage.contains("null element")))
     }
   }
 
