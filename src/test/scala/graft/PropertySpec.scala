@@ -314,6 +314,56 @@ class PropertySpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(inflater(b2), m2))
   }
 
+  test("deflate golden interop: Python-zlib streams at wbits 9..15, empty-after-sync-flush both directions") {
+    // The corpus is generated and cross-verified by
+    // tools/gen_deflate_golden.py against CPython's zlib (a second real
+    // RFC 1951 implementation driven independently of the JDK):
+    //   wb=N msg=i  — compressobj(6, DEFLATED, -N) WITH context
+    //                 takeover over the fixed message sequence, sync-
+    //                 flushed and tail-stripped per RFC 7692 §7.2.1;
+    //   ours msg=i  — our PmdDeflater's exact bytes for the same
+    //                 sequence, verified by zlib.decompressobj(-15) at
+    //                 generation time (`verify-ours` mode).
+    // Messages 1 and 3 are EMPTY: zlib emits only the sync marker
+    // there, which strips to zero bytes, so the wire form is the 0x00
+    // empty stored block — the seam the r10 send-path bug lived in —
+    // and message 2 back-references across that empty message, proving
+    // the shared window survives it in both implementations.
+    val m1 = ("the quick brown fox jumps over the lazy dog " * 40).getBytes("UTF-8")
+    val messages = Seq[Array[Byte]](
+      m1, Array.empty,
+      (("the quick brown fox jumps over the lazy dog " * 40) + "tail").getBytes("UTF-8"),
+      Array.empty, ("the lazy dog naps " * 100).getBytes("UTF-8"))
+    val lines = scala.io.Source.fromResource("deflate_golden.txt")
+      .getLines().filter(_.nonEmpty).map(_.split(" ")).toSeq
+    def unhex(s: String): Array[Byte] =
+      if (s == "empty") Array.empty
+      else s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    // direction A: a foreign compressor at EVERY legal server window
+    // size (the JDK can't produce wbits<15 streams itself) must inflate
+    // through our PmdInflater with context takeover
+    for (wb <- 9 to 15) {
+      val inflater = new Rfc6455.PmdInflater(Rfc6455.PmdParams(serverNoContextTakeover = false))
+      val bodies = lines.filter(_(0) == s"wb=$wb").sortBy(_(1))
+      assert(bodies.size == messages.size, s"corpus incomplete at wb=$wb")
+      bodies.zip(messages).foreach { case (parts, want) =>
+        assert(java.util.Arrays.equals(inflater(unhex(parts(2))), want),
+          s"wb=$wb ${parts(1)} diverged")
+      }
+    }
+    // direction B: our PmdDeflater must keep producing the exact bytes
+    // Python zlib verified — if a JDK change ever shifts its deflate
+    // output, this fails loudly and the tool re-verifies fresh bytes
+    val defl = new Rfc6455.PmdDeflater()
+    val ours = lines.filter(_(0) == "ours").sortBy(_(1))
+    assert(ours.size == messages.size, "ours corpus incomplete")
+    ours.zip(messages).foreach { case (parts, m) =>
+      val got = defl(m)
+      assert(got.map("%02x".format(_)).mkString == parts(2).replace("empty", ""),
+        s"PmdDeflater bytes drifted at ${parts(1)} — run tools/gen_deflate_golden.py verify-ours")
+    }
+  }
+
   test("deflate response parser: window-bits 8..15 accepted, malformed params rejected") {
     for (wb <- 8 to 15; key <- Seq("server_max_window_bits", "client_max_window_bits")) {
       assert(Rfc6455.parseDeflateResponse(s"permessage-deflate; $key=$wb").isDefined, s"$key=$wb")

@@ -14,18 +14,29 @@ query families read:
   - events.parquet: 1 000 000 events over the same 30-day window, 15 000
     users, the same five types and {"k": int} props shape.
 
-No oracle runs here (DuckDB recursive CTEs would be intractable and the
-operators are already hash-gated at sf0.001/sf0.01/sf0.1) - this fixture
-exists to MEASURE wall-time scaling of the slowest families (q72, q82,
-q104) at 1x vs 10x volume:
+Since round 11 the relational tables are ALSO inflated 10x with
+FK-consistent key offsets (copy c of 10 adds c*max(key) to every key
+and foreign key, so join multiplicities are preserved exactly):
+lineitem 6M, orders 1.5M, customer 150k, part 200k, supplier 10k;
+region/nation stay the fixed TPC-H dims. That makes the fixture a full
+CORRECTNESS surface, not just a wall-clock one - the whole 148-query
+oracle runs on it via
 
   python3 tools/gen_scale_fixture.py
+  sbt -batch "runMain graft.Verify /root/repo/target/sf10x /tmp/out10x"
+  python3 tools/selfcheck.py /tmp/out10x /root/repo/target/sf10x
+
+catching value-domain wrap points the sf0.1 gate can't reach (the q111
+PMI and q24 centroid wraps were both found by hand-analysis at exactly
+this kind of scale step; this makes the sweep mechanical).
+
+Wall-time comparisons of the slowest families still work the same way:
+
   SPARK_GRAFT_SF_DIR=/root/repo/target/sf10x SPARK_GRAFT_CPUS=16 \
     SPARK_GRAFT_BENCH_ONLY=q72_stream_reconcile,q82_semantic_dedup,q104_pca_power \
     sbt -batch "runMain graft.Bench"   # compare against the same at sf0.1
 
 Everything is hash-derived (no RNG), so the fixture is reproducible.
-The other tables are copied from sf0.1 so Tables/selfcheck views bind.
 """
 import os, shutil
 import duckdb
@@ -44,13 +55,55 @@ VOCAB = ['a', 'agg', 'batch', 'big', 'column', 'customer', 'data', 'dup',
          'spark', 'stream', 'table', 'the', 'value', 'vector', 'window']
 
 
+N_COPIES = 10
+
+# FK-consistent 10x inflation of the relational tables: every key and
+# every foreign key in copy c shifts by c*max(key of the referenced
+# table), so each copy joins only within itself and per-key join fan-out
+# is IDENTICAL to sf0.1 — aggregate domains grow 10x, join semantics
+# don't. region/nation are TPC-H's fixed dims and stay 1x.
+INFLATE = {
+    "customer": ["c_custkey + {c}*{ck} AS c_custkey", "c_name",
+                 "c_nationkey", "c_acctbal", "c_mktsegment"],
+    "orders":   ["o_orderkey + {c}*{ok} AS o_orderkey",
+                 "o_custkey + {c}*{ck} AS o_custkey", "o_orderstatus",
+                 "o_totalprice", "o_orderdate", "o_orderpriority"],
+    "lineitem": ["l_orderkey + {c}*{ok} AS l_orderkey",
+                 "l_partkey + {c}*{pk} AS l_partkey",
+                 "l_suppkey + {c}*{sk} AS l_suppkey", "l_linenumber",
+                 "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+                 "l_returnflag", "l_linestatus", "l_shipdate"],
+    "part":     ["p_partkey + {c}*{pk} AS p_partkey", "p_name", "p_brand",
+                 "p_type", "p_size", "p_retailprice"],
+    "supplier": ["s_suppkey + {c}*{sk} AS s_suppkey", "s_name",
+                 "s_nationkey", "s_acctbal"],
+}
+
+
+def inflate_relational(con):
+    keys = {
+        short: con.execute(
+            f"SELECT max({col}) FROM '{SRC}/{tbl}.parquet'").fetchone()[0]
+        for short, tbl, col in (
+            ("ck", "customer", "c_custkey"), ("ok", "orders", "o_orderkey"),
+            ("pk", "part", "p_partkey"), ("sk", "supplier", "s_suppkey"))}
+    for tbl, cols in INFLATE.items():
+        selects = " UNION ALL ".join(
+            "SELECT " + ", ".join(col.format(c=c, **keys) for col in cols)
+            + f" FROM '{SRC}/{tbl}.parquet'" for c in range(N_COPIES))
+        order = cols[0].split(" AS ")[1]
+        con.execute(f"COPY ({selects} ORDER BY {order}) "
+                    f"TO '{OUT}/{tbl}.parquet' (FORMAT PARQUET)")
+
+
 def main():
     os.makedirs(OUT, exist_ok=True)
     for f in os.listdir(SRC):
-        if f.endswith(".parquet") and f not in (
-            "documents.parquet", "embeddings.parquet", "events.parquet"):
+        if f.endswith(".parquet") and f.replace(".parquet", "") not in (
+            list(INFLATE) + ["documents", "embeddings", "events"]):
             shutil.copy(os.path.join(SRC, f), os.path.join(OUT, f))
     con = duckdb.connect()
+    inflate_relational(con)
     vocab_rows = ", ".join(f"({i}, '{w}')" for i, w in enumerate(VOCAB))
     con.execute(f"CREATE TABLE vocab(wid INT, w VARCHAR); "
                 f"INSERT INTO vocab VALUES {vocab_rows}")
@@ -99,10 +152,12 @@ def main():
         FROM (SELECT range::bigint AS k FROM range({N_EVENTS}))
         ORDER BY event_id
       ) TO '{OUT}/events.parquet' (FORMAT PARQUET)""")
-    n1 = con.execute(f"SELECT count(*) FROM '{OUT}/documents.parquet'").fetchone()[0]
-    n2 = con.execute(f"SELECT count(*) FROM '{OUT}/embeddings.parquet'").fetchone()[0]
-    n3 = con.execute(f"SELECT count(*) FROM '{OUT}/events.parquet'").fetchone()[0]
-    print(f"wrote {OUT}: documents={n1} embeddings={n2} events={n3}")
+    counts = {t: con.execute(
+        f"SELECT count(*) FROM '{OUT}/{t}.parquet'").fetchone()[0]
+        for t in ("documents", "embeddings", "events", "lineitem",
+                  "orders", "customer", "part", "supplier")}
+    print(f"wrote {OUT}: " +
+          " ".join(f"{t}={n}" for t, n in counts.items()))
 
 
 if __name__ == "__main__":
