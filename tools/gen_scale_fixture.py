@@ -19,16 +19,18 @@ FK-consistent key offsets (copy c of 10 adds c*max(key) to every key
 and foreign key, so join multiplicities are preserved exactly):
 lineitem 6M, orders 1.5M, customer 150k, part 200k, supplier 10k;
 region/nation stay the fixed TPC-H dims. That makes the fixture a full
-CORRECTNESS surface, not just a wall-clock one - the whole 148-query
-oracle runs on it via
+CORRECTNESS surface, not just a wall-clock one. To run the sweep:
 
   python3 tools/gen_scale_fixture.py
   sbt -batch "runMain graft.Verify /root/repo/target/sf10x /tmp/out10x"
   python3 tools/selfcheck.py /tmp/out10x /root/repo/target/sf10x
 
-catching value-domain wrap points the sf0.1 gate can't reach (the q111
-PMI and q24 centroid wraps were both found by hand-analysis at exactly
-this kind of scale step; this makes the sweep mechanical).
+It catches value-domain wrap points the sf0.1 gate can't reach (the
+q111 PMI and q24 centroid wraps were both found by hand-analysis at
+exactly this kind of scale step; this makes the sweep mechanical).
+The recorded per-query result of the most recent completed sweep lives
+in SCALE.md ("10x-fixture oracle" section); treat a missing/stale
+entry there as "not verified at 10x", not as implied coverage.
 
 Wall-time comparisons of the slowest families still work the same way:
 
@@ -91,8 +93,11 @@ def inflate_relational(con):
         selects = " UNION ALL ".join(
             "SELECT " + ", ".join(col.format(c=c, **keys) for col in cols)
             + f" FROM '{SRC}/{tbl}.parquet'" for c in range(N_COPIES))
-        order = cols[0].split(" AS ")[1]
-        con.execute(f"COPY ({selects} ORDER BY {order}) "
+        # ORDER BY ALL: DuckDB's sort is not stable, so ordering by the
+        # shifted key alone left the ~7 lineitem rows per order in
+        # run-varying relative order despite the hash-derived values --
+        # every column as tiebreaker makes the parquet bytes reproducible.
+        con.execute(f"COPY ({selects} ORDER BY ALL) "
                     f"TO '{OUT}/{tbl}.parquet' (FORMAT PARQUET)")
 
 

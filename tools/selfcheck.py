@@ -7,6 +7,7 @@ Usage: python3 tools/selfcheck.py /tmp/verify_out /root/testdata/sf0.01
 """
 import sys, json, glob, math
 import duckdb
+import numpy as np
 
 TABLES = ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]
@@ -38,13 +39,22 @@ def main(out_dir, sf_dir):
             print(f"FAIL {name}: rows {len(got)} vs {len(exp)}"); n_fail += 1; continue
         bad = None
         for c in got.columns:
-            g, e = got[c], exp[c]
-            for i in range(len(g)):
-                gv, ev = g.iloc[i], e.iloc[i]
-                eq = (gv == ev) or (isinstance(gv, float) and isinstance(ev, float)
-                      and math.isnan(gv) and math.isnan(ev))
-                if not eq:
-                    bad = (c, i, gv, ev); break
+            g, e = got[c].to_numpy(), exp[c].to_numpy()
+            # Vectorized first pass (the pure-Python per-cell loop was
+            # O(rows) interpreter work and never finished on multi-
+            # million-row outputs); the exact original rule -- equal, or
+            # both float NaN -- is re-applied per cell only on the
+            # (normally empty) mismatch set.
+            with np.errstate(invalid="ignore"):
+                eq = g == e
+            if not isinstance(eq, np.ndarray):
+                eq = np.array([gv == ev for gv, ev in zip(g, e)], dtype=bool)
+            for i in np.nonzero(~eq.astype(bool))[0]:
+                gv, ev = g[i], e[i]
+                if (gv == ev) or (isinstance(gv, float) and isinstance(ev, float)
+                      and math.isnan(gv) and math.isnan(ev)):
+                    continue
+                bad = (c, int(i), gv, ev); break
             if bad: break
         if bad:
             c, i, gv, ev = bad
