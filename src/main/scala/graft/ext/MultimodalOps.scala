@@ -38,6 +38,16 @@ object MultimodalOps {
   final case class MediaStats(key: Long, kind: String, width: Int, height: Int,
       channels: Int, n_bytes: Int, byte_sum: Long, count_a: Long)
 
+  /** [[MediaStats]] plus the raw payload, for single-pass pipelines that
+    * need stats AND downstream column-expression work on the same bytes
+    * without a key self-join (a self-join assumes key uniqueness the
+    * input never promised, and at scale costs a full shuffle of the
+    * media bytes on both sides).
+    */
+  final case class MediaStatsCell(key: Long, kind: String, width: Int,
+      height: Int, channels: Int, n_bytes: Int, byte_sum: Long,
+      count_a: Long, media: Array[Byte])
+
   def encodeHeader(meta: MediaMeta): Array[Byte] = {
     val buf = java.nio.ByteBuffer.allocate(HeaderLen)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -140,6 +150,33 @@ object MultimodalOps {
         }
         MediaStats(cell.key, meta.kind, meta.width, meta.height, meta.channels,
           cell.media.length, sum, countA)
+      }
+    }
+  }
+
+  /** Row-wise stats with the media bytes carried through, so callers can
+    * apply column expressions (frame slicing, header fields) on the same
+    * row without re-joining on `key`. Exactly one output row per input
+    * row regardless of key duplication — the divergence class behind the
+    * round-12 q29 10x-oracle failure (a `stats.join(frames, "key")`
+    * squares duplicate keys while a row-wise oracle does not).
+    */
+  def mediaStatsWithMedia(cells: Dataset[MediaCell]): Dataset[MediaStatsCell] = {
+    implicit val enc: Encoder[MediaStatsCell] = Encoders.product[MediaStatsCell]
+    cells.mapPartitions { it =>
+      it.map { cell =>
+        val meta = parseHeader(cell.media).getOrElse(MediaMeta("unknown", 0, 0, 0))
+        var sum = 0L
+        var countA = 0L
+        var i = HeaderLen
+        while (i < cell.media.length) {
+          val b = cell.media(i) & 0xff
+          sum += b
+          if (b == 'a'.toInt) countA += 1
+          i += 1
+        }
+        MediaStatsCell(cell.key, meta.kind, meta.width, meta.height,
+          meta.channels, cell.media.length, sum, countA, cell.media)
       }
     }
   }

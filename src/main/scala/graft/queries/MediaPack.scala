@@ -33,16 +33,20 @@ object MediaPack {
     val cells = graft.Tables.customer(spark, dir)
       .select(col("c_custkey")).as[Long]
       .map(mediaCell _)
-    val stats = MultimodalOps.mediaStats(cells).toDF()
-    // Frame sampling on the raw cells (column-expression path): every 2nd
-    // 32-byte frame; first sampled frame decodes back to the md5 string.
-    val frames = cells.toDF("key", "media")
-      .select(col("key"),
+    // Single pass: the typed mapPartitions stats kernel carries the raw
+    // bytes through, and the frame sampling (column-expression path:
+    // every 2nd 32-byte frame; first sampled frame decodes back to the
+    // md5 string) runs on the SAME row. Until round 13 this was
+    // `stats.join(frames, "key")` — a self-join that assumed key
+    // uniqueness the oracle's row-wise projection never did (duplicate
+    // keys squared: the r12 10x-fixture 150018-vs-150000 failure) and
+    // shuffled the media bytes twice at scale for no semantic reason.
+    MultimodalOps.mediaStatsWithMedia(cells).toDF()
+      .withColumn("frames",
         MultimodalOps.frameSamples(col("media"), MultimodalOps.HeaderLen + Blocks * 32,
-          FrameSize, Step).as("frames"))
-      .select(col("key"), size(col("frames")).cast("long").as("n_frames"),
-        element_at(col("frames"), 1).cast("string").as("first_frame"))
-    stats.join(frames, "key")
+          FrameSize, Step))
+      .withColumn("n_frames", size(col("frames")).cast("long"))
+      .withColumn("first_frame", element_at(col("frames"), 1).cast("string"))
       .select(col("key").as("c_custkey"), col("kind"),
         col("width").cast("long").as("width"),
         col("height").cast("long").as("height"),

@@ -61,4 +61,25 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames._1 == 4)
     assert(frames._2.matches("[0-9a-f]{32}"))
   }
+
+  test("stats-with-media pass is row-wise: duplicate keys do not multiply") {
+    // The round-12 divergence class: a key self-join squares duplicate
+    // keys (2 copies -> 4 rows) while a row-wise oracle projects 1:1.
+    // mediaStatsWithMedia must emit exactly one row per input row even
+    // when keys repeat, and each row's stats must agree with mediaStats.
+    import spark.implicits._
+    val cells = spark.createDataset(
+      Seq(3L, 3L, 7L).map(graft.queries.MediaPack.mediaCell))
+    val out = MultimodalOps.mediaStatsWithMedia(cells).collect()
+    assert(out.length == 3, s"row-wise contract broken: ${out.length} rows")
+    assert(out.count(_.key == 3L) == 2)
+    val byKey = MultimodalOps.mediaStats(cells).collect()
+      .map(s => s.key -> s).toMap
+    out.foreach { r =>
+      val s = byKey(r.key)
+      assert((r.byte_sum, r.count_a, r.n_bytes, r.kind) ==
+        ((s.byte_sum, s.count_a, s.n_bytes, s.kind)))
+      assert(r.media.length == r.n_bytes)
+    }
+  }
 }

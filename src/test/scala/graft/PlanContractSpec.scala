@@ -47,6 +47,28 @@ class PlanContractSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("q29: single row-wise pass, no self-join anywhere in the plan") {
+    // Round 12's 10x-fixture audit caught `stats.join(frames, "key")`
+    // squaring duplicate keys (150018 vs 150000 rows) — the join assumed
+    // a key-uniqueness contract the row-wise oracle never had, and at
+    // scale shuffled the media bytes on both sides. The operator is now
+    // one mapPartitions pass with the frame columns computed in place;
+    // pin that shape: no join of ANY kind, no shuffle exchange.
+    Caches.scoped {
+      val plan = executed("q29_multimodal_stats")
+      val joins = collect(plan) {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+      }
+      assert(joins.isEmpty, s"q29 must be join-free (row-wise pass):\n$plan")
+      val shuffles = collect(plan) {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+      }
+      // the only allowed exchange is the global orderBy's range partition
+      assert(shuffles.size <= 1,
+        s"q29 must shuffle at most once (final sort):\n$plan")
+    }
+  }
+
   test("q12/q25: synthetic decode spreads across cores before the generate map") {
     // the customer parquet is one split; without an explicit key
     // repartition the CPU-bound frame-generate+decode chain (and the

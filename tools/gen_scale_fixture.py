@@ -60,10 +60,14 @@ VOCAB = ['a', 'agg', 'batch', 'big', 'column', 'customer', 'data', 'dup',
 N_COPIES = 10
 
 # FK-consistent 10x inflation of the relational tables: every key and
-# every foreign key in copy c shifts by c*max(key of the referenced
-# table), so each copy joins only within itself and per-key join fan-out
-# is IDENTICAL to sf0.1 — aggregate domains grow 10x, join semantics
-# don't. region/nation are TPC-H's fixed dims and stay 1x.
+# every foreign key in copy c shifts by c*(max(key of the referenced
+# table)+1) — the +1 matters because the driver's keys are 0-based, so
+# max(key) alone would make copy c's key 0 collide with copy c-1's max
+# (9 duplicate boundary keys per table, the round-12 q29 oracle failure).
+# With the half-open stride each copy joins only within itself and
+# per-key join fan-out is IDENTICAL to sf0.1 — aggregate domains grow
+# 10x, join semantics don't. region/nation are TPC-H's fixed dims and
+# stay 1x.
 INFLATE = {
     "customer": ["c_custkey + {c}*{ck} AS c_custkey", "c_name",
                  "c_nationkey", "c_acctbal", "c_mktsegment"],
@@ -85,7 +89,7 @@ INFLATE = {
 def inflate_relational(con):
     keys = {
         short: con.execute(
-            f"SELECT max({col}) FROM '{SRC}/{tbl}.parquet'").fetchone()[0]
+            f"SELECT max({col}) + 1 FROM '{SRC}/{tbl}.parquet'").fetchone()[0]
         for short, tbl, col in (
             ("ck", "customer", "c_custkey"), ("ok", "orders", "o_orderkey"),
             ("pk", "part", "p_partkey"), ("sk", "supplier", "s_suppkey"))}

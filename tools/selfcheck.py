@@ -12,10 +12,29 @@ import numpy as np
 TABLES = ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]
 
+def _tuplize(a):
+    # np.array(list_of_equal_length_tuples) silently builds a 2-D array;
+    # fill an object array explicitly so cells stay scalar tuples
+    out = np.empty(len(a), dtype=object)
+    out[:] = [tuple(v) if isinstance(v, (np.ndarray, list)) else v for v in a]
+    return out
+
 def norm(df):
     df = df[sorted(df.columns)]
-    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
-    return df
+    # sort_values raises on list-typed cells; sort by a tuple-canonical
+    # key instead so LIST columns order deterministically too
+    keys = {c: df[c].map(lambda v: tuple(v)
+                         if isinstance(v, (np.ndarray, list)) else v)
+            for c in df.columns
+            if df[c].dtype == object and any(
+                isinstance(v, (np.ndarray, list)) for v in df[c][:8])}
+    if keys:
+        tagged = df.assign(**{f"__k_{c}": k for c, k in keys.items()})
+        by = [f"__k_{c}" if c in keys else c for c in df.columns]
+        df = tagged.sort_values(by=by).drop(columns=[f"__k_{c}" for c in keys])
+    else:
+        df = df.sort_values(by=list(df.columns))
+    return df.reset_index(drop=True)
 
 def main(out_dir, sf_dir):
     con = duckdb.connect()
@@ -32,30 +51,44 @@ def main(out_dir, sf_dir):
             exp = con.sql(oracle[name]).df()
         except Exception as e:
             print(f"FAIL {name}: oracle error {e}"); n_fail += 1; continue
-        got, exp = norm(got), norm(exp)
+        try:
+            got, exp = norm(got), norm(exp)
+        except Exception as exc:
+            print(f"FAIL {name}: sort error {exc!r}"); n_fail += 1; continue
         if list(got.columns) != list(exp.columns):
             print(f"FAIL {name}: cols {list(got.columns)} vs {list(exp.columns)}"); n_fail += 1; continue
         if len(got) != len(exp):
             print(f"FAIL {name}: rows {len(got)} vs {len(exp)}"); n_fail += 1; continue
         bad = None
-        for c in got.columns:
-            g, e = got[c].to_numpy(), exp[c].to_numpy()
-            # Vectorized first pass (the pure-Python per-cell loop was
-            # O(rows) interpreter work and never finished on multi-
-            # million-row outputs); the exact original rule -- equal, or
-            # both float NaN -- is re-applied per cell only on the
-            # (normally empty) mismatch set.
-            with np.errstate(invalid="ignore"):
-                eq = g == e
-            if not isinstance(eq, np.ndarray):
-                eq = np.array([gv == ev for gv, ev in zip(g, e)], dtype=bool)
-            for i in np.nonzero(~eq.astype(bool))[0]:
-                gv, ev = g[i], e[i]
-                if (gv == ev) or (isinstance(gv, float) and isinstance(ev, float)
-                      and math.isnan(gv) and math.isnan(ev)):
-                    continue
-                bad = (c, int(i), gv, ev); break
-            if bad: break
+        try:
+            for c in got.columns:
+                g, e = got[c].to_numpy(), exp[c].to_numpy()
+                # LIST-typed columns come back as object arrays of numpy
+                # arrays; elementwise == then yields arrays whose truth
+                # value is ambiguous. Canonicalize list-like cells to
+                # tuples first so the vectorized path stays scalar.
+                if g.dtype == object and any(
+                        isinstance(v, (np.ndarray, list)) for v in g[:8]):
+                    g, e = _tuplize(g), _tuplize(e)
+                # Vectorized first pass (the pure-Python per-cell loop was
+                # O(rows) interpreter work and never finished on multi-
+                # million-row outputs); the exact original rule -- equal, or
+                # both float NaN -- is re-applied per cell only on the
+                # (normally empty) mismatch set.
+                with np.errstate(invalid="ignore"):
+                    eq = g == e
+                if not isinstance(eq, np.ndarray):
+                    eq = np.array([gv == ev for gv, ev in zip(g, e)], dtype=bool)
+                for i in np.nonzero(~eq.astype(bool))[0]:
+                    gv, ev = g[i], e[i]
+                    if (gv == ev) or (isinstance(gv, float) and isinstance(ev, float)
+                          and math.isnan(gv) and math.isnan(ev)):
+                        continue
+                    bad = (c, int(i), gv, ev); break
+                if bad: break
+        except Exception as exc:
+            # a compare error must fail THIS query, not abort the sweep
+            print(f"FAIL {name}: compare error {exc!r}"); n_fail += 1; continue
         if bad:
             c, i, gv, ev = bad
             print(f"FAIL {name}: col {c} row {i}: got {gv!r} want {ev!r}")
