@@ -82,7 +82,11 @@ object VectorPack {
         .as("ss_wide"),
         max(col("n")).as("n_vectors"))
       .select(col("label"),
-        when(col("ss_wide") <= lit(Long.MaxValue).cast("decimal(38,0)"),
+        // NULL first: sum over an all-NULL group is NULL, and DuckDB's
+        // hugeint→bigint cast passes NULL through — without this branch
+        // the otherwise() would raise where the oracle yields NULL
+        when(col("ss_wide").isNull, lit(null).cast("long"))
+          .when(col("ss_wide") <= lit(Long.MaxValue).cast("decimal(38,0)"),
           col("ss_wide").cast("long"))
           .otherwise(raise_error(concat(
             lit("q24 sum_sq_sums exceeds int64 for label "),

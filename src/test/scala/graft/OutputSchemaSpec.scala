@@ -13,8 +13,11 @@ import org.scalatest.funsuite.AnyFunSuite
   * internally (decimal/hugeint is fine mid-plan) but can never land a
   * fragile type in a gated output schema again.
   *
-  * Schema inspection is analysis-time (`df.schema`) — no query executes,
-  * so the full 148-query sweep stays cheap.
+  * Schema inspection reads `df.schema`, so the FINAL plan never
+  * executes — but building a DataFrame is not free for every query:
+  * the trainer-backed ones (kmeans codebook, IVF, PQ) run their
+  * bounded training jobs at construction time (memoized process-wide,
+  * see VectorOps). The sweep is cheap at sf0.001, not zero-cost.
   */
 class OutputSchemaSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark

@@ -329,11 +329,13 @@ class PropertySpec extends AnyFunSuite {
     // empty stored block — the seam the r10 send-path bug lived in —
     // and message 2 back-references across that empty message, proving
     // the shared window survives it in both implementations.
-    val m1 = ("the quick brown fox jumps over the lazy dog " * 40).getBytes("UTF-8")
-    val messages = Seq[Array[Byte]](
-      m1, Array.empty,
-      (("the quick brown fox jumps over the lazy dog " * 40) + "tail").getBytes("UTF-8"),
-      Array.empty, ("the lazy dog naps " * 100).getBytes("UTF-8"))
+    // Message 5 (round-13): 36 KB filler + 64-byte copies at back
+    // distances 700..24000, one per (2^k, 2^(k+1)] band — without it
+    // every back-reference sat inside 512 B and the seven wb streams
+    // were byte-identical, so the wb dimension wasn't really exercised.
+    // Sequence is shared with the regeneration main (and mirrored in
+    // tools/gen_deflate_golden.py).
+    val messages = graft.tools.GenDeflateOurs.messages()
     val lines = scala.io.Source.fromResource("deflate_golden.txt")
       .getLines().filter(_.nonEmpty).map(_.split(" ")).toSeq
     def unhex(s: String): Array[Byte] =
@@ -351,6 +353,14 @@ class PropertySpec extends AnyFunSuite {
           s"wb=$wb ${parts(1)} diverged")
       }
     }
+    // the far-reference message must differ at EVERY window size — a
+    // regenerated corpus whose matches all fit in 512 B would silently
+    // stop exercising the wb dimension (the round-12 degeneracy)
+    val lastMsg = s"msg=${messages.size - 1}"
+    val farStreams = lines.filter(p => p(0).startsWith("wb=") && p(1) == lastMsg)
+      .map(_(2)).toSet
+    assert(farStreams.size == 7,
+      s"far-ref corpus degenerate: ${farStreams.size} distinct streams of 7")
     // direction B: our PmdDeflater must keep producing the exact bytes
     // Python zlib verified — if a JDK change ever shifts its deflate
     // output, this fails loudly and the tool re-verifies fresh bytes

@@ -27,7 +27,30 @@ import zlib
 OUT = "/root/repo/src/test/resources/deflate_golden.txt"
 
 M1 = ("the quick brown fox jumps over the lazy dog " * 40).encode()
-MESSAGES = [M1, b"", M1 + b"tail", b"", b"the lazy dog naps " * 100]
+
+
+def far_ref_message() -> bytes:
+    """36 KB of md5-chain filler (no accidental long repeats) followed by
+    six 64-byte copies at staged back distances 700..24000 — one per
+    (2^k, 2^(k+1)] band for k=9..14. A wb=9 window (512 B) resolves none
+    of them, wb=10 resolves only the 700, ... wb=15 all six, so the
+    seven per-window streams are pairwise DISTINCT (the original corpus
+    kept every match within 512 B and was degenerate across wb —
+    round-12 advice). Reconstructed identically in PropertySpec and
+    graft.tools.GenDeflateOurs; keep the three definitions in sync.
+    """
+    import hashlib
+    base = "".join(hashlib.md5(f"pmd-far-{i}".encode()).hexdigest()
+                   for i in range(1125))  # 36 000 chars
+    s = base
+    for d in (700, 1500, 3000, 6000, 12000, 24000):
+        p = len(s) - d
+        s += s[p:p + 64]
+    return s.encode()
+
+
+MESSAGES = [M1, b"", M1 + b"tail", b"", b"the lazy dog naps " * 100,
+            far_ref_message()]
 
 
 def strip_tail(b: bytes) -> bytes:
@@ -39,6 +62,7 @@ def strip_tail(b: bytes) -> bytes:
 
 
 def gen_direction_a(fh):
+    per_msg = [set() for _ in MESSAGES]
     for wb in range(9, 16):
         c = zlib.compressobj(6, zlib.DEFLATED, -wb)
         d = zlib.decompressobj(-wb)
@@ -46,7 +70,12 @@ def gen_direction_a(fh):
             body = strip_tail(c.compress(m) + c.flush(zlib.Z_SYNC_FLUSH))
             # self-check: the stream must round-trip in zlib itself
             assert d.decompress(body + b"\x00\x00\xff\xff") == m
+            per_msg[i].add(body)
             fh.write(f"wb={wb} msg={i} {body.hex() or 'empty'}\n")
+    # non-degeneracy: the far-reference message must compress differently
+    # at EVERY window size, or the wb dimension isn't really exercised
+    assert len(per_msg[-1]) == 7, \
+        f"far-ref message degenerate: only {len(per_msg[-1])} distinct streams"
 
 
 def verify_direction_b(hex_lines):
