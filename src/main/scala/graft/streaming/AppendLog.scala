@@ -33,21 +33,43 @@ import org.apache.spark.sql.types.StructType
 private[streaming] final class AppendLog(spark: SparkSession, schema: StructType) {
   private val empty: DataFrame = spark.createDataFrame(
     spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-  /** Checkpointed segments in append order; `cur` = union of all. */
-  private var segments: Vector[DataFrame] = Vector.empty
+  /** Segments in append order (`cur` = union of all) with an OWNED bit:
+    * owned segments hold their own localCheckpoint storage and the log
+    * unpersists them on rollback/compaction; view segments (see
+    * [[appendView]]) borrow a caller-materialized parent, so the log
+    * only drops the reference and the ContextCleaner reclaims the
+    * parent's blocks once nothing references it.
+    */
+  private var segments: Vector[(DataFrame, Boolean)] = Vector.empty
   /** Segment count before the last append — rollback truncates to it. */
   private var committedCount: Int = 0
   private val maxSegments = 32
 
   def cur: DataFrame =
-    if (segments.isEmpty) empty else segments.reduce(_ union _)
+    if (segments.isEmpty) empty else segments.map(_._1).reduce(_ union _)
 
   def append(rows: DataFrame): Unit = {
     compactIfWide()
     val seg = rows.select(schema.fieldNames.map(col).toSeq: _*)
       .localCheckpoint(eager = true)
     committedCount = segments.length
-    segments :+= seg
+    segments :+= ((seg, true))
+  }
+
+  /** Append a NARROW PROJECTION of a frame the caller already
+    * localCheckpoint'ed, without re-checkpointing it — the plan is a
+    * column select over a lineage-truncated LogicalRDD, so the union's
+    * width stays bounded and the copy job [[append]] would run is
+    * skipped entirely (two such jobs per CurationStream batch). The
+    * log does NOT own the parent's storage: a rollback just drops the
+    * segment reference (the parent may back several logs' views at
+    * once, and unpersisting a local checkpoint is unrecoverable — its
+    * lineage is gone), leaving reclamation to the ContextCleaner.
+    */
+  def appendView(rows: DataFrame): Unit = {
+    compactIfWide()
+    committedCount = segments.length
+    segments :+= ((rows.select(schema.fieldNames.map(col).toSeq: _*), false))
   }
 
   /** Append a frame the CALLER already localCheckpoint'ed, taking
@@ -60,18 +82,19 @@ private[streaming] final class AppendLog(spark: SparkSession, schema: StructType
     if (seg.schema.fieldNames.sameElements(schema.fieldNames)) {
       compactIfWide()
       committedCount = segments.length
-      segments :+= seg
+      segments :+= ((seg, true))
     } else append(seg)
 
   def rollback(): Unit = {
     segments.drop(committedCount)
-      .foreach(graft.ext.GraphOps.unpersistCheckpoint)
+      .foreach { case (seg, owned) =>
+        if (owned) graft.ext.GraphOps.unpersistCheckpoint(seg) }
     segments = segments.take(committedCount)
   }
 
   def restore(rows: DataFrame): Unit = {
-    segments = Vector(rows.select(schema.fieldNames.map(col).toSeq: _*)
-      .localCheckpoint(eager = true))
+    segments = Vector((rows.select(schema.fieldNames.map(col).toSeq: _*)
+      .localCheckpoint(eager = true), true))
     committedCount = segments.length // nothing to roll back after a restore
   }
 
@@ -84,9 +107,10 @@ private[streaming] final class AppendLog(spark: SparkSession, schema: StructType
   private def compactIfWide(): Unit =
     if (committedCount > maxSegments) {
       val (done, pending) = segments.splitAt(committedCount)
-      val folded = done.reduce(_ union _).localCheckpoint(eager = true)
-      done.foreach(graft.ext.GraphOps.unpersistCheckpoint)
-      segments = folded +: pending
+      val folded = done.map(_._1).reduce(_ union _).localCheckpoint(eager = true)
+      done.foreach { case (seg, owned) =>
+        if (owned) graft.ext.GraphOps.unpersistCheckpoint(seg) }
+      segments = (folded, true) +: pending
       committedCount = 1
     }
 }

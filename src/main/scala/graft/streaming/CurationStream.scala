@@ -172,9 +172,12 @@ final class CurationStream(spark: SparkSession,
           col("keep_rep") && col("keep_lm") && !col("contaminated"))
       .localCheckpoint(eager = true)
 
-    fpLog.append(decisions.select(col("fp"), col("doc_id")))
+    // both logs are narrow projections of the decisions checkpoint just
+    // materialized above — appendView stores the projection instead of
+    // re-checkpointing it, dropping two copy jobs from every batch
+    fpLog.appendView(decisions.select(col("fp"), col("doc_id")))
     pairLog.appendOwned(pairs) // log takes the ingest checkpoint — no re-copy
-    docLog.append(decisions.select(col("doc_id"), col("source"), col("n_tokens"),
+    docLog.appendView(decisions.select(col("doc_id"), col("source"), col("n_tokens"),
       col("is_bench"), col("keep_rep"), col("keep_lm"), col("contaminated")))
     lastBatchId = batchId
     decisions.drop("fp")

@@ -302,6 +302,76 @@ class AgreementSpec extends AnyFunSuite {
     }
   }
 
+  test("kmeansCodebook memo: rewrite-in-place (same path, same file count) retrains") {
+    import graft.ext.VectorOps
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    // The hard staleness case: the parquet under the SAME path is
+    // rewritten with the SAME file count — only bytes/length/mtime
+    // change. The memo's content snapshot (path:len:mtime per file)
+    // must evict the plan-equal entry instead of serving the stale
+    // codebook trained on the old bytes. Five gated queries consume
+    // this memo silently; a miss here would corrupt all of them.
+    import spark.implicits._
+    val dir = Files.createTempDirectory("memo_rewrite").toString
+    def writeRows(shift: Long): Unit = {
+      val stage = Files.createTempDirectory("memo_stage").toString
+      (0L until 40L).map(i => (i, Seq(i * 3 + shift, 100L - i, shift + 7)))
+        .toDF("vec_id", "qvec").coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      // fixed destination name — the rewrite really is in-place
+      Files.move(part.toPath, Paths.get(dir, "data.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    def train(): Seq[Seq[Any]] = Caches.scoped {
+      VectorOps.kmeansCodebook(spark.read.parquet(s"$dir/data.parquet"), 4, 2)
+        .orderBy("cell").collect().map(_.toSeq).toSeq
+    }
+    def trainLocal(shift: Long): Seq[Seq[Any]] = Caches.scoped {
+      // LocalRelation plan — never plan-equal to the parquet scan, so
+      // this is an independent ground truth for the same rows
+      VectorOps.kmeansCodebook(
+        (0L until 40L).map(i => (i, Seq(i * 3 + shift, 100L - i, shift + 7)))
+          .toDF("vec_id", "qvec"), 4, 2)
+        .orderBy("cell").collect().map(_.toSeq).toSeq
+    }
+    writeRows(0)
+    val before = train()
+    assert(before == trainLocal(0))
+    Thread.sleep(20) // guarantee an observable mtime step on coarse filesystems
+    writeRows(500)
+    val after = train()
+    assert(after == trainLocal(500),
+      "rewrite-in-place must retrain from the new bytes, not hit the stale memo")
+    assert(after != before)
+  }
+
+  test("kmeansCodebook memo: concurrent callers on one path agree and stay correct") {
+    import graft.ext.VectorOps
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // Two sessions/threads racing on the same input: whichever order the
+    // synchronized memo resolves them in (both train, or one hits the
+    // other's fresh entry), every caller must get the codebook of the
+    // CURRENT bytes. This pins the lock discipline around the
+    // check-train-insert window.
+    val dir = "/root/testdata/sf0.001"
+    def vecs = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), VectorOps.quantize(col("embedding")).as("qvec"))
+    val expected = Caches.scoped {
+      VectorOps.kmeansCodebook(vecs, 8, 2).orderBy("cell").collect().map(_.toSeq).toSeq
+    }
+    val racers = (1 to 4).map(_ => Future {
+      Caches.scoped {
+        VectorOps.kmeansCodebook(vecs, 8, 2).orderBy("cell").collect().map(_.toSeq).toSeq
+      }
+    })
+    Await.result(Future.sequence(racers), 120.seconds).foreach { got =>
+      assert(got == expected, "a concurrent caller saw a wrong/corrupt codebook")
+    }
+  }
+
   test("kmeansCodebook: iters=8 runs via per-round localCheckpoint, SSE still monotone") {
     import graft.ext.VectorOps
     val dir = "/root/testdata/sf0.001"
