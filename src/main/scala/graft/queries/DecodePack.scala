@@ -68,8 +68,17 @@ object DecodePack {
     * right one; DecodeSpec pins the two forms row-identical.
     */
   def decodeRoundtrip(spark: SparkSession, dir: String): DataFrame =
+    // localCheckpoint before the global sort: a range-partitioned
+    // orderBy SAMPLES its child to pick boundaries, re-executing it —
+    // here the child is the whole CPU-bound encode+decode chain, so the
+    // roundtrip ran twice (r13 profile: the decode jobs appear twice in
+    // the job log; ~3.1 s at sf0.1). Materializing the decoded pairs
+    // once costs one copy of the SMALL output rows; the sort then
+    // samples and sorts materialized data. Same discipline as the PCA
+    // scatter: never hand a global sort an expensive child.
     Decode.pairsLegacyOnly(lineitemFrames(spark, dir)).toDF()
       .drop("frame_id")
+      .localCheckpoint(eager = true)
       .orderBy(col("pair_address"), col("base_token_address"))
 
   /** Deep token-extraction pipeline (D8/D10/D13-lite + J1-J3,
