@@ -809,14 +809,23 @@ object CurationPack {
         docs.filter(col("doc_id") % 101 === 0), "doc_id", "text", 8)
       .select(col("_s").as("sh"))
     val cs = new graft.streaming.CurationStream(spark, uni, bi, benchSh)
-    // Micro-batch posture (see [[graft.streaming.MicroBatch]]): AQE off
-    // for the per-batch ingest actions and the reconcile's CC rounds
-    // (q72 r13 profile: 34 → 13 jobs per ingest, 44 → 13 reconcile),
-    // back on for the final returned query.
-    graft.streaming.MicroBatch.withBatchPlans(spark) {
+    // Micro-batch posture: AQE off for the per-batch ingest actions and
+    // the reconcile's CC rounds, back on for the final returned query.
+    // Each eager per-batch action is a fixed-shape plan over a small
+    // increment; AQE's per-stage materialization turned every one into
+    // ~10 scheduler jobs (r13 profile: 100 jobs across the three
+    // ingests, ~45 ms fixed cost each — the whole q72 "creep" was this
+    // constant). Structured Streaming's stateful micro-batches disable
+    // AQE for the same reason. At production batch sizes (GBs per
+    // micro-batch) flip it back on: the re-planning then pays for its
+    // stage jobs.
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqeWas = spark.conf.get(aqeKey)
+    spark.conf.set(aqeKey, "false")
+    try {
       ingestInThirds(docs)(cs.ingest)
       cs.reconcile()
-    }
+    } finally spark.conf.set(aqeKey, aqeWas)
   }
 
   // ---------------------------------------------------------------- q75
@@ -976,10 +985,7 @@ object CurationPack {
   def streamSpans(spark: SparkSession, dir: String): DataFrame = {
     val docs = graft.Caches.persisted(spanPlantedDocs(spark, dir))
     val st = new graft.streaming.SpanDedupStream(spark)
-    // eager-ingest harness: fixed per-batch plans, AQE job overhead off
-    graft.streaming.MicroBatch.withBatchPlans(spark) {
-      st.reconcileSpans(ingestInThirds(docs)(st.ingest).reduce(_ union _))
-    }
+    st.reconcileSpans(ingestInThirds(docs)(st.ingest).reduce(_ union _))
   }
 
   // ---------------------------------------------------------------- q79

@@ -746,13 +746,10 @@ object TextPack {
       .select(col("doc_id"), col("text")))
     val nd = new graft.streaming.NearDupStream(spark)
     val mx = docs.agg(max(col("doc_id"))).head.getLong(0)
-    // eager-ingest harness: fixed per-batch plans, AQE job overhead off
-    val emitted = graft.streaming.MicroBatch.withBatchPlans(spark) {
-      Seq(
-        nd.ingest(docs.filter(col("doc_id") <= mx / 3), 0L),
-        nd.ingest(docs.filter(col("doc_id") > mx / 3 && col("doc_id") <= 2 * mx / 3), 1L),
-        nd.ingest(docs.filter(col("doc_id") > 2 * mx / 3), 2L))
-    }
+    val emitted = Seq(
+      nd.ingest(docs.filter(col("doc_id") <= mx / 3), 0L),
+      nd.ingest(docs.filter(col("doc_id") > mx / 3 && col("doc_id") <= 2 * mx / 3), 1L),
+      nd.ingest(docs.filter(col("doc_id") > 2 * mx / 3), 2L))
     emitted.reduce(_ unionByName _)
       .orderBy(col("doc1"), col("doc2"))
   }

@@ -313,12 +313,9 @@ object VectorPack {
     val codebook = VectorOps.kmeansCodebook(vecs, KmK, KmIters)
     val as = new graft.streaming.AnnStream(spark, codebook)
     val mx = vecs.agg(max(col("vec_id"))).head.getLong(0)
-    // eager-ingest harness: fixed per-batch plans, AQE job overhead off
-    graft.streaming.MicroBatch.withBatchPlans(spark) {
-      as.ingest(vecs.filter(col("vec_id") <= mx / 3), 0L)
-      as.ingest(vecs.filter(col("vec_id") > mx / 3 && col("vec_id") <= 2 * mx / 3), 1L)
-      as.ingest(vecs.filter(col("vec_id") > 2 * mx / 3), 2L)
-    }
+    as.ingest(vecs.filter(col("vec_id") <= mx / 3), 0L)
+    as.ingest(vecs.filter(col("vec_id") > mx / 3 && col("vec_id") <= 2 * mx / 3), 1L)
+    as.ingest(vecs.filter(col("vec_id") > 2 * mx / 3), 2L)
     as.probe(vecs.filter(col("vec_id") < 10), TopK, NProbe)
       .withColumn("rank", col("rank").cast("long"))
       .orderBy(col("q_id"), col("rank"))
