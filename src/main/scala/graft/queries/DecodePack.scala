@@ -104,20 +104,25 @@ object DecodePack {
     * distance 5 (≤220 gate), age at 13 (≤180 gate), SOL mint → quote,
     * second address → token_address (greedy role order).
     */
-  /** The customer key column spread across all cores: the synthetic
-    * frame generators downstream are CPU-bound per ROW, but the
-    * customer parquet is a few hundred KB — one split — so without an
-    * explicit repartition the whole generate+decode chain (and the
-    * range-sort's sampling pass, which re-executes it) runs on ONE
-    * task. Shuffling the bare keys costs ~8 bytes/row; the decode then
-    * parallelizes N-ways (q12 1.70 → 0.50 s, q25 1.96 → 0.49 s at
-    * sf0.1/16 cores). Same fix as [[lineitemFrames]]'s encode spread.
+  /** The customer key column spread across all cores, RANGE-partitioned:
+    * the synthetic frame generators downstream are CPU-bound per ROW,
+    * but the customer parquet is a few hundred KB — one split — so
+    * without an explicit repartition the whole generate+decode chain
+    * runs on ONE task. Shuffling the bare keys costs ~8 bytes/row; the
+    * decode then parallelizes N-ways (q12 1.70 → 0.50 s, q25
+    * 1.96 → 0.49 s at sf0.1/16 cores).
+    *
+    * Range (not round-robin) since r13: every consumer's final order is
+    * c_custkey-first, so range boundaries sampled on the CHEAP key scan
+    * let the queries finish with `sortWithinPartitions` — total order
+    * without a post-decode global sort, whose boundary sampling
+    * re-executed the whole CPU-bound decode a second time.
     */
   private def customerKeys(spark: SparkSession, dir: String) = {
     import spark.implicits._
     graft.Tables.customer(spark, dir)
       .select(col("c_custkey")).as[Long]
-      .repartition(spark.sparkContext.defaultParallelism)
+      .repartitionByRange(spark.sparkContext.defaultParallelism, col("c_custkey"))
   }
 
   def tokenPipeline(spark: SparkSession, dir: String): DataFrame = {
@@ -136,7 +141,9 @@ object DecodePack {
         col("record_position").cast("long").as("record_position"),
         col("quote_address"), col("token_address"), col("pair_address"),
         col("twitter"), col("telegram"), col("website"))
-      .orderBy(col("c_custkey"))
+      // keys are range-partitioned upstream (customerKeys), so a
+      // within-partition sort yields total order — decode runs ONCE
+      .sortWithinPartitions(col("c_custkey"))
   }
 
   /** 44-char base58 encoding of 32 bytes — no 'A', no age substrings. */
@@ -211,7 +218,8 @@ object DecodePack {
         col("record_span").cast("long").as("record_span"),
         col("field_count").cast("long").as("field_count"),
         col("confidence_score"))
-      .orderBy(col("c_custkey"))
+      // range-partitioned keys upstream: within-partition sort suffices
+      .sortWithinPartitions(col("c_custkey"))
   }
 
   private val SolMint = "So11111111111111111111111111111111111111112"
@@ -285,7 +293,7 @@ object DecodePack {
       }
       .toDF("c_custkey", "chain", "protocol", "pair_address", "base_token_name",
         "base_token_symbol", "base_token_address")
-    rows.orderBy(col("c_custkey"))
+    rows.sortWithinPartitions(col("c_custkey"))
   }
 
   /** Enhanced sliding-window cluster decode (D6+D7,
@@ -315,7 +323,7 @@ object DecodePack {
       }
       .toDF("c_custkey", "chain", "protocol", "base_token_name", "base_token_symbol",
         "price", "price_usd", "change_24h", "volume_h24", "liquidity_usd", "created_at")
-    rows.orderBy(col("c_custkey"))
+    rows.sortWithinPartitions(col("c_custkey"))
   }
 
   private[queries] def enhancedFrame(c: Long): Array[Byte] = {
@@ -371,7 +379,7 @@ object DecodePack {
       .toDF("c_custkey", "section", "chain", "protocol", "pair_address",
         "base_token_name", "base_token_symbol", "base_token_address")
       .withColumn("section", col("section").cast("long"))
-    rows.orderBy(col("c_custkey"), col("section"))
+    rows.sortWithinPartitions(col("c_custkey"), col("section"))
   }
 
   /** A2 market-stats panel (cli.py:458-471) + A1/F4 batch counters over
