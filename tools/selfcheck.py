@@ -37,12 +37,12 @@ def norm(df):
     return df.reset_index(drop=True)
 
 def main(out_dir, sf_dir, extra=()):
-    # optional filters: skip=qA,qB (e.g. q70_star_components, whose
-    # recursive-CTE oracle is frontier-quadratic in DuckDB on dense
-    # chain fixtures — killed at 97 CPU-min in the round-10 sf0.1
-    # sweep; the operator itself stays gated at sf0.01 and by
-    # CurationSpec's algorithm-equivalence properties) and only=qX,...
-    # to resume a partial sweep without recomparing finished queries.
+    # optional filters: skip=qA,qB (e.g. q55/q70, whose recursive-CTE
+    # oracle is closure-quadratic in DuckDB on dense fixtures — killed
+    # at 97 CPU-min in the round-10 sf0.1 sweep; at 10x use
+    # tools/cc_oracle.py, which keeps the oracle's edge derivation and
+    # swaps the closure for a union-find) and only=qX,... to resume a
+    # partial sweep without recomparing finished queries.
     skip, only = set(), None
     for a in extra:
         if a.startswith("skip="):
