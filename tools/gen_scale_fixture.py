@@ -24,14 +24,15 @@ CORRECTNESS surface, not just a wall-clock one. To run the sweep:
   python3 tools/gen_scale_fixture.py
   sbt -batch "runMain graft.Verify /root/repo/target/sf10x /tmp/out10x"
   python3 tools/selfcheck.py /tmp/out10x /root/repo/target/sf10x \
-      skip=q55_dedup_components,q70_star_components
+      skip=q55_dedup_components,q70_star_components,q68_corpus_build,q72_stream_reconcile,q82_semantic_dedup
   python3 tools/cc_oracle.py /tmp/out10x /root/repo/target/sf10x
 
-(q55/q70's recorded recursive-CTE oracle is closure-quadratic in
-component size — the 10x fixture's 2000-node planted clique makes it
-intractable in DuckDB; cc_oracle.py keeps the oracle's edge derivation
-verbatim and swaps only the closure for a union-find, cross-validated
-equal to the recursive tail at sf0.01.)
+(the five skipped queries' recorded oracles embed a recursive-CTE
+transitive closure, which is closure-quadratic in component size — the
+10x fixture's 2000-node planted clique makes it intractable in DuckDB;
+cc_oracle.py keeps each oracle's edge derivation AND its downstream
+gates verbatim and swaps only the closure for a union-find,
+cross-validated equal to the recursive original at sf0.01.)
 
 It catches value-domain wrap points the sf0.1 gate can't reach (the
 q111 PMI and q24 centroid wraps were both found by hand-analysis at

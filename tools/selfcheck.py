@@ -36,13 +36,59 @@ def norm(df):
         df = df.sort_values(by=list(df.columns))
     return df.reset_index(drop=True)
 
+def compare_frames(got, exp):
+    """The driver-equivalent exact compare: sort columns by name, sort
+    rows, compare bitwise (both-NaN counts as equal). Returns None on
+    match, else a one-line error description. Shared with cc_oracle.py
+    so the union-find path applies the identical rule."""
+    try:
+        got, exp = norm(got), norm(exp)
+    except Exception as exc:
+        return f"sort error {exc!r}"
+    if list(got.columns) != list(exp.columns):
+        return f"cols {list(got.columns)} vs {list(exp.columns)}"
+    if len(got) != len(exp):
+        return f"rows {len(got)} vs {len(exp)}"
+    try:
+        for c in got.columns:
+            g, e = got[c].to_numpy(), exp[c].to_numpy()
+            # LIST-typed columns come back as object arrays of numpy
+            # arrays; elementwise == then yields arrays whose truth
+            # value is ambiguous. Canonicalize list-like cells to
+            # tuples first so the vectorized path stays scalar.
+            if g.dtype == object and any(
+                    isinstance(v, (np.ndarray, list)) for v in g[:8]):
+                g, e = _tuplize(g), _tuplize(e)
+            # Vectorized first pass (the pure-Python per-cell loop was
+            # O(rows) interpreter work and never finished on multi-
+            # million-row outputs); the exact original rule -- equal, or
+            # both float NaN -- is re-applied per cell only on the
+            # (normally empty) mismatch set.
+            with np.errstate(invalid="ignore"):
+                eq = g == e
+            if not isinstance(eq, np.ndarray):
+                eq = np.array([gv == ev for gv, ev in zip(g, e)], dtype=bool)
+            for i in np.nonzero(~eq.astype(bool))[0]:
+                gv, ev = g[i], e[i]
+                if (gv == ev) or (isinstance(gv, float) and isinstance(ev, float)
+                      and math.isnan(gv) and math.isnan(ev)):
+                    continue
+                return f"col {c} row {int(i)}: got {gv!r} want {ev!r}"
+    except Exception as exc:
+        # a compare error must fail THIS query, not abort the sweep
+        return f"compare error {exc!r}"
+    return None
+
+
 def main(out_dir, sf_dir, extra=()):
-    # optional filters: skip=qA,qB (e.g. q55/q70, whose recursive-CTE
-    # oracle is closure-quadratic in DuckDB on dense fixtures — killed
-    # at 97 CPU-min in the round-10 sf0.1 sweep; at 10x use
-    # tools/cc_oracle.py, which keeps the oracle's edge derivation and
-    # swaps the closure for a union-find) and only=qX,... to resume a
-    # partial sweep without recomparing finished queries.
+    # optional filters: skip=qA,qB (the closure-bearing queries
+    # q55/q70/q68/q72/q82, whose recursive-CTE oracle is
+    # closure-quadratic in DuckDB on dense fixtures — q70 killed at
+    # 97 CPU-min in the round-10 sf0.1 sweep, q68 at 165 CPU-min at
+    # 10x; use tools/cc_oracle.py for those, which keeps the oracle's
+    # edge derivation and gates and swaps only the closure for a
+    # union-find) and only=qX,... to resume a partial sweep without
+    # recomparing finished queries.
     skip, only = set(), None
     for a in extra:
         if a.startswith("skip="):
@@ -67,47 +113,9 @@ def main(out_dir, sf_dir, extra=()):
             exp = con.sql(oracle[name]).df()
         except Exception as e:
             print(f"FAIL {name}: oracle error {e}"); n_fail += 1; continue
-        try:
-            got, exp = norm(got), norm(exp)
-        except Exception as exc:
-            print(f"FAIL {name}: sort error {exc!r}"); n_fail += 1; continue
-        if list(got.columns) != list(exp.columns):
-            print(f"FAIL {name}: cols {list(got.columns)} vs {list(exp.columns)}"); n_fail += 1; continue
-        if len(got) != len(exp):
-            print(f"FAIL {name}: rows {len(got)} vs {len(exp)}"); n_fail += 1; continue
-        bad = None
-        try:
-            for c in got.columns:
-                g, e = got[c].to_numpy(), exp[c].to_numpy()
-                # LIST-typed columns come back as object arrays of numpy
-                # arrays; elementwise == then yields arrays whose truth
-                # value is ambiguous. Canonicalize list-like cells to
-                # tuples first so the vectorized path stays scalar.
-                if g.dtype == object and any(
-                        isinstance(v, (np.ndarray, list)) for v in g[:8]):
-                    g, e = _tuplize(g), _tuplize(e)
-                # Vectorized first pass (the pure-Python per-cell loop was
-                # O(rows) interpreter work and never finished on multi-
-                # million-row outputs); the exact original rule -- equal, or
-                # both float NaN -- is re-applied per cell only on the
-                # (normally empty) mismatch set.
-                with np.errstate(invalid="ignore"):
-                    eq = g == e
-                if not isinstance(eq, np.ndarray):
-                    eq = np.array([gv == ev for gv, ev in zip(g, e)], dtype=bool)
-                for i in np.nonzero(~eq.astype(bool))[0]:
-                    gv, ev = g[i], e[i]
-                    if (gv == ev) or (isinstance(gv, float) and isinstance(ev, float)
-                          and math.isnan(gv) and math.isnan(ev)):
-                        continue
-                    bad = (c, int(i), gv, ev); break
-                if bad: break
-        except Exception as exc:
-            # a compare error must fail THIS query, not abort the sweep
-            print(f"FAIL {name}: compare error {exc!r}"); n_fail += 1; continue
-        if bad:
-            c, i, gv, ev = bad
-            print(f"FAIL {name}: col {c} row {i}: got {gv!r} want {ev!r}")
+        err = compare_frames(got, exp)
+        if err:
+            print(f"FAIL {name}: {err}")
             n_fail += 1
         else:
             print(f"PASS {name} ({len(got)} rows)")
