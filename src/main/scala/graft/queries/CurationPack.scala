@@ -809,23 +809,14 @@ object CurationPack {
         docs.filter(col("doc_id") % 101 === 0), "doc_id", "text", 8)
       .select(col("_s").as("sh"))
     val cs = new graft.streaming.CurationStream(spark, uni, bi, benchSh)
-    // Micro-batch posture: AQE off for the per-batch ingest actions and
-    // the reconcile's CC rounds, back on for the final returned query.
-    // Each eager per-batch action is a fixed-shape plan over a small
-    // increment; AQE's per-stage materialization turned every one into
-    // ~10 scheduler jobs (r13 profile: 100 jobs across the three
-    // ingests, ~45 ms fixed cost each — the whole q72 "creep" was this
-    // constant). Structured Streaming's stateful micro-batches disable
-    // AQE for the same reason. At production batch sizes (GBs per
-    // micro-batch) flip it back on: the re-planning then pays for its
-    // stage jobs.
-    val aqeKey = "spark.sql.adaptive.enabled"
-    val aqeWas = spark.conf.get(aqeKey)
-    spark.conf.set(aqeKey, "false")
-    try {
-      ingestInThirds(docs)(cs.ingest)
-      cs.reconcile()
-    } finally spark.conf.set(aqeKey, aqeWas)
+    // Micro-batch posture: AQE stays ON. The ProfileQ72 matrix
+    // (SCALE.md, round 13) measured the alternatives — AQE off cuts
+    // jobs 2.7x but leaves wall flat-to-worse (9.1 vs 11.0 s here),
+    // because without runtime coalescing each fixed-shape per-batch
+    // stage launches 32 near-empty tasks; job-scheduling overhead is
+    // NOT the per-batch constant, stage/exchange materialization is.
+    ingestInThirds(docs)(cs.ingest)
+    cs.reconcile()
   }
 
   // ---------------------------------------------------------------- q75

@@ -24,7 +24,7 @@ object DecodePack {
     * which frame carries it, and the query's final ORDER BY fixes the
     * output order, so the result is partitioning-independent.
     */
-  private def lineitemFrames(spark: SparkSession, dir: String): org.apache.spark.sql.Dataset[Decode.Frame] = {
+  private[graft] def lineitemFrames(spark: SparkSession, dir: String): org.apache.spark.sql.Dataset[Decode.Frame] = {
     import spark.implicits._
     implicit val frameEnc: Encoder[Decode.Frame] = Encoders.product[Decode.Frame]
     graft.Tables.lineitem(spark, dir)
