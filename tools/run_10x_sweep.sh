@@ -1,0 +1,60 @@
+#!/usr/bin/env bash
+# One-command 10x-fixture oracle sweep (the SCALE.md "10x-fixture
+# oracle" protocol) — run after any Scala change that touches query
+# semantics, from a single HEAD build, in one ordering:
+#
+#   bash tools/run_10x_sweep.sh [workdir]
+#
+# 1. regenerate target/sf10x and prove it byte-reproducible;
+# 2. one graft.Verify dump of all queries (plain java so sbt stays
+#    free; requires `sbt Test/compile` beforehand);
+# 3. one selfcheck.py invocation (driver-equivalent DuckDB compare,
+#    skipping the five closure-bearing queries);
+# 4. cc_oracle.py for those five (recursive closure swapped for a
+#    union-find, cross-validated at sf0.01 — re-run `xval` mode after
+#    any oracle SQL change);
+# 5. render the per-query markdown table for SCALE.md.
+#
+# Exits non-zero on the first failing stage. Logs land in $WORK.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+WORK="${1:-/tmp/sweep10x_$(date +%H%M%S)}"
+mkdir -p "$WORK"
+SKIP=q55_dedup_components,q70_star_components,q68_corpus_build,q72_stream_reconcile,q82_semantic_dedup
+JAVAOPTS="--add-exports=java.base/sun.nio.ch=ALL-UNNAMED
+  --add-opens=java.base/java.nio=ALL-UNNAMED
+  --add-opens=java.base/java.util=ALL-UNNAMED
+  --add-opens=java.base/java.lang=ALL-UNNAMED
+  --add-opens=java.base/java.lang.invoke=ALL-UNNAMED
+  --add-opens=java.base/java.util.concurrent=ALL-UNNAMED
+  --add-opens=java.base/sun.security.action=ALL-UNNAMED"
+
+echo "== 1/5 fixture (byte-reproducibility proof)"
+[ -d target/sf10x ] && md5sum target/sf10x/*.parquet | sort -k2 > "$WORK/md5_before.txt" || true
+python3 tools/gen_scale_fixture.py > "$WORK/gen.log" 2>&1
+md5sum target/sf10x/*.parquet | sort -k2 > "$WORK/md5_after.txt"
+if [ -s "$WORK/md5_before.txt" ]; then
+  diff "$WORK/md5_before.txt" "$WORK/md5_after.txt" > /dev/null \
+    && echo "   byte-reproducible" \
+    || { echo "   FIXTURE BYTES CHANGED (expected only after a generator edit)"; \
+         diff "$WORK/md5_before.txt" "$WORK/md5_after.txt" || true; }
+fi
+
+echo "== 2/5 Verify dump -> $WORK/out"
+# shellcheck disable=SC2086
+java $JAVAOPTS -Xmx96g -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
+  graft.Verify "$PWD/target/sf10x" "$WORK/out" > "$WORK/verify.log" 2>&1
+n=$(ls "$WORK/out" | wc -l)
+echo "   $n outputs"
+
+echo "== 3/5 selfcheck (one invocation, skip=$SKIP)"
+python3 tools/selfcheck.py "$WORK/out" "$PWD/target/sf10x" "skip=$SKIP" \
+  | tee "$WORK/selfcheck.log" | tail -1
+
+echo "== 4/5 union-find oracle for the closure-bearing five"
+python3 tools/cc_oracle.py "$WORK/out" "$PWD/target/sf10x" \
+  | tee "$WORK/cc.log"
+
+echo "== 5/5 SCALE.md table -> $WORK/table.md"
+python3 tools/sweep_table.py "$WORK/selfcheck.log" "$WORK/cc.log" > "$WORK/table.md"
+tail -1 "$WORK/table.md"
