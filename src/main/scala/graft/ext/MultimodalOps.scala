@@ -136,22 +136,25 @@ object MultimodalOps {
     */
   def mediaStats(cells: Dataset[MediaCell]): Dataset[MediaStats] = {
     implicit val enc: Encoder[MediaStats] = Encoders.product[MediaStats]
-    cells.mapPartitions { it =>
-      it.map { cell =>
-        val meta = parseHeader(cell.media).getOrElse(MediaMeta("unknown", 0, 0, 0))
-        var sum = 0L
-        var countA = 0L
-        var i = HeaderLen
-        while (i < cell.media.length) {
-          val b = cell.media(i) & 0xff
-          sum += b
-          if (b == 'a'.toInt) countA += 1
-          i += 1
-        }
-        MediaStats(cell.key, meta.kind, meta.width, meta.height, meta.channels,
-          cell.media.length, sum, countA)
-      }
+    cells.mapPartitions(_.map(statsOf))
+  }
+
+  /** The one per-cell stats kernel both batch passes share — a second
+    * copy of this loop drifting from the first was the risk class the
+    * q29 rewrite introduced. */
+  private def statsOf(cell: MediaCell): MediaStats = {
+    val meta = parseHeader(cell.media).getOrElse(MediaMeta("unknown", 0, 0, 0))
+    var sum = 0L
+    var countA = 0L
+    var i = HeaderLen
+    while (i < cell.media.length) {
+      val b = cell.media(i) & 0xff
+      sum += b
+      if (b == 'a'.toInt) countA += 1
+      i += 1
     }
+    MediaStats(cell.key, meta.kind, meta.width, meta.height, meta.channels,
+      cell.media.length, sum, countA)
   }
 
   /** Row-wise stats with the media bytes carried through, so callers can
@@ -163,22 +166,11 @@ object MultimodalOps {
     */
   def mediaStatsWithMedia(cells: Dataset[MediaCell]): Dataset[MediaStatsCell] = {
     implicit val enc: Encoder[MediaStatsCell] = Encoders.product[MediaStatsCell]
-    cells.mapPartitions { it =>
-      it.map { cell =>
-        val meta = parseHeader(cell.media).getOrElse(MediaMeta("unknown", 0, 0, 0))
-        var sum = 0L
-        var countA = 0L
-        var i = HeaderLen
-        while (i < cell.media.length) {
-          val b = cell.media(i) & 0xff
-          sum += b
-          if (b == 'a'.toInt) countA += 1
-          i += 1
-        }
-        MediaStatsCell(cell.key, meta.kind, meta.width, meta.height,
-          meta.channels, cell.media.length, sum, countA, cell.media)
-      }
-    }
+    cells.mapPartitions(_.map { cell =>
+      val s = statsOf(cell)
+      MediaStatsCell(s.key, s.kind, s.width, s.height, s.channels,
+        s.n_bytes, s.byte_sum, s.count_a, cell.media)
+    })
   }
 
   /** Full 256-bin byte histogram per cell (exact ints), same batch shape. */

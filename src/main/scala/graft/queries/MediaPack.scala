@@ -30,8 +30,15 @@ object MediaPack {
   def multimodalStats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     implicit val enc: Encoder[MediaCell] = Encoders.product[MediaCell]
+    // Range-partition the bare keys BEFORE the CPU-bound media synthesis
+    // (the q12/q25 discipline): the final order is c_custkey, so range
+    // boundaries sampled on the cheap 8-byte key scan let the query end
+    // in sortWithinPartitions — a trailing global orderBy would feed its
+    // boundary sampler the whole synthesis+stats kernel, running it (and
+    // the 280-byte media rows) twice.
     val cells = graft.Tables.customer(spark, dir)
       .select(col("c_custkey")).as[Long]
+      .repartitionByRange(spark.sparkContext.defaultParallelism, col("c_custkey"))
       .map(mediaCell _)
     // Single pass: the typed mapPartitions stats kernel carries the raw
     // bytes through, and the frame sampling (column-expression path:
@@ -54,7 +61,8 @@ object MediaPack {
         col("n_bytes").cast("long").as("n_bytes"),
         col("n_frames"), col("first_frame"),
         col("byte_sum"), col("count_a"))
-      .orderBy(col("c_custkey"))
+      // total order = range partitioning on c_custkey + in-partition sort
+      .sortWithinPartitions(col("c_custkey"))
   }
 
   // ---- q37: real BMP decode + perceptual-hash near-dup ----------------

@@ -38,14 +38,15 @@ object ProfileCC {
       * (id, id+1). Diameter == len; rows == totalEdges always.
       */
     def chainEdges(len: Long): DataFrame = {
-      val nChains = totalEdges / len
+      // a trailing partial chain would break the exact component-count
+      // asserts below — require clean division up front
+      require(totalEdges % len == 0,
+        s"totalEdges=$totalEdges must be divisible by every swept chain length ($len)")
       spark.range(totalEdges)
         .select(((col("id") / len).cast("long") * (len + 1) + col("id") % len).as("src"))
         .select(col("src"), (col("src") + 1).as("dst"))
         .repartition(spark.sparkContext.defaultParallelism)
         .localCheckpoint(eager = true)
-        .withColumn("chains", lit(nChains))
-        .drop("chains")
     }
 
     def time(label: String)(body: => Long): Unit = {

@@ -338,8 +338,13 @@ class AgreementSpec extends AnyFunSuite {
     writeRows(0)
     val before = train()
     assert(before == trainLocal(0))
-    Thread.sleep(20) // guarantee an observable mtime step on coarse filesystems
     writeRows(500)
+    // a sleep can't guarantee an mtime step on coarse-granularity
+    // filesystems (and the two writes may compress to the same length):
+    // set the rewritten file's mtime explicitly 2 s past the original's
+    val data = Paths.get(dir, "data.parquet")
+    Files.setLastModifiedTime(data, java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() + 2000))
     val after = train()
     assert(after == trainLocal(500),
       "rewrite-in-place must retrain from the new bytes, not hit the stale memo")

@@ -148,6 +148,10 @@ def main(out_dir, sf_dir, extra=()):
                      f"{[(g, e) for g, e in zip(rec, exp) if g != e][:3]}"))
             fails += 0 if ok else 1
             continue
+        if not glob.glob(f"{out_dir}/{name}/*.parquet"):
+            print(f"FAIL {name}: no output parquet")
+            fails += 1
+            continue
         got = con.sql(f"SELECT node, comp FROM '{out_dir}/{name}/*.parquet' "
                       f"ORDER BY node").fetchall()
         if [tuple(r) for r in got] == exp:

@@ -12,22 +12,41 @@ import numpy as np
 TABLES = ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]
 
+# canonical stand-in for NaN inside LIST cells: NaN != NaN, but the
+# compare rule says both-NaN cells match (as it does for scalar columns)
+_NAN = ("__nan__",)
+
+def _canon(v):
+    if isinstance(v, (np.ndarray, list, tuple)):
+        return tuple(_canon(x) for x in v)
+    if isinstance(v, float) and math.isnan(v):
+        return _NAN
+    return v
+
 def _tuplize(a):
     # np.array(list_of_equal_length_tuples) silently builds a 2-D array;
     # fill an object array explicitly so cells stay scalar tuples
     out = np.empty(len(a), dtype=object)
-    out[:] = [tuple(v) if isinstance(v, (np.ndarray, list)) else v for v in a]
+    out[:] = [_canon(v) if isinstance(v, (np.ndarray, list)) else v for v in a]
     return out
+
+def _has_lists(vals):
+    # first NON-NULL cell decides (a fixed-prefix sample misses list
+    # columns whose leading rows are NULL)
+    for v in vals:
+        if v is not None:
+            return isinstance(v, (np.ndarray, list))
+    return False
 
 def norm(df):
     df = df[sorted(df.columns)]
-    # sort_values raises on list-typed cells; sort by a tuple-canonical
-    # key instead so LIST columns order deterministically too
-    keys = {c: df[c].map(lambda v: tuple(v)
-                         if isinstance(v, (np.ndarray, list)) else v)
+    # sort_values raises on list-typed cells; sort by a deterministic
+    # canonical key instead so LIST columns order deterministically too
+    # (repr: total order even when cells mix tuples, Nones and the NaN
+    # sentinel, which '<' cannot compare)
+    keys = {c: df[c].map(lambda v: repr(_canon(v)))
             for c in df.columns
-            if df[c].dtype == object and any(
-                isinstance(v, (np.ndarray, list)) for v in df[c][:8])}
+            if df[c].dtype == object and _has_lists(df[c])}
     if keys:
         tagged = df.assign(**{f"__k_{c}": k for c, k in keys.items()})
         by = [f"__k_{c}" if c in keys else c for c in df.columns]
@@ -56,8 +75,8 @@ def compare_frames(got, exp):
             # arrays; elementwise == then yields arrays whose truth
             # value is ambiguous. Canonicalize list-like cells to
             # tuples first so the vectorized path stays scalar.
-            if g.dtype == object and any(
-                    isinstance(v, (np.ndarray, list)) for v in g[:8]):
+            if (g.dtype == object or e.dtype == object) and (
+                    _has_lists(g) or _has_lists(e)):
                 g, e = _tuplize(g), _tuplize(e)
             # Vectorized first pass (the pure-Python per-cell loop was
             # O(rows) interpreter work and never finished on multi-
