@@ -15,23 +15,65 @@ import org.apache.spark.sql.SparkSession
   * stealing the machine for one sample (the round-3 artifact recorded a
   * phantom 9x regression from exactly that). `first_run_total` preserves
   * the old single-shot sum for cross-round continuity.
+  *
+  * SELF-ATTRIBUTION (round 14): min-of-N protects per-query numbers but
+  * not the headline when contention spans all repeats — the r13 driver
+  * artifact read +39% on perf-neutral code and only out-of-band reruns
+  * could prove it was machine load. The artifact now carries its own
+  * evidence: host loadavg at start and end (`/proc/loadavg`), the
+  * median total alongside the min total, and `spread` = max/min of the
+  * per-repeat totals. A loaded machine shows loadavg >> cores and
+  * spread >> 1; a genuine code regression shows neither.
   */
 object Bench {
 
-  /** Per-query outcome: Left(error message) or Right((min seconds,
-    * first-run seconds)).
+  /** Per-query outcome: Left(error message) or Right(samples in run
+    * order — head is the first run; min/median derive from the set).
     */
-  type Results = Seq[(String, Either[String, (Double, Double)])]
+  type Results = Seq[(String, Either[String, Seq[Double]])]
 
   // 4-decimal seconds (0.1 ms): keeps the artifact line short — the
   // driver's capture tail-truncated the full-precision form twice.
   private def f(v: Double) =
     BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
 
-  private def totals(results: Results): (String, String) = {
-    val ok = results.collect { case (_, Right(v)) => v }
-    (f(ok.map(_._1).sum), f(ok.map(_._2).sum))
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    val n = s.length
+    if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
   }
+
+  private def okSamples(results: Results): Seq[Seq[Double]] =
+    results.collect { case (_, Right(ss)) => ss }
+
+  /** (min total, first-run total, median total). */
+  private def totals(results: Results): (String, String, String) = {
+    val ok = okSamples(results)
+    (f(ok.map(_.min).sum), f(ok.map(_.head).sum), f(ok.map(median).sum))
+  }
+
+  /** max/min over the per-repeat totals (total_i = Σ_q samples_q(i)):
+    * ≈1 on a quiet machine, >>1 when contention hit some repeats —
+    * the one number that separates "loaded host" from "slow code".
+    * Repeats are aligned by index; 1.0 when nothing completed or
+    * repeats == 1.
+    */
+  private[graft] def spread(results: Results): Double = {
+    val ok = okSamples(results)
+    if (ok.isEmpty) return 1.0
+    val n = ok.map(_.length).min
+    if (n <= 1) return 1.0
+    val perRepeat = (0 until n).map(i => ok.map(_(i)).sum)
+    if (perRepeat.min <= 0) 1.0 else perRepeat.max / perRepeat.min
+  }
+
+  /** First three fields of /proc/loadavg ("1m 5m 15m"), "" off-Linux. */
+  private[graft] def loadavg(): String =
+    try {
+      val s = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg"))).trim
+      s.split("\\s+").take(3).mkString(" ")
+    } catch { case _: Throwable => "" }
 
   // The failed list is capped at 20 names on stdout so a catastrophic
   // round (everything failing) still cannot push the headline past the
@@ -52,34 +94,36 @@ object Bench {
     * this line outgrowing the capture.
     */
   private[graft] def headlineJson(results: Results, sfDir: String,
-      repeats: Int, queriesFile: String = "target/bench.json"): String = {
-    val (total, firstRun) = totals(results)
-    s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","repeats":$repeats,"first_run_total":$firstRun,"query_count":${results.size},"failed":${failedJson(results, 20)},"queries_file":"$queriesFile"}"""
+      repeats: Int, queriesFile: String = "target/bench.json",
+      loadStart: String = "", loadEnd: String = ""): String = {
+    val (total, firstRun, med) = totals(results)
+    s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","repeats":$repeats,"first_run_total":$firstRun,"median_total":$med,"spread":${f(spread(results))},"load_start":"$loadStart","load_end":"$loadEnd","query_count":${results.size},"failed":${failedJson(results, 20)},"queries_file":"$queriesFile"}"""
   }
 
   /** The file artifact: full per-query map (failures as the string
-    * "err"), full failed list, full error messages.
+    * "err"), per-query medians, full failed list, full error messages.
     */
   private[graft] def fullJson(results: Results, sfDir: String,
-      repeats: Int): String = {
-    val qsJson = results.map { case (k, r) =>
+      repeats: Int, loadStart: String = "", loadEnd: String = ""): String = {
+    def qmap(pick: Seq[Double] => Double) = results.map { case (k, r) =>
       val v = r match {
-        case Right((minS, _)) => f(minS)
-        case Left(_)          => "\"err\""
+        case Right(ss) => f(pick(ss))
+        case Left(_)   => "\"err\""
       }
       "\"" + k + "\":" + v
     }.mkString("{", ",", "}")
     val errsJson = results.collect { case (k, Left(m)) =>
       "\"" + k + "\":\"" + m.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     }.mkString("{", ",", "}")
-    val (total, firstRun) = totals(results)
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsJson,"sf":"$sfDir","repeats":$repeats,"first_run_total":$firstRun,"failed":${failedJson(results, Int.MaxValue)},"errors":$errsJson}"""
+    val (total, firstRun, med) = totals(results)
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":${qmap(_.min)},"queries_median":${qmap(median)},"sf":"$sfDir","repeats":$repeats,"first_run_total":$firstRun,"median_total":$med,"spread":${f(spread(results))},"load_start":"$loadStart","load_end":"$loadEnd","failed":${failedJson(results, Int.MaxValue)},"errors":$errsJson}"""
   }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmupDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.001")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val loadStart = loadavg()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -120,7 +164,7 @@ object Bench {
     // failing queries as 0.06-0.26s runs. On the first failing sample we
     // stop sampling that query, record the message, and exclude it from
     // every total.
-    val results: Seq[(String, Either[String, (Double, Double)])] = names.map { name =>
+    val results: Results = names.map { name =>
       var err: Option[String] = None
       val samples = scala.collection.mutable.ArrayBuffer.empty[Double]
       var i = 0
@@ -132,13 +176,14 @@ object Bench {
         }
         i += 1
       }
-      (name, err.toLeft((samples.min, samples.head)))
+      (name, err.toLeft(samples.toSeq))
     }
+    val loadEnd = loadavg()
     // The headline must point at the artifact actually written, so the
     // resolved (env-overridable) path feeds both.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json")
-    val json = headlineJson(results, sfDir, repeats, outPath)
-    val jsonFull = fullJson(results, sfDir, repeats)
+    val json = headlineJson(results, sfDir, repeats, outPath, loadStart, loadEnd)
+    val jsonFull = fullJson(results, sfDir, repeats, loadStart, loadEnd)
     // Also write the artifact to a file: stdout capture has truncated a
     // round's per-query tail before; the file is never capture-limited.
     try {

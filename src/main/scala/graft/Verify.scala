@@ -23,7 +23,17 @@ object Verify {
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
       .foreach { case (name, fn) =>
       try Caches.scoped {
-        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        // repartition(1), NOT coalesce(1): coalesce propagates the
+        // 1-partition constraint up to the nearest exchange, so a
+        // query whose tail is an expensive map chain after a key
+        // repartition (q12/q25/q29's generate+decode) would run the
+        // whole CPU-bound stage as ONE task in the dump — the exact
+        // serialization the upstream repartition exists to prevent.
+        // repartition(1) is a shuffle boundary: the plan keeps its N
+        // tasks, only the single writer task is serial. Row order in
+        // the file may differ from the plan's order; the driver's
+        // compare sorts rows, so the hash gate is order-blind.
+        fn(spark, sfDir).repartition(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
       }
       catch { case e: Throwable =>

@@ -146,4 +146,75 @@ object PrefixOps {
       else outFields
     spark.createDataFrame(rows, StructType(withSum))
   }
+
+  /** Appends `maxName`: the EXCLUSIVE running max of `maxCol` over all
+    * rows strictly earlier in `orderCols` order — NULL for the globally
+    * first row (no predecessor), exactly
+    * `max(maxCol).over(Window.orderBy(orderCols).rowsBetween(unboundedPreceding, -1))`
+    * but without the single-task unpartitioned WindowExec: the same
+    * two-pass range-partitioned scheme as [[groupedRunningAgg]] in its
+    * degenerate one-group form — pass 1 reduces each partition to ONE
+    * max (numParts longs to the driver, never data), the driver
+    * prefix-folds the bases, pass 2 streams each partition resuming
+    * from its base. Parallelism is numParts regardless of frame size;
+    * determinism holds for any boundary split of the total order
+    * (PlanContractSpec pins the window-free shape, the q129 oracle the
+    * values).
+    *
+    * `orderCols` must be a total order (the running max of a sequence
+    * is only well-defined over one); `maxCol` must be non-null
+    * integral, same contract as [[groupedRunningAgg]]'s sum column.
+    */
+  def runningMaxExclusive(df: DataFrame, orderCols: Seq[String],
+      maxCol: String, numParts: Int = 0,
+      maxName: String = "running_max"): DataFrame = {
+    require(orderCols.nonEmpty, "runningMaxExclusive needs >= 1 order column")
+    val spark = df.sparkSession
+    val parts =
+      if (numParts > 0) numParts
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val keys = orderCols.map(col)
+    val sorted = graft.Caches.persisted(
+      df.repartitionByRange(parts, keys: _*)
+        .sortWithinPartitions(keys: _*))
+    val schema = sorted.schema
+    val mIdx = schema.fieldIndex(maxCol)
+    def mVal(r: Row): Long = r.get(mIdx) match {
+      case n: Number => n.longValue()
+      case other => throw new IllegalArgumentException(
+        s"max column $maxCol must be non-null integral, got $other")
+    }
+
+    // pass 1: one max per non-empty partition (range split leaves gaps)
+    val perPart = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var any = false
+      var m = Long.MinValue
+      it.foreach { r => any = true; val v = mVal(r); if (v > m) m = v }
+      if (any) Iterator((pid, m)) else Iterator.empty
+    }.collect().toMap
+
+    // driver: per-partition base = max over all EARLIER partitions
+    // (None until some earlier partition held a row)
+    val nParts = sorted.rdd.getNumPartitions
+    var acc = Option.empty[Long]
+    val bases = (0 until nParts).map { pid =>
+      val base = (pid, acc)
+      perPart.get(pid).foreach(m => acc = Some(acc.fold(m)(_ max m)))
+      base
+    }.toMap
+    val bBases = spark.sparkContext.broadcast(bases)
+
+    // pass 2: stream each partition, emitting the pre-update max
+    val rows = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var cur: Option[Long] = bBases.value(pid)
+      it.map { r =>
+        val out = Row.fromSeq(r.toSeq :+ cur.map(Long.box).orNull)
+        val v = mVal(r)
+        cur = Some(cur.fold(v)(_ max v))
+        out
+      }
+    }
+    spark.createDataFrame(rows,
+      StructType(schema.fields.toSeq :+ StructField(maxName, LongType, nullable = true)))
+  }
 }

@@ -205,11 +205,25 @@ object SketchOps {
     * bottom-k aggregate; the quadratic term is the PAIR COUNT
     * (groups²), which is the operator's contract (group-level
     * similarity matrices are output-quadratic by definition) — not
-    * the corpus.
+    * the corpus. That contract is ENFORCED, not just documented: the
+    * kept frame is persisted (it is read three times below anyway),
+    * the group count is measured, and `maxGroups` fails fast — a
+    * caller passing 10⁵ near-unique groups would otherwise silently
+    * build a 10¹⁰-pair frame. Raise `maxGroups` explicitly when an
+    * output-quadratic matrix over more groups is the intent (same
+    * precedent as the PCA int64-envelope `require`).
     */
-  def kmvPairOverlap(kept: DataFrame, groupCol: String,
-      k: Int = KmvK): DataFrame = {
+  def kmvPairOverlap(kept0: DataFrame, groupCol: String,
+      k: Int = KmvK, maxGroups: Int = 4096): DataFrame = {
+    val kept = graft.Caches.persisted(kept0)
     val s = kept.select(col(groupCol)).distinct()
+    val nGroups = s.count()
+    require(nGroups <= maxGroups,
+      s"kmvPairOverlap is group-count-quadratic by contract: $nGroups " +
+        s"groups would build ${nGroups * (nGroups - 1) / 2} pair rows, " +
+        s"over the maxGroups=$maxGroups bound; pass a larger maxGroups " +
+        "explicitly if an output-quadratic similarity matrix over this " +
+        "many groups is intended")
     val pairs = s.select(col(groupCol).as("s1"))
       .crossJoin(s.select(col(groupCol).as("s2")))
       .filter(col("s1") < col("s2"))

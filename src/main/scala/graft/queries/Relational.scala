@@ -1237,12 +1237,12 @@ object Relational {
     * disorder or q10/q60's watermarks silently drop rows.
     *
     * Scale shape: the corpus collapses to zone grain first (one
-    * map-side-combinable groupBy); the running max is a single-task
-    * window over the ZONES frame only — at row-group-sized zones
-    * that is corpus/10⁶ rows, the same bounded-frame concession as
-    * q75's per-doc islands, documented here deliberately (PrefixOps
-    * covers running SUMS; a running max over a bounded frame does not
-    * warrant a custom pass).
+    * map-side-combinable groupBy); the running max over the zones
+    * frame goes through [[graft.ext.PrefixOps.runningMaxExclusive]] —
+    * the two-pass range-partitioned prefix scheme (numParts-way
+    * parallel, O(numParts) driver longs), so the zone path is
+    * scale-uniform with q130/q133 instead of carrying the last
+    * unpartitioned WindowExec in the engine.
     */
   def ingestDisorder(spark: SparkSession, dir: String): DataFrame = {
     val zones = events(spark, dir)
@@ -1250,9 +1250,8 @@ object Relational {
         unix_micros(col("ts")).as("ts_us"))
       .groupBy(col("zone"))
       .agg(min(col("ts_us")).as("min_ts_us"), max(col("ts_us")).as("max_ts_us"))
-    val w = Window.orderBy(col("zone"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    zones.withColumn("pm", max(col("max_ts_us")).over(w))
+    graft.ext.PrefixOps
+      .runningMaxExclusive(zones, Seq("zone"), "max_ts_us", maxName = "pm")
       .select(col("zone"), col("min_ts_us"), col("max_ts_us"),
         coalesce(col("pm"), col("min_ts_us")).as("prev_max_ts_us"),
         greatest(lit(0L), coalesce(col("pm") - col("min_ts_us"), lit(0L)))
@@ -1542,17 +1541,21 @@ object Relational {
     * staleness pruning work survives the rewrite.
     *
     * Scale shape: operates on the ZONES frame only (corpus/zone_rows
-    * rows); the prefix sum is a single-task window over that bounded
-    * frame (same documented concession as q129), the rollup is one
+    * rows); the prefix sum goes through
+    * [[graft.ext.PrefixOps.groupedRunningAgg]] (one constant group —
+    * the whole-frame total order is the degenerate stratum), replacing
+    * the last single-task unpartitioned window; the rollup is one
     * groupBy(file_id).
     */
   def compactionPlan(spark: SparkSession, dir: String): DataFrame = {
     val zones = events(spark, dir)
       .select(expr(s"event_id div $ZoneRows").as("zone"))
       .groupBy(col("zone")).agg(count(lit(1)).as("n_rows"))
-    val w = Window.orderBy(col("zone"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    zones.withColumn("cum", sum(col("n_rows")).over(w))
+      .withColumn("g", lit(0L))
+    graft.ext.PrefixOps
+      .groupedRunningAgg(zones, Seq("g"), Seq("zone"),
+        sumCol = Some("n_rows"), sumName = "cum")
+      .drop("g", "rank")
       .withColumn("file_id", expr(s"(cum - n_rows) div $CompactTargetRows"))
       .groupBy(col("file_id"))
       .agg(min(col("zone")).as("zone_from"), max(col("zone")).as("zone_to"),

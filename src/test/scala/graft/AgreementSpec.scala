@@ -867,4 +867,27 @@ class AgreementSpec extends AnyFunSuite {
       assert(census.toSeq == top)
     }
   }
+
+  test("kmvPairOverlap: maxGroups contract trips loudly, lifts explicitly") {
+    // The operator is group-count-quadratic by contract (pair frame =
+    // groups²/2). The guard must fail BEFORE any pair frame is built —
+    // a caller passing a near-unique key must get the contract named,
+    // not a 10¹⁰-row job (same precedent as the PCA int64 envelope).
+    import spark.implicits._
+    import graft.ext.SketchOps
+    Caches.scoped {
+      val kept = (0L until 6L).flatMap(g => (0L until 4L).map(h => (s"g$g", g * 100 + h)))
+        .toDF("source", "h")
+      val e = intercept[IllegalArgumentException] {
+        SketchOps.kmvPairOverlap(kept, "source", maxGroups = 4)
+      }
+      assert(e.getMessage.contains("group-count-quadratic") &&
+        e.getMessage.contains("maxGroups=4"),
+        s"guard must name the contract: ${e.getMessage}")
+      // lifting the bound explicitly restores the documented behavior:
+      // C(6,2) = 15 ordered pairs, all with k_used > 0
+      val ok = SketchOps.kmvPairOverlap(kept, "source", maxGroups = 6)
+      assert(ok.count() == 15L)
+    }
+  }
 }

@@ -63,9 +63,28 @@ class PlanContractSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
       val shuffles = collect(plan) {
         case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
       }
-      // the only allowed exchange is the global orderBy's range partition
+      // the only allowed exchange is the UPSTREAM repartitionByRange of
+      // the bare keys (customerKeys) — there is no global orderBy any
+      // more; total order comes from sortWithinPartitions over the
+      // range-partitioned keys
       assert(shuffles.size <= 1,
-        s"q29 must shuffle at most once (final sort):\n$plan")
+        s"q29 must shuffle at most once (upstream key range-partition):\n$plan")
+    }
+  }
+
+  test("q129/q141: zone prefix passes are window-free (PrefixOps, not WindowExec)") {
+    // These were the engine's last two UNPARTITIONED windows (running
+    // max / running sum over the zones frame — single-task WindowExec,
+    // "No Partition Defined" in every bench log). Both now run through
+    // PrefixOps' two-pass range-partitioned prefix scheme; pin the
+    // window-free shape so a refactor can't silently reintroduce the
+    // single-task sort.
+    for (q <- Seq("q129_ingest_disorder", "q141_compaction_plan")) Caches.scoped {
+      val plan = executed(q)
+      val wins = collect(plan) {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(wins.isEmpty, s"$q must not contain a WindowExec:\n$plan")
     }
   }
 

@@ -54,6 +54,13 @@ from selfcheck import TABLES, compare_frames
 
 CC_QUERIES = ("q55_dedup_components", "q70_star_components")
 TAIL = "reach(a, b) AS"
+# The exact projection the uf compare stands in for: if a q55/q70 oracle
+# ever grows a different tail (an added filter or projection after the
+# closure), the raw (node, comp) compare below would silently diverge
+# from the recorded SQL — so the tail is pinned verbatim, not just the
+# presence of the reach CTE.
+CC_EXPECTED_TAIL = ("SELECT a AS node, least(a, min(b)) AS comp "
+                    "FROM reach GROUP BY a ORDER BY node")
 
 REACH_CTE = ("reach(a, b) AS (\n  SELECT src, dst FROM sym\n  UNION\n"
              "  SELECT r.a, s.dst FROM reach r JOIN sym s ON s.src = r.b),\n")
@@ -132,6 +139,10 @@ def main(out_dir, sf_dir, extra=()):
             continue
         sql = oracle[name]
         assert TAIL in sql, f"{name}: oracle shape changed — update this tool"
+        assert " ".join(sql.split()).endswith(CC_EXPECTED_TAIL), (
+            f"{name}: oracle tail is no longer the bare (node, comp) "
+            f"projection this tool's uf compare stands in for — update "
+            f"CC_EXPECTED_TAIL or route through SWAPS + compare_frames")
         comp, n_edges = register_uf(con, sql)
         exp = sorted(comp.items())
         if xval:

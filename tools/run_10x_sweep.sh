@@ -44,7 +44,8 @@ echo "== 2/5 Verify dump -> $WORK/out"
 # shellcheck disable=SC2086
 java $JAVAOPTS -Xmx96g -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
   graft.Verify "$PWD/target/sf10x" "$WORK/out" > "$WORK/verify.log" 2>&1
-n=$(ls "$WORK/out" | wc -l)
+# directories only: oracle_sql.json sits beside the query dirs
+n=$(find "$WORK/out" -mindepth 1 -maxdepth 1 -type d | wc -l)
 echo "   $n outputs"
 
 echo "== 3/5 selfcheck (one invocation, skip=$SKIP)"

@@ -1,0 +1,81 @@
+#!/usr/bin/env bash
+# One-command full gate — the end-of-round protocol as a single
+# reproducible invocation (sibling of run_10x_sweep.sh):
+#
+#   bash tools/run_gate.sh [workdir]
+#
+# 1. sbt Test/compile + full ScalaTest suite;
+# 2. graft.Verify dump + selfcheck oracle compare at sf0.001 AND
+#    sf0.01 (the driver's gate SF), closure-bearing five via
+#    cc_oracle.py's union-find path;
+# 3. full bench at sf0.1 (SPARK_GRAFT_CPUS=16, repeats 3 — the
+#    BENCH_LOCAL_r{N} recipe), artifact left in $WORK/bench.json;
+# 4. LEAKCHECK-style grep over src/, tools/, build.sbt, README.md for
+#    non-public references.
+#
+# One log per stage under $WORK, one exit code: non-zero on the first
+# failing stage. Produces the r{N} artifacts: copy $WORK/bench.json to
+# BENCH_LOCAL_r{N}.json at end-of-round HEAD.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+WORK="${1:-/tmp/gate_$(date +%H%M%S)}"
+mkdir -p "$WORK"
+CC5=q55_dedup_components,q70_star_components,q68_corpus_build,q72_stream_reconcile,q82_semantic_dedup
+JAVAOPTS="--add-exports=java.base/sun.nio.ch=ALL-UNNAMED
+  --add-opens=java.base/java.nio=ALL-UNNAMED
+  --add-opens=java.base/java.util=ALL-UNNAMED
+  --add-opens=java.base/java.lang=ALL-UNNAMED
+  --add-opens=java.base/java.lang.invoke=ALL-UNNAMED
+  --add-opens=java.base/java.util.concurrent=ALL-UNNAMED
+  --add-opens=java.base/sun.security.action=ALL-UNNAMED"
+
+echo "== 1/4 sbt test"
+sbt -batch test > "$WORK/test.log" 2>&1 \
+  || { echo "   FAIL — tail of $WORK/test.log:"; tail -20 "$WORK/test.log"; exit 1; }
+grep -E "Tests: succeeded|All tests passed" "$WORK/test.log" | tail -2
+
+echo "== 2/4 oracle selfcheck (sf0.001 + sf0.01)"
+for sf in sf0.001 sf0.01; do
+  out="$WORK/out_$sf"
+  # shellcheck disable=SC2086
+  java $JAVAOPTS -Xmx32g -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
+    graft.Verify "/root/testdata/$sf" "$out" > "$WORK/verify_$sf.log" 2>&1
+  python3 tools/selfcheck.py "$out" "/root/testdata/$sf" "skip=$CC5" \
+    > "$WORK/selfcheck_$sf.log" 2>&1 || true
+  tail -1 "$WORK/selfcheck_$sf.log"
+  tail -1 "$WORK/selfcheck_$sf.log" | grep -q "/ 0 fail" \
+    || { grep "^FAIL" "$WORK/selfcheck_$sf.log" | head -10; exit 1; }
+  python3 tools/cc_oracle.py "$out" "/root/testdata/$sf" \
+    > "$WORK/cc_$sf.log" 2>&1 \
+    || { echo "   cc_oracle FAIL:"; tail -10 "$WORK/cc_$sf.log"; exit 1; }
+  grep -c "^PASS" "$WORK/cc_$sf.log" | xargs -I{} echo "   cc_oracle: {} PASS ($sf)"
+done
+
+echo "== 3/4 bench (sf0.1, cpus=16, repeats=3)"
+# shellcheck disable=SC2086
+SPARK_GRAFT_CPUS=16 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
+  SPARK_GRAFT_BENCH_OUT="$WORK/bench.json" \
+  java $JAVAOPTS -Xmx96g -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
+  graft.Bench > "$WORK/bench.log" 2>&1 \
+  || { echo "   FAIL:"; tail -5 "$WORK/bench.log"; exit 1; }
+tail -1 "$WORK/bench.log"
+python3 - "$WORK/bench.json" <<'EOF'
+import json, sys
+b = json.load(open(sys.argv[1]))
+assert not b["failed"], f"bench failures: {b['failed']}"
+print(f"   total {b['value']}s median {b['median_total']}s "
+      f"spread {b['spread']} load {b['load_start']} -> {b['load_end']}")
+EOF
+
+echo "== 4/4 leakcheck grep"
+# public-surface sweep for non-public references (mirrors the driver's
+# seven categories at the string level; zero hits required)
+if grep -rniE --exclude=run_gate.sh \
+    "anthropic|claude|s3://|gs://[a-z]|slack\.com/archives|AKIA[0-9A-Z]{16}|x-api-key" \
+    src tools build.sbt README.md 2>/dev/null | grep -v "Binary file"; then
+  echo "   LEAK HITS FOUND"; exit 1
+else
+  echo "   clean"
+fi
+
+echo "== GATE PASS ($WORK)"
