@@ -96,8 +96,11 @@ final class CurationStream(spark: SparkSession,
       .join(fpLog.cur.select(col("fp")), Seq("fp"), "left_anti")
       .select(col("doc_id"))
 
-    // near-dup: the batch's new candidate pairs from the band log
-    val pairs = nd.ingest(batch.select(col("doc_id"), col("text")), batchId)
+    // near-dup: the batch's new candidate pairs from the band log —
+    // LAZY (ingestLazy appends the band log but leaves the pair frame
+    // unmaterialized): the pairs materialize once, inside the fused
+    // checkpoint below, instead of in their own per-batch job
+    val pairs = nd.ingestLazy(batch.select(col("doc_id"), col("text")), batchId)
     val batchIds = batch.select(col("doc_id"))
     val members = pairs.select(col("doc1").as("member"), col("doc2").as("other"))
       .union(pairs.select(col("doc2").as("member"), col("doc1").as("other")))
@@ -149,10 +152,10 @@ final class CurationStream(spark: SparkSession,
         max(col("_g") === "rep").as("keep_rep"),
         max(col("_g") === "lm").as("keep_lm"),
         max(col("_g") === "ct").as("contaminated"))
-    // `fp` rides the decisions checkpoint so the fingerprint-log append
+    // `fp` rides the decisions rows so the fingerprint-log append
     // below is a column-select of an already-materialized frame instead
     // of its own md5-recompute job over the batch
-    val decisions = batch
+    val decisionRows = batch
       .select(col("doc_id"), col("source"),
         graft.ext.TextOps.tokenCount(col("text")).as("n_tokens"),
         (col("doc_id") % 101 === 0).as("is_bench"),
@@ -170,13 +173,40 @@ final class CurationStream(spark: SparkSession,
       .withColumn("keep",
         !col("is_bench") && col("keep_exact") && col("keep_neardup") &&
           col("keep_rep") && col("keep_lm") && !col("contaminated"))
-      .localCheckpoint(eager = true)
 
-    // both logs are narrow projections of the decisions checkpoint just
-    // materialized above — appendView stores the projection instead of
-    // re-checkpointing it, dropping two copy jobs from every batch
+    // FUSED multi-log append: the batch's pair rows and decision rows
+    // materialize in ONE tagged-union checkpoint job instead of two
+    // sequential ones (round-14: the only remaining per-batch jobs are
+    // now the bands checkpoint and this union — the ProfileQ72 matrix
+    // showed stage/exchange materialization, not scheduling, is the
+    // per-batch constant, so halving the checkpoint jobs attacks the
+    // constant directly). Every log segment is then a narrow
+    // filter+projection VIEW of the one materialized frame.
+    def nulls(pairs: (String, String)*): Seq[org.apache.spark.sql.Column] =
+      pairs.map { case (n, t) => lit(null).cast(t).as(n) }
+    val fused = pairs
+      .select(Seq(lit("p").as("_t"), col("doc1"), col("doc2"),
+        col("n_shared_bands")) ++
+        nulls("doc_id" -> "long", "source" -> "string", "n_tokens" -> "long",
+          "is_bench" -> "boolean", "fp" -> "string", "keep_exact" -> "boolean",
+          "keep_neardup" -> "boolean", "keep_rep" -> "boolean",
+          "keep_lm" -> "boolean", "contaminated" -> "boolean",
+          "keep" -> "boolean"): _*)
+      .unionByName(decisionRows
+        .select(Seq(lit("d").as("_t")) ++
+          nulls("doc1" -> "long", "doc2" -> "long",
+            "n_shared_bands" -> "long") ++
+          Seq(col("doc_id"), col("source"), col("n_tokens"), col("is_bench"),
+            col("fp"), col("keep_exact"), col("keep_neardup"), col("keep_rep"),
+            col("keep_lm"), col("contaminated"), col("keep")): _*))
+      .localCheckpoint(eager = true)
+    val decisions = fused.filter(col("_t") === "d")
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("is_bench"),
+        col("fp"), col("keep_exact"), col("keep_neardup"), col("keep_rep"),
+        col("keep_lm"), col("contaminated"), col("keep"))
     fpLog.appendView(decisions.select(col("fp"), col("doc_id")))
-    pairLog.appendOwned(pairs) // log takes the ingest checkpoint — no re-copy
+    pairLog.appendView(fused.filter(col("_t") === "p")
+      .select(col("doc1"), col("doc2"), col("n_shared_bands")))
     docLog.appendView(decisions.select(col("doc_id"), col("source"), col("n_tokens"),
       col("is_bench"), col("keep_rep"), col("keep_lm"), col("contaminated")))
     lastBatchId = batchId

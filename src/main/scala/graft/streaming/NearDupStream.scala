@@ -72,6 +72,18 @@ final class NearDupStream(spark: SparkSession) {
     * idempotent: the failed attempt's append is rolled back first.
     */
   def ingest(batchDocs: DataFrame, batchId: Long): DataFrame = graft.Caches.scoped {
+    ingestLazy(batchDocs, batchId).localCheckpoint(eager = true)
+  }
+
+  /** [[ingest]] minus the final pair materialization: the band log is
+    * appended exactly as in [[ingest]] (the bands checkpoint is reused
+    * three times within the batch and by every later batch, so it
+    * stays eager), but the returned pairs frame is LAZY — the caller
+    * owns its materialization. [[CurationStream.ingest]] uses this to
+    * fuse the batch's pair rows and decision rows into ONE tagged-
+    * union checkpoint job instead of two sequential ones.
+    */
+  def ingestLazy(batchDocs: DataFrame, batchId: Long): DataFrame = {
     if (batchId == lastBatchId) bandLog.rollback()
     val seen = bandLog.cur
     val bands = graft.queries.TextPack.bandedKeys(batchDocs)
@@ -88,7 +100,6 @@ final class NearDupStream(spark: SparkSession) {
     val pairs = nn.union(ns)
       .groupBy(col("doc1"), col("doc2"))
       .agg(count(lit(1)).as("n_shared_bands"))
-      .localCheckpoint(eager = true)
     bandLog.appendOwned(bands) // log takes the checkpoint — no re-copy
     lastBatchId = batchId
     pairs
