@@ -185,6 +185,33 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("runningMaxExclusive: equals the unpartitioned window, numParts-invariant, null head") {
+    import spark.implicits._
+    import graft.ext.PrefixOps
+    import org.apache.spark.sql.expressions.Window
+    // non-monotone values so the running max is not just the previous
+    // row; exercised shape = q129 (zones ordered, max over prior rows)
+    val rows = (1L to 500L).map(i => (i, (i * 2654435761L) % 1000))
+    val df = rows.toDF("zone", "v")
+    val w = Window.orderBy(col("zone")).rowsBetween(Window.unboundedPreceding, -1)
+    val want = df.withColumn("pm", max(col("v")).over(w))
+      .collect().map(r => r.getLong(0) -> Option(r.get(2)).map(_.asInstanceOf[Long])).toMap
+    for (parts <- Seq(1, 3, 17)) Caches.scoped {
+      val out = PrefixOps.runningMaxExclusive(
+        df.repartition(5), Seq("zone"), "v", numParts = parts, maxName = "pm")
+      val got = out.collect()
+        .map(r => r.getLong(0) -> Option(r.get(2)).map(_.asInstanceOf[Long])).toMap
+      assert(got == want, s"numParts=$parts must reproduce the window result")
+      assert(got(1L).isEmpty, "globally first row has no predecessor -> NULL")
+      assert(out.rdd.getNumPartitions == parts)
+    }
+    // empty frame: no rows, no driver crash
+    Caches.scoped {
+      assert(PrefixOps.runningMaxExclusive(
+        df.filter(col("zone") < 0), Seq("zone"), "v").count() == 0L)
+    }
+  }
+
   test("groupedRunningAgg refuses near-unique group keys (slice-count contract)") {
     import spark.implicits._
     import graft.ext.PrefixOps
