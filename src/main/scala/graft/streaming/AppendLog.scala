@@ -29,6 +29,19 @@ import org.apache.spark.sql.types.StructType
   * query: a retry of batchId N rolls back exactly the segments N
   * appended ([[rollback]]), so those must stay distinct until batch
   * N+1 proves N committed.
+  *
+  * READER CONTRACT: a frame captured from [[cur]] stays readable until
+  * the capturing batch's NEXT append — even if that very append's
+  * compaction displaces the captured segments. Compaction materializes
+  * the fold eagerly but DEFERS unpersisting the displaced segments to
+  * the following append ([[reap]]): within a batch the idiom is
+  * "capture `cur` lazily → append → materialize the derived frame"
+  * (NearDupStream.ingestLazy under CurationStream's fused checkpoint),
+  * and an immediate unpersist would yank the captured blocks out from
+  * under that still-lazy read (the r14 'Checkpoint block not found'
+  * race from ~batch maxSegments+2, pinned by SoakSpec). Frames held
+  * ACROSS a later batch boundary (e.g. a lazy `reconcile()` result)
+  * must be materialized before that batch ingests.
   */
 private[streaming] final class AppendLog(spark: SparkSession, schema: StructType) {
   private val empty: DataFrame = spark.createDataFrame(
@@ -44,12 +57,26 @@ private[streaming] final class AppendLog(spark: SparkSession, schema: StructType
   /** Segment count before the last append — rollback truncates to it. */
   private var committedCount: Int = 0
   private val maxSegments = 32
+  /** Owned segments a compaction displaced, NOT yet unpersisted: the
+    * reader contract lets the current batch's lazy captures of [[cur]]
+    * materialize first, so their storage is reclaimed one append later.
+    */
+  private var displaced: Vector[DataFrame] = Vector.empty
 
   def cur: DataFrame =
     if (segments.isEmpty) empty else segments.map(_._1).reduce(_ union _)
 
+  /** Unpersist the segments the PREVIOUS append's compaction displaced —
+    * runs at the start of the next append, by which point the contract
+    * says every frame captured before that compaction has materialized.
+    */
+  private def reap(): Unit = {
+    displaced.foreach(graft.ext.GraphOps.unpersistCheckpoint)
+    displaced = Vector.empty
+  }
+
   def append(rows: DataFrame): Unit = {
-    compactIfWide()
+    reap(); compactIfWide()
     val seg = rows.select(schema.fieldNames.map(col).toSeq: _*)
       .localCheckpoint(eager = true)
     committedCount = segments.length
@@ -67,7 +94,7 @@ private[streaming] final class AppendLog(spark: SparkSession, schema: StructType
     * lineage is gone), leaving reclamation to the ContextCleaner.
     */
   def appendView(rows: DataFrame): Unit = {
-    compactIfWide()
+    reap(); compactIfWide()
     committedCount = segments.length
     segments :+= ((rows.select(schema.fieldNames.map(col).toSeq: _*), false))
   }
@@ -80,7 +107,7 @@ private[streaming] final class AppendLog(spark: SparkSession, schema: StructType
     */
   def appendOwned(seg: DataFrame): Unit =
     if (seg.schema.fieldNames.sameElements(schema.fieldNames)) {
-      compactIfWide()
+      reap(); compactIfWide()
       committedCount = segments.length
       segments :+= ((seg, true))
     } else append(seg)
@@ -93,6 +120,10 @@ private[streaming] final class AppendLog(spark: SparkSession, schema: StructType
   }
 
   def restore(rows: DataFrame): Unit = {
+    // the replaced segments' storage goes through the deferred path too
+    // (a restore abandons any in-flight readers, but reclamation need
+    // not be synchronous)
+    displaced ++= segments.collect { case (seg, true) => seg }
     segments = Vector((rows.select(schema.fieldNames.map(col).toSeq: _*)
       .localCheckpoint(eager = true), true))
     committedCount = segments.length // nothing to roll back after a restore
@@ -102,14 +133,16 @@ private[streaming] final class AppendLog(spark: SparkSession, schema: StructType
     * grows past `maxSegments` children (bounded plan width ↔ bounded
     * per-append work: each row is re-copied only every ~maxSegments
     * batches, amortized O(1) per batch). The last append's segments are
-    * excluded so an in-flight retry can still roll them back.
+    * excluded so an in-flight retry can still roll them back. Displaced
+    * owned segments are NOT unpersisted here — the current batch may
+    * hold lazy captures of `cur` over them (reader contract above);
+    * they are reaped at the next append.
     */
   private def compactIfWide(): Unit =
     if (committedCount > maxSegments) {
       val (done, pending) = segments.splitAt(committedCount)
       val folded = done.map(_._1).reduce(_ union _).localCheckpoint(eager = true)
-      done.foreach { case (seg, owned) =>
-        if (owned) graft.ext.GraphOps.unpersistCheckpoint(seg) }
+      displaced ++= done.collect { case (seg, true) => seg }
       segments = (folded, true) +: pending
       committedCount = 1
     }

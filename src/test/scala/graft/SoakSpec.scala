@@ -1,0 +1,150 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import scala.collection.mutable
+
+/** Long-horizon micro-batch soaks for the [[graft.streaming.AppendLog]]-
+  * backed streams. The 3-batch StreamingSpec cases never cross
+  * `AppendLog.maxSegments` (32), so log COMPACTION — and the lifetime of
+  * checkpoint blocks it displaces — was exercised by no test. These run
+  * 100+ batches (the compaction boundary is crossed several times per
+  * log) with mid-stream foreachBatch retries placed ON the boundary, and
+  * assert:
+  *
+  *   (a) correctness holds across compactions: streamed pairs/decisions
+  *       still equal the batch operators exactly (this is the regression
+  *       test for the r14 lazy-pairs race — `NearDupStream.ingestLazy`
+  *       captured `bandLog.cur` lazily and `appendOwned`'s compaction
+  *       then unpersisted the captured segments before the caller's
+  *       fused checkpoint read them: "Checkpoint block not found" from
+  *       ~batch 35 onward, fixed by deferring the displaced segments'
+  *       unpersist to the NEXT append);
+  *   (b) BlockManager storage PLATEAUS: view segments pin their parents'
+  *       full-width fused checkpoints only until the fold copies the
+  *       narrow projection out, so persistent-RDD count and stored bytes
+  *       late in the soak must stay within a constant factor of the
+  *       first post-compaction measurement — the empirical bound on the
+  *       AppendLog retention question (VERDICT r14 #1).
+  */
+class SoakSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** (persistent-RDD count, stored bytes) after nudging the
+    * ContextCleaner: view-segment parents are reclaimed via weak refs,
+    * so without a GC the measurement would count garbage awaiting
+    * collection, not the retention bound under test.
+    */
+  private def storageNow(): (Int, Long) = {
+    System.gc()
+    Thread.sleep(400)
+    val infos = spark.sparkContext.getRDDStorageInfo
+    (infos.count(_.isCached), infos.map(_.memSize).sum)
+  }
+
+  private def docChunks(batchRows: Int): Vector[Seq[(Long, String)]] =
+    Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .collect().sortBy(_._1).grouped(batchRows).map(_.toSeq).toVector
+
+  test("NearDupStream soak: 125 batches across compactions; pairs ≡ batch join; storage plateaus") {
+    val chunks = docChunks(4) // 500 docs → 125 batches; compaction ~every 32
+    val nd = new graft.streaming.NearDupStream(spark)
+    val emitted = mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val samples = mutable.ArrayBuffer.empty[(Int, (Int, Long))]
+    chunks.zipWithIndex.foreach { case (chunk, i) =>
+      val b = chunk.toDF("doc_id", "text")
+      // foreachBatch retry ON the compaction boundary and mid-run: the
+      // first attempt "fails downstream", the replay must roll back its
+      // append and re-emit identical pairs
+      if (i == 33 || i == 70) {
+        val first = nd.ingest(b, i.toLong).collect().toSet
+        val retry = nd.ingest(b, i.toLong).collect().toSet
+        assert(first == retry, s"retry at batch $i not idempotent")
+        emitted ++= retry.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      } else {
+        emitted ++= nd.ingest(b, i.toLong).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      }
+      if (i == 40 || i == 80 || i == chunks.length - 1)
+        samples += (i + 1) * 4 -> storageNow() // keyed by docs ingested
+    }
+    // exactly-once emission with the batch join's n_shared_bands,
+    // across every compaction
+    val all = chunks.flatten.toDF("doc_id", "text")
+    val batchPairs = Caches.scoped {
+      graft.queries.TextPack.lshCandidatePairsFrom(all).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    assert(emitted.size == emitted.toSet.size, "a pair was emitted twice")
+    assert(emitted.toSet == batchPairs)
+    // retention bound: the band log's STATE is O(docs) by design (near-
+    // dup candidates never expire), so stored bytes grow linearly with
+    // the corpus — the bound under test is the OVERHEAD on top of that
+    // irreducible state: (1) per-doc bytes must not grow (no super-
+    // linear retention — e.g. un-reclaimed displaced segments would
+    // double it every compaction cycle); (2) cached-RDD count stays
+    // within one compaction cycle's segment width (maxSegments + the
+    // in-flight tail), never "one leaked RDD per batch".
+    info("storage (docs→(rdds,bytes)): " +
+      samples.map { case (n, (c, m)) => s"$n→($c,$m)" }.mkString(" "))
+    val (d0, (c0, m0)) = samples.head
+    val (dEnd, (cEnd, mEnd)) = samples.last
+    val perDoc0 = m0.toDouble / d0
+    val perDocEnd = mEnd.toDouble / dEnd
+    assert(perDocEnd <= 2.0 * perDoc0,
+      s"per-doc stored bytes grew $perDoc0 → $perDocEnd: retention is super-linear")
+    assert(samples.forall(_._2._1 <= 48),
+      s"cached-RDD count ${samples.map(_._2._1)} exceeds one compaction cycle (~33 segments)")
+  }
+
+  test("CurationStream soak: 100 batches with boundary retries; reconcile ≡ batch corpus build; storage plateaus") {
+    import graft.queries.CurationPack
+    import graft.ext.TextOps
+    val dir = "/root/testdata/sf0.001"
+    Caches.scoped {
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"), col("text"))
+      val t = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      val (uni, bi) = CurationPack.lmStats(t, CurationPack.bigramRows(docs))
+      val benchSh = TextOps.shingleRows(
+          docs.filter(col("doc_id") % 101 === 0), "doc_id", "text", 8)
+        .select(col("_s").as("sh"))
+      val cs = new graft.streaming.CurationStream(spark, uni, bi, benchSh)
+
+      val rows = docs.select(col("doc_id")).as[Long].collect().sorted
+      val chunks = rows.grouped(5).map(_.toSeq).toVector // 100 batches
+      val nDecisions = mutable.ArrayBuffer.empty[Long]
+      val samples = mutable.ArrayBuffer.empty[(Int, (Int, Long))]
+      chunks.zipWithIndex.foreach { case (ids, i) =>
+        val b = docs.filter(col("doc_id").between(ids.head, ids.last))
+        if (i == 34 || i == 72) cs.ingest(b, i.toLong).collect() // retry
+        nDecisions += cs.ingest(b, i.toLong).count()
+        if (i == 45 || i == chunks.length - 1)
+          samples += (i + 1) * 5 -> storageNow() // keyed by docs ingested
+      }
+      assert(nDecisions.sum == rows.length)
+
+      val got = cs.reconcile().collect().map(_.toString).sorted
+      val want = CurationPack.corpusBuild(spark, dir).collect().map(_.toString).sorted
+      assert(want.nonEmpty && got.sameElements(want))
+
+      // four logs (fp/pair/doc views + band log), all O(docs) state by
+      // design — same overhead bounds as above: per-doc bytes constant
+      // (views pin their full-width fused parents only until the fold
+      // copies the narrow projection out — a constant factor, not a
+      // growing one), RDD count within the logs' combined segment width.
+      info("storage (docs→(rdds,bytes)): " +
+        samples.map { case (n, (c, m)) => s"$n→($c,$m)" }.mkString(" "))
+      val (d0, (_, m0)) = samples.head
+      val (dEnd, (_, mEnd)) = samples.last
+      assert(mEnd.toDouble / dEnd <= 2.0 * (m0.toDouble / d0),
+        s"per-doc stored bytes grew ${m0 / d0} → ${mEnd / dEnd}: retention is super-linear")
+      assert(samples.forall(_._2._1 <= 160),
+        s"cached-RDD count ${samples.map(_._2._1)} exceeds the four logs' segment width")
+    }
+  }
+}
