@@ -2,7 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+import org.apache.spark.sql.types.{ByteType, DataType, DoubleType, IntegerType, LongType, ShortType, StructField, StructType}
 
 /** Embedding similarity-search operators.
   *
@@ -161,11 +161,21 @@ object VectorOps {
     * ENFORCED: the (persisted) input is counted up front and the operator
     * refuses corpora above `maxRows` rather than silently planning a
     * BroadcastNestedLoopJoin cross product over an unbounded corpus.
+    * `maxRows` is ALSO a driver-heap bound: the corpus is collected and
+    * broadcast as primitive (id, vec, norm) tuples, ~n·(8·d + ~64) bytes
+    * of driver memory at the default 100k rows — size it to the driver,
+    * not just to the pair count. `idCol` must be a non-null-safe INTEGRAL
+    * column (enforced with a named error); rows with a null id or null
+    * vector never pair, exactly as the join form null-propagated them.
     */
   def thresholdPairs(vectors: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "qvec",
       maxRows: Long = 100000L): DataFrame = {
     val spark = vectors.sparkSession
+    val idType = vectors.schema(idCol).dataType
+    require(Set[DataType](ByteType, ShortType, IntegerType, LongType).contains(idType),
+      s"thresholdPairs needs an integral $idCol (got ${idType.simpleString}): " +
+        "a lossy cast would silently corrupt pair identities")
     val withNorm = graft.Caches.persisted(vectors.withColumn("nrm", normInt(col(vecCol))))
     val n = withNorm.count()
     require(n <= maxRows,
@@ -179,15 +189,21 @@ object VectorOps {
     // the 10x fixture, 16 cores). Arithmetic is bit-identical to the
     // old cosinePre expression: exact long dot over min-length (the
     // DotLong contract), then dot.toDouble / (n1 * n2) in the same
-    // IEEE op order; null vectors never pair (the old expression
-    // null-propagated them through the >= filter).
+    // IEEE op order; null ids and null vectors never pair (the old
+    // join/expression null-propagated them out of the result). One
+    // deliberate divergence: a ZERO vector scores 0.0/0.0 = NaN here
+    // and never pairs (NaN >= threshold is false), where the join form
+    // under ANSI mode (Spark 4 default) would ERROR the whole query
+    // with DIVIDE_BY_ZERO — PropertySpec pins the NaN-drop.
     // RDD justification (brief): a triangular all-pairs scan resuming
-    // per slice is genuine per-partition imperative logic.
+    // per slice is genuine per-partition imperative logic. The collect
+    // maps Rows to primitive tuples ON THE EXECUTORS, so the driver
+    // holds one flat tuple per row, not Row/Seq wrappers.
     val corpus: Array[(Long, Array[Long], Double)] = withNorm
       .select(col(idCol).cast("long"), col(vecCol), col("nrm"))
-      .where(col(vecCol).isNotNull)
+      .where(col(vecCol).isNotNull && col(idCol).isNotNull)
+      .rdd.map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getDouble(2)))
       .collect()
-      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getDouble(2)))
       .sortBy(_._1)
     val bc = spark.sparkContext.broadcast(corpus)
     val parts = math.max(1, spark.sparkContext.defaultParallelism)
@@ -215,10 +231,14 @@ object VectorOps {
         }
       }
     }
+    // id1/id2 go back to the INPUT id type — the join form's output
+    // schema, not the kernel's internal widening
     spark.createDataFrame(pairRows, StructType(Seq(
-      StructField("id1", LongType, nullable = false),
-      StructField("id2", LongType, nullable = false),
-      StructField("cosine", DoubleType, nullable = false))))
+        StructField("id1", LongType, nullable = false),
+        StructField("id2", LongType, nullable = false),
+        StructField("cosine", DoubleType, nullable = false))))
+      .select(col("id1").cast(idType).as("id1"),
+        col("id2").cast(idType).as("id2"), col("cosine"))
   }
 
   /** Sign-random-projection LSH bucket key: `planes` deterministic

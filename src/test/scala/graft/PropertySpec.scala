@@ -392,4 +392,79 @@ class PropertySpec extends AnyFunSuite {
       "permessage-deflate; server_no_context_takeover")
       .contains(Rfc6455.PmdParams(serverNoContextTakeover = true)))
   }
+
+  test("thresholdPairs kernel ≡ the id1<id2 join it replaced: dup ids, null ids/vecs, ragged lengths, boundary hit") {
+    import graft.ext.VectorOps
+    import org.apache.spark.sql.functions._
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    (1 to 20).foreach { trial =>
+      // dup-heavy small id space, occasional null ids and null vectors,
+      // ragged vector lengths (the DotLong min-length contract), zero
+      // vectors (NaN cosine must drop in both forms)
+      val n = 2 + rnd.nextInt(16)
+      val rows: Seq[(java.lang.Long, Seq[Long])] = (0 until n).map { _ =>
+        val id: java.lang.Long =
+          if (rnd.nextInt(10) == 0) null
+          else java.lang.Long.valueOf(rnd.nextInt(7).toLong)
+        val vec: Seq[Long] =
+          if (rnd.nextInt(12) == 0) null
+          else Seq.fill(1 + rnd.nextInt(5))(rnd.nextInt(7).toLong - 3)
+        (id, vec)
+      }
+      val df = rows.toDF("vec_id", "qvec")
+      def kernel(th: Double): Seq[(Long, Long, Double)] = Caches.scoped {
+        VectorOps.thresholdPairs(df, th, maxRows = 1000L)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+          .toSeq.sorted
+      }
+      def joinForm(th: Double): Seq[(Long, Long, Double)] = {
+        val wn = df.withColumn("nrm", VectorOps.normInt(col("qvec")))
+        wn.select(col("vec_id").as("id1"), col("qvec").as("v1"), col("nrm").as("n1"))
+          .join(wn.select(col("vec_id").as("id2"), col("qvec").as("v2"),
+            col("nrm").as("n2")), col("id1") < col("id2"))
+          // zero-norm guard: under ANSI (Spark 4 default) a bare divide
+          // THROWS on zero vectors, and Spark SQL's `>=` sorts NaN above
+          // everything (so NaN would PASS any threshold) — the kernel's
+          // JVM 0.0/0.0 gives NaN and its `>=` drops it. The NaN-drop is
+          // the pinned behavior (a zero vector has no cosine direction),
+          // made explicit here with the isnan filter.
+          .withColumn("cosine",
+            when(col("n1") * col("n2") === 0.0, lit(Double.NaN))
+              .otherwise(VectorOps.dotInt(col("v1"), col("v2")).cast("double") /
+                (col("n1") * col("n2"))))
+          .filter(!isnan(col("cosine")) && col("cosine") >= th)
+          .select(col("id1"), col("id2"), col("cosine"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+          .toSeq.sorted
+      }
+      val th = Seq(-2.0, 0.3)(rnd.nextInt(2))
+      val (got, want) = (kernel(th), joinForm(th))
+      // MULTISET equality with bit-exact cosines (duplicate ids emit one
+      // row per row-pair in both forms)
+      assert(got == want, s"trial=$trial th=$th rows=$rows")
+      // threshold boundary: rerun with th == an emitted cosine; the >=
+      // must keep that exact pair in both forms
+      want.headOption.foreach { case (_, _, c) =>
+        if (!c.isNaN) assert(kernel(c) == joinForm(c), s"boundary th=$c rows=$rows")
+      }
+    }
+  }
+
+  test("thresholdPairs enforces an integral id column and preserves the input id type") {
+    import graft.ext.VectorOps
+    import org.apache.spark.sql.functions._
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val bad = Seq(("a", Seq(1L, 2L)), ("b", Seq(2L, 1L))).toDF("vec_id", "qvec")
+    val err = intercept[IllegalArgumentException] {
+      VectorOps.thresholdPairs(bad, 0.0)
+    }
+    assert(err.getMessage.contains("integral"))
+    val ints = Seq((1, Seq(1L, 0L)), (2, Seq(2L, 0L))).toDF("vec_id", "qvec")
+    val out = Caches.scoped { VectorOps.thresholdPairs(ints, 0.5) }
+    assert(out.schema("id1").dataType == org.apache.spark.sql.types.IntegerType)
+    assert(out.schema("id2").dataType == org.apache.spark.sql.types.IntegerType)
+    assert(out.collect().map(r => (r.getInt(0), r.getInt(1))).toSeq == Seq((1, 2)))
+  }
 }
