@@ -119,7 +119,101 @@ object Bench {
     s"""{"metric":"total","value":$total,"unit":"sec","queries":${qmap(_.min)},"queries_median":${qmap(median)},"sf":"$sfDir","repeats":$repeats,"first_run_total":$firstRun,"median_total":$med,"spread":${f(spread(results))},"load_start":"$loadStart","load_end":"$loadEnd","failed":${failedJson(results, Int.MaxValue)},"errors":$errsJson}"""
   }
 
+  /** Per-query ISOLATION mode (`SPARK_GRAFT_BENCH_ISOLATE=q11_…,q33_…`
+    * or `all`): each named query runs in a FRESH CHILD JVM — same java
+    * binary, module flags, heap, and classpath as this one — via the
+    * existing `SPARK_GRAFT_BENCH_ONLY` path, and the parent merges the
+    * children's file artifacts. Session-heap artifacts (r14: q11 read
+    * 10.8× at the 10× fixture in-bench but 2.3× standalone — old-gen
+    * pressure from 100+ earlier queries, not q11's own scaling) become
+    * mechanically attributable: the in-bench and isolated numbers now
+    * come from the same command instead of a hand-run ProfileQuery.
+    * The merged artifact records each query's child min-of-repeats;
+    * `spread`/`median_total`/`first_run_total` are therefore child
+    * minima too (this is a diagnostic mode, not the driver contract —
+    * the artifact carries `"isolated":true` so nothing mistakes one
+    * for the other).
+    */
+  private[graft] def isolateRun(names: Seq[String], sfDir: String,
+      repeats: Int, warmupDir: String,
+      timeoutSec: Long = 1800L): Results = {
+    import scala.jdk.CollectionConverters._
+    val javaBin = java.nio.file.Paths.get(
+      sys.props("java.home"), "bin", "java").toString
+    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.toSeq
+      .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-Xrunjdwp"))
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    names.map { name =>
+      val out = java.nio.file.Files.createTempFile(s"bench_iso_$name", ".json")
+      val log = java.nio.file.Paths.get(out.toString + ".log")
+      val cmd = (Seq(javaBin) ++ jvmArgs ++
+        Seq("-cp", sys.props("java.class.path"), "graft.Bench")).asJava
+      val pb = new ProcessBuilder(cmd)
+      pb.environment().remove("SPARK_GRAFT_BENCH_ISOLATE") // no recursion
+      pb.environment().put("SPARK_GRAFT_BENCH_ONLY", name)
+      pb.environment().put("SPARK_GRAFT_BENCH_OUT", out.toString)
+      pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
+      pb.environment().put("SPARK_GRAFT_WARMUP_DIR", warmupDir)
+      pb.environment().put("SPARK_GRAFT_BENCH_REPEATS", repeats.toString)
+      pb.redirectOutput(log.toFile)
+      pb.redirectErrorStream(true)
+      val proc = pb.start()
+      val result: Either[String, Seq[Double]] =
+        if (!proc.waitFor(timeoutSec, java.util.concurrent.TimeUnit.SECONDS)) {
+          proc.destroyForcibly()
+          Left(s"isolated child timed out after ${timeoutSec}s (log: $log)")
+        } else if (proc.exitValue() != 0) {
+          Left(s"isolated child exited ${proc.exitValue()} (log: $log)")
+        } else {
+          try {
+            val node = mapper.readTree(out.toFile)
+            val q = node.get("queries").get(name)
+            if (q == null) Left(s"child artifact has no entry for $name")
+            else if (q.isTextual) Left(Option(node.get("errors"))
+              .flatMap(e => Option(e.get(name))).map(_.asText)
+              .getOrElse("err (no message in child artifact)"))
+            else Right(Seq(q.asDouble()))
+          } catch { case e: Throwable =>
+            Left(s"unparseable child artifact: ${e.getMessage}")
+          }
+        }
+      (name, result)
+    }
+  }
+
+  private def isolateMain(spec: String): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val warmupDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.001")
+    val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt.max(1)
+    val names =
+      if (spec.trim == "all") SparkEntry.queries.keys.toSeq.sorted
+      else spec.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val loadStart = loadavg()
+    val results = isolateRun(names, sfDir, repeats, warmupDir)
+    val loadEnd = loadavg()
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "target/bench_isolated.json")
+    // same artifact pair as the in-bench path, tagged as isolated
+    def tag(json: String) = json.patch(1, "\"isolated\":true,", 0)
+    val json = tag(headlineJson(results, sfDir, repeats, outPath, loadStart, loadEnd))
+    try {
+      val p = java.nio.file.Paths.get(outPath)
+      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.writeString(p,
+        tag(fullJson(results, sfDir, repeats, loadStart, loadEnd)) + "\n")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
+    println(json)
+    System.out.flush()
+  }
+
   def main(args: Array[String]): Unit = {
+    sys.env.get("SPARK_GRAFT_BENCH_ISOLATE").filter(_.trim.nonEmpty) match {
+      case Some(spec) => isolateMain(spec); return
+      case None =>
+    }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmupDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.001")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")

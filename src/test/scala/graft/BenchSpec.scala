@@ -87,4 +87,20 @@ class BenchSpec extends AnyFunSuite {
     val full = Bench.fullJson(results, sf, repeats = 1)
     assert(full.contains("\"q60_x\"") && !full.contains("\"...+"))
   }
+
+  test("isolate mode: fresh child JVM per query, child min merged; unknown query is an error") {
+    // real e2e — two child JVMs at sf0.001 (one valid cheap query, one
+    // bogus name); proves the command construction, env plumbing, and
+    // child-artifact parse, not just string helpers
+    val r = Bench.isolateRun(Seq("q01_pricing_summary", "zz_not_a_query"),
+      "/root/testdata/sf0.001", repeats = 1,
+      warmupDir = "/root/testdata/sf0.001", timeoutSec = 600L)
+    assert(r.map(_._1) == Seq("q01_pricing_summary", "zz_not_a_query"))
+    r.head._2 match {
+      case Right(samples) =>
+        assert(samples.length == 1 && samples.head > 0.0)
+      case Left(m) => fail(s"isolated q01 failed: $m")
+    }
+    assert(r(1)._2.isLeft, "a query name the child cannot resolve must be an error")
+  }
 }

@@ -10,6 +10,9 @@
 #    cc_oracle.py's union-find path;
 # 3. full bench at sf0.1 (SPARK_GRAFT_CPUS=16, repeats 3 — the
 #    BENCH_LOCAL_r{N} recipe), artifact left in $WORK/bench.json;
+#    with BENCH_10X=1, also the full-surface bench on the 10x fixture,
+#    the wall-ratio table (vs this session's sf0.1 artifact), and a
+#    drift check against SCALE.md's recorded ratios (>2x growth fails);
 # 4. LEAKCHECK-style grep over src/, tools/, build.sbt, README.md for
 #    non-public references.
 #
@@ -32,7 +35,10 @@ JAVAOPTS="--add-exports=java.base/sun.nio.ch=ALL-UNNAMED
 echo "== 1/4 sbt test"
 sbt -batch test > "$WORK/test.log" 2>&1 \
   || { echo "   FAIL — tail of $WORK/test.log:"; tail -20 "$WORK/test.log"; exit 1; }
-grep -E "Tests: succeeded|All tests passed" "$WORK/test.log" | tail -2
+# informational only (pass/fail decided by sbt's exit code above); the
+# `|| true` keeps a banner-format change from aborting the gate under
+# pipefail with a bogus stage failure
+(grep -E "Tests: succeeded|All tests passed" "$WORK/test.log" || true) | tail -2
 
 echo "== 2/4 oracle selfcheck (sf0.001 + sf0.01)"
 for sf in sf0.001 sf0.01; do
@@ -48,7 +54,9 @@ for sf in sf0.001 sf0.01; do
   python3 tools/cc_oracle.py "$out" "/root/testdata/$sf" \
     > "$WORK/cc_$sf.log" 2>&1 \
     || { echo "   cc_oracle FAIL:"; tail -10 "$WORK/cc_$sf.log"; exit 1; }
-  grep -c "^PASS" "$WORK/cc_$sf.log" | xargs -I{} echo "   cc_oracle: {} PASS ($sf)"
+  # informational (cc_oracle's exit code above is the gate): grep -c
+  # exits 1 on zero matches, which pipefail would turn into a stage abort
+  (grep -c "^PASS" "$WORK/cc_$sf.log" || true) | xargs -I{} echo "   cc_oracle: {} PASS ($sf)"
 done
 
 echo "== 3/4 bench (sf0.1, cpus=16, repeats=3)"
@@ -66,6 +74,29 @@ assert not b["failed"], f"bench failures: {b['failed']}"
 print(f"   total {b['value']}s median {b['median_total']}s "
       f"spread {b['spread']} load {b['load_start']} -> {b['load_end']}")
 EOF
+
+# Optional 10x stage (BENCH_10X=1): regenerate the 10x fixture if absent,
+# run the full-surface bench on it, render the wall-ratio table against
+# THIS session's sf0.1 bench (stage 3 — same machine, same settings), and
+# diff the ratios against the table recorded in SCALE.md. Fails when any
+# recorded query's ratio grew >2x — either a real scale regression or a
+# measurement to re-record with a named term; both deserve a stop.
+if [ "${BENCH_10X:-0}" = "1" ]; then
+  echo "== 3b/4 10x wall-ratio bench + drift check (BENCH_10X=1)"
+  [ -d target/sf10x ] || python3 tools/gen_scale_fixture.py > "$WORK/gen10x.log" 2>&1
+  # shellcheck disable=SC2086
+  SPARK_GRAFT_CPUS=16 SPARK_GRAFT_SF_DIR="$PWD/target/sf10x" \
+    SPARK_GRAFT_BENCH_OUT="$WORK/bench_10x.json" \
+    java $JAVAOPTS -Xmx96g -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
+    graft.Bench > "$WORK/bench_10x.log" 2>&1 \
+    || { echo "   FAIL:"; tail -5 "$WORK/bench_10x.log"; exit 1; }
+  python3 tools/bench_ratio.py "$WORK/bench.json" "$WORK/bench_10x.json" \
+    > "$WORK/ratio_table.md"
+  (tail -3 "$WORK/ratio_table.md" || true) | head -1
+  python3 tools/ratio_drift.py SCALE.md "$WORK/ratio_table.md" \
+    | tee "$WORK/ratio_drift.log" \
+    || { echo "   RATIO DRIFT — see $WORK/ratio_table.md"; exit 1; }
+fi
 
 echo "== 4/4 leakcheck grep"
 # public-surface sweep for non-public references (mirrors the driver's
