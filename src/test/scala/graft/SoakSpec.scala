@@ -5,13 +5,14 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import scala.collection.mutable
 
-/** Long-horizon micro-batch soaks for the [[graft.streaming.AppendLog]]-
-  * backed streams. The 3-batch StreamingSpec cases never cross
-  * `AppendLog.maxSegments` (32), so log COMPACTION — and the lifetime of
-  * checkpoint blocks it displaces — was exercised by no test. These run
-  * 100+ batches (the compaction boundary is crossed several times per
-  * log) with mid-stream foreachBatch retries placed ON the boundary, and
-  * assert:
+/** Long-horizon micro-batch soaks for ALL FOUR
+  * [[graft.streaming.AppendLog]]-backed streams (NearDupStream,
+  * SpanDedupStream, AnnStream, CurationStream). The 3-batch
+  * StreamingSpec cases never cross `AppendLog.maxSegments` (32), so log
+  * COMPACTION — and the lifetime of checkpoint blocks it displaces —
+  * was exercised by no test. These run 100+ batches (the compaction
+  * boundary is crossed several times per log) with mid-stream
+  * foreachBatch retries placed ON the boundary, and assert:
   *
   *   (a) correctness holds across compactions: streamed pairs/decisions
   *       still equal the batch operators exactly (this is the regression
@@ -99,6 +100,84 @@ class SoakSpec extends AnyFunSuite {
       s"per-doc stored bytes grew $perDoc0 → $perDocEnd: retention is super-linear")
     assert(samples.forall(_._2._1 <= 48),
       s"cached-RDD count ${samples.map(_._2._1)} exceeds one compaction cycle (~33 segments)")
+  }
+
+  test("SpanDedupStream soak: 100 batches across compactions; hits exactly-once ≡ batch hit set; storage bounded") {
+    val chunks = docChunks(5) // 100 batches; occLog compaction ~b34, ~b67
+    val st = new graft.streaming.SpanDedupStream(spark)
+    val emitted = mutable.ArrayBuffer.empty[(Long, Int)]
+    val samples = mutable.ArrayBuffer.empty[(Int, (Int, Long))]
+    chunks.zipWithIndex.foreach { case (chunk, i) =>
+      val b = chunk.toDF("doc_id", "text")
+      if (i == 34 || i == 70) {
+        val first = st.ingest(b, i.toLong).collect().toSet
+        val retry = st.ingest(b, i.toLong).collect().toSet
+        assert(first == retry, s"retry at batch $i not idempotent")
+        emitted ++= retry.map(r => (r.getLong(0), r.getInt(1)))
+      } else {
+        emitted ++= st.ingest(b, i.toLong).collect()
+          .map(r => (r.getLong(0), r.getInt(1)))
+      }
+      if (i == 40 || i == chunks.length - 1)
+        samples += (i + 1) * 5 -> storageNow()
+    }
+    // exactly-once (incl. retroactive emissions) ≡ the batch duplicated-
+    // occurrence set, across every compaction
+    val all = chunks.flatten.toDF("doc_id", "text")
+    val batchHits = Caches.scoped {
+      val occ = graft.queries.CurationPack.spanOccurrences(all)
+      val dup = occ.groupBy(col("sh"))
+        .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+        .filter(col("mn") =!= col("mx")).select(col("sh"))
+      occ.join(dup, "sh").select(col("doc_id"), col("pos"))
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    }
+    assert(emitted.size == emitted.toSet.size, "a hit was emitted twice")
+    assert(emitted.toSet == batchHits)
+    info("storage (docs→(rdds,bytes)): " +
+      samples.map { case (n, (c, m)) => s"$n→($c,$m)" }.mkString(" "))
+    val (d0, (_, m0)) = samples.head
+    val (dEnd, (_, mEnd)) = samples.last
+    assert(mEnd.toDouble / dEnd <= 2.0 * (m0.toDouble / d0),
+      s"per-doc stored bytes grew ${m0 / d0} → ${mEnd / dEnd}: retention is super-linear")
+    assert(samples.forall(_._2._1 <= 48),
+      s"cached-RDD count ${samples.map(_._2._1)} exceeds one compaction cycle")
+  }
+
+  test("AnnStream soak: 100 ingest batches across compactions; probe ≡ batch IVF index; storage bounded") {
+    import graft.ext.VectorOps
+    val dir = "/root/testdata/sf0.001"
+    Caches.scoped {
+      val vecs = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), VectorOps.quantize(col("embedding"), 1000.0).as("qvec"))
+      val codebook = VectorOps.kmeansCodebook(vecs, 8, 2)
+      val want = VectorOps.ivfProbeTopK(vecs, codebook, q => q < 10, 5, 2)
+        .orderBy(col("q_id"), col("rank")).collect().map(_.toString)
+
+      val as = new graft.streaming.AnnStream(spark, codebook)
+      val ids = vecs.select(col("vec_id")).as[Long].collect().sorted
+      val chunks = ids.grouped(5).map(_.toSeq).toVector // 100 batches
+      val samples = mutable.ArrayBuffer.empty[(Int, (Int, Long))]
+      chunks.zipWithIndex.foreach { case (c, i) =>
+        val b = vecs.filter(col("vec_id").between(c.head, c.last))
+        if (i == 34 || i == 70) as.ingest(b, i.toLong) // retry path
+        as.ingest(b, i.toLong)
+        if (i == 40 || i == chunks.length - 1)
+          samples += (i + 1) * 5 -> storageNow()
+      }
+      val got = as.probe(vecs.filter(col("vec_id") < 10), 5, 2)
+        .orderBy(col("q_id"), col("rank")).collect().map(_.toString)
+      assert(got.sameElements(want),
+        "probe over 100-batch streamed postings diverged from the batch index")
+      info("storage (vecs→(rdds,bytes)): " +
+        samples.map { case (n, (c, m)) => s"$n→($c,$m)" }.mkString(" "))
+      val (d0, (_, m0)) = samples.head
+      val (dEnd, (_, mEnd)) = samples.last
+      assert(mEnd.toDouble / dEnd <= 2.0 * (m0.toDouble / d0),
+        s"per-vec stored bytes grew ${m0 / d0} → ${mEnd / dEnd}: retention is super-linear")
+      assert(samples.forall(_._2._1 <= 48),
+        s"cached-RDD count ${samples.map(_._2._1)} exceeds one compaction cycle")
+    }
   }
 
   test("CurationStream soak: 100 batches with boundary retries; reconcile ≡ batch corpus build; storage plateaus") {
