@@ -103,7 +103,7 @@ echo "== 4/4 leakcheck grep"
 # seven categories at the string level; zero hits required)
 if grep -rniE --exclude=run_gate.sh \
     "anthropic|claude|s3://|gs://[a-z]|slack\.com/archives|AKIA[0-9A-Z]{16}|x-api-key" \
-    src tools build.sbt README.md 2>/dev/null | grep -v "Binary file"; then
+    src tools build.sbt README.md CHANGELOG.md SURVEY.md SCALE.md 2>/dev/null | grep -v "Binary file"; then
   echo "   LEAK HITS FOUND"; exit 1
 else
   echo "   clean"
