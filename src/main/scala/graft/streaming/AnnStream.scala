@@ -47,7 +47,14 @@ final class AnnStream(spark: SparkSession, codebook: DataFrame) {
           graft.ext.VectorOps.normInt(col(vecCol)).as("nrm")))
       val assigned = graft.ext.VectorOps.postingsOf(vecs, cb, idCol, vecCol)
         .localCheckpoint(eager = true)
-      postings.append(assigned)
+      // appendView, not append: `assigned` is already a lineage-truncated
+      // checkpoint, and the CALLER owns it (it's the return value), so
+      // the log borrows a view instead of running a second copy job per
+      // micro-batch — rollback/compaction drop only the reference and
+      // the ContextCleaner reclaims the blocks once the caller's ref
+      // drops too (the same borrowed-parent lifecycle as
+      // CurationStream's fused-frame views).
+      postings.appendView(assigned)
       lastBatchId = batchId
       assigned
     }
