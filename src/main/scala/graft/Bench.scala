@@ -178,6 +178,14 @@ object Bench {
             Left(s"unparseable child artifact: ${e.getMessage}")
           }
         }
+      // the per-child artifact is merged above and the log only matters
+      // on failure (its path rides the error message) — an `all` sweep
+      // at ~150 queries would otherwise strand ~300 files per run in
+      // the system temp dir
+      try {
+        java.nio.file.Files.deleteIfExists(out)
+        if (result.isRight) java.nio.file.Files.deleteIfExists(log)
+      } catch { case _: Throwable => () }
       (name, result)
     }
   }

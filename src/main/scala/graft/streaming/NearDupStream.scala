@@ -37,8 +37,25 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   * Reference analog: none — dexscraper dedups within one frame only
   * (`protocol.py` cluster overlap); this is the brief's 100 TB
   * training-data machinery.
+  *
+  * @param durableDir when set, the band log runs in [[AppendLog]]'s
+  *        DURABLE mode (parquet segments + atomic manifest under this
+  *        directory): the accumulated state survives a driver restart,
+  *        and a NEW instance constructed on the same dir resumes where
+  *        the dead one stopped — including replay detection for the
+  *        one batch Structured Streaming re-delivers after recovery
+  *        (the manifest remembers the last appended batchId, so the
+  *        replayed ingest rolls back the dead session's append exactly
+  *        as an in-session retry would). SoakSpec's kill-and-restart
+  *        case proves stream ≡ batch across the restart.
+  * @param logMaxSegments band-log compaction width (default 32): how
+  *        many per-batch segments accumulate before the log folds them
+  *        into one. Lower = narrower union plans but more frequent
+  *        full-log rewrites; SoakSpec stresses the reap/rollback
+  *        interleaving at 4 (a compaction every few batches).
   */
-final class NearDupStream(spark: SparkSession) {
+final class NearDupStream(spark: SparkSession,
+    durableDir: Option[String] = None, logMaxSegments: Int = 32) {
 
   private val bandSchema = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
@@ -48,8 +65,8 @@ final class NearDupStream(spark: SparkSession) {
     * [[AppendLog]], so lineage truncates per batch and a foreachBatch
     * RETRY of the last batch can roll back instead of double-appending.
     */
-  private val bandLog = new AppendLog(spark, bandSchema)
-  private var lastBatchId: Long = Long.MinValue
+  private val bandLog = new AppendLog(spark, bandSchema, durableDir, logMaxSegments)
+  private var lastBatchId: Long = bandLog.restoredBatch.getOrElse(Long.MinValue)
 
   /** Seed the band log after a query RESTART: in production the log is
     * an append-only table on storage, and a recovered query must
@@ -100,10 +117,15 @@ final class NearDupStream(spark: SparkSession) {
     val pairs = nn.union(ns)
       .groupBy(col("doc1"), col("doc2"))
       .agg(count(lit(1)).as("n_shared_bands"))
-    bandLog.appendOwned(bands) // log takes the checkpoint — no re-copy
+    bandLog.appendOwned(bands, batchId) // log takes the checkpoint — no re-copy
     lastBatchId = batchId
     pairs
   }
+
+  /** Release the band log's blocks (a durable log's files stay — a new
+    * instance on the same dir recovers them). Call on stream shutdown.
+    */
+  def close(): Unit = bandLog.close()
 
   /** Periodic reconciliation: collapse the accumulated pair log into
     * (node, component) labels — the batch CC over streamed edges.

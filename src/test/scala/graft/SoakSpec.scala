@@ -37,13 +37,33 @@ class SoakSpec extends AnyFunSuite {
   /** (persistent-RDD count, stored bytes) after nudging the
     * ContextCleaner: view-segment parents are reclaimed via weak refs,
     * so without a GC the measurement would count garbage awaiting
-    * collection, not the retention bound under test.
+    * collection, not the retention bound under test. The cleanup is
+    * ASYNC (cleaner thread drains a reference queue), so one gc + fixed
+    * sleep can under-wait on a loaded machine and report still-pending
+    * garbage as retention — poll until the count stabilizes across two
+    * consecutive reads or a 5 s deadline passes (the deadline keeps a
+    * genuinely-leaking run failing rather than spinning).
     */
   private def storageNow(): (Int, Long) = {
+    def read(): (Int, Long) = {
+      val infos = spark.sparkContext.getRDDStorageInfo
+      (infos.count(_.isCached), infos.map(_.memSize).sum)
+    }
+    val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
     System.gc()
-    Thread.sleep(400)
-    val infos = spark.sparkContext.getRDDStorageInfo
-    (infos.count(_.isCached), infos.map(_.memSize).sum)
+    Thread.sleep(200)
+    var prev = read()
+    var cur = prev
+    var stable = false
+    while (!stable && System.nanoTime() < deadline) {
+      System.gc()
+      Thread.sleep(200)
+      cur = read()
+      stable = cur == prev && cur._1 > 0 // two equal non-trivial reads
+      if (cur._1 == 0 && prev._1 == 0) stable = true
+      prev = cur
+    }
+    cur
   }
 
   private def docChunks(batchRows: Int): Vector[Seq[(Long, String)]] =
@@ -100,6 +120,84 @@ class SoakSpec extends AnyFunSuite {
       s"per-doc stored bytes grew $perDoc0 → $perDocEnd: retention is super-linear")
     assert(samples.forall(_._2._1 <= 48),
       s"cached-RDD count ${samples.map(_._2._1)} exceeds one compaction cycle (~33 segments)")
+  }
+
+  test("NearDupStream durable kill-and-restart: stream ≡ batch across a driver restart, incl. the replayed batch") {
+    // the restart-survivability proof for the DURABLE AppendLog: run
+    // half the stream, throw the instance away (its in-memory state —
+    // checkpoints, lastBatchId — dies with it, exactly like a driver
+    // crash), construct a NEW instance on the same directory, replay
+    // the last batch (Structured Streaming re-delivers the one batch
+    // whose commit is in doubt after recovery), finish the stream, and
+    // require the union of BOTH sessions' emissions to equal the batch
+    // join exactly — no lost cross-restart candidate pair, no
+    // double-emission from the replay.
+    val dir = java.nio.file.Files.createTempDirectory("graft_nd_durable").toString
+    val chunks = docChunks(8) // 500 docs → 63 batches; compaction ~b33 in session 2
+    val killAt = 31
+    val emitted = mutable.ArrayBuffer.empty[(Long, Long, Long)]
+
+    val s1 = new graft.streaming.NearDupStream(spark, durableDir = Some(dir))
+    var lastPairsS1: Set[(Long, Long, Long)] = Set.empty
+    (0 until killAt).foreach { i =>
+      val got = s1.ingest(chunks(i).toDF("doc_id", "text"), i.toLong).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      if (i < killAt - 1) emitted ++= got else lastPairsS1 = got.toSet
+    }
+    s1.close() // the dead session's executor blocks are gone; disk is not
+
+    val s2 = new graft.streaming.NearDupStream(spark, durableDir = Some(dir))
+    // recovery replays batch killAt-1: its append must roll back from
+    // the MANIFEST (s2 never saw s1's lastBatchId in memory) and the
+    // re-emission must match the dead session's bit for bit
+    val replayed = s2.ingest(chunks(killAt - 1).toDF("doc_id", "text"),
+        (killAt - 1).toLong).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(replayed == lastPairsS1,
+      "replay after restart diverged from the dead session's emission")
+    emitted ++= replayed
+    (killAt until chunks.length).foreach { i =>
+      emitted ++= s2.ingest(chunks(i).toDF("doc_id", "text"), i.toLong).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    }
+    val all = chunks.flatten.toDF("doc_id", "text")
+    val batchPairs = Caches.scoped {
+      graft.queries.TextPack.lshCandidatePairsFrom(all).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    assert(emitted.size == emitted.toSet.size, "a pair was emitted twice across the restart")
+    assert(emitted.toSet == batchPairs)
+    s2.close()
+  }
+
+  test("NearDupStream tight-compaction soak (maxSegments=4): ~12 compactions with boundary retries; pairs ≡ batch join") {
+    // maxSegments=32 gives the 125-batch soak ~3 compactions; this one
+    // compacts every ~4 appends (50 batches → ~12 folds), with retries
+    // pinned where a fold, a rollback, and the deferred reap interleave
+    // hardest — immediately after the compaction threshold crossings.
+    val chunks = docChunks(10) // 500 docs → 50 batches
+    val nd = new graft.streaming.NearDupStream(spark, logMaxSegments = 4)
+    val emitted = mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    chunks.zipWithIndex.foreach { case (chunk, i) =>
+      val b = chunk.toDF("doc_id", "text")
+      if (i == 6 || i == 7 || i == 21 || i == 38) {
+        val first = nd.ingest(b, i.toLong).collect().toSet
+        val retry = nd.ingest(b, i.toLong).collect().toSet
+        assert(first == retry, s"retry at batch $i not idempotent")
+        emitted ++= retry.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      } else {
+        emitted ++= nd.ingest(b, i.toLong).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      }
+    }
+    val all = chunks.flatten.toDF("doc_id", "text")
+    val batchPairs = Caches.scoped {
+      graft.queries.TextPack.lshCandidatePairsFrom(all).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    assert(emitted.size == emitted.toSet.size, "a pair was emitted twice")
+    assert(emitted.toSet == batchPairs)
+    nd.close()
   }
 
   test("SpanDedupStream soak: 100 batches across compactions; hits exactly-once ≡ batch hit set; storage bounded") {

@@ -79,6 +79,103 @@ class AppendLogSpec extends AnyFunSuite {
       .sameElements((1L to 33L) ++ Seq(200L, 201L)))
   }
 
+  test("restore abandons in-flight readers via the DEFERRED path: a pre-restore capture still materializes") {
+    val log = new AppendLog(spark, schema)
+    (1L to 5L).foreach(i => log.append(frame(i)))
+    val captured = log.cur // lazy capture, then the log is replaced
+    log.restore(frame(50L, 51L))
+    // the restore displaced the captured segments but must NOT have
+    // unpersisted them yet (reclamation is deferred to the next append)
+    assert(captured.as[Long].collect().sorted.sameElements(1L to 5L))
+    assert(log.cur.as[Long].collect().sorted.sameElements(Seq(50L, 51L)))
+    // the next append reaps the pre-restore generation; the log is exact
+    log.append(frame(52L))
+    assert(log.cur.as[Long].collect().sorted.sameElements(50L to 52L))
+  }
+
+  test("close releases the graveyard and owned segments; a closed log refuses appends") {
+    def persistedIds: Set[Int] = {
+      import scala.jdk.CollectionConverters._
+      spark.sparkContext.getPersistentRDDs.keys.toSet.map((i: Int) => i)
+    }
+    val before = persistedIds
+    val log = new AppendLog(spark, schema)
+    (1L to 6L).foreach(i => log.append(frame(i)))
+    log.restore(frame(9L)) // leaves 6 displaced checkpoints + 1 owned
+    assert((persistedIds -- before).nonEmpty)
+    log.close()
+    // unpersist(blocking=false) unregisters from the persistence map
+    // synchronously even though block removal is async
+    assert((persistedIds -- before).isEmpty,
+      "close() left checkpoint RDDs registered")
+    intercept[IllegalArgumentException](log.append(frame(1L)))
+  }
+
+  test("maxSegments is honored: a tight bound compacts every few appends and stays exact") {
+    val log = new AppendLog(spark, schema, maxSegments = 3)
+    (1L to 20L).foreach(i => log.append(frame(i)))
+    assert(leaves(log.cur) <= 5, s"union width ${leaves(log.cur)} not folded at maxSegments=3")
+    assert(log.cur.as[Long].collect().sorted.sameElements(1L to 20L))
+  }
+
+  test("durable log: write-then-register appends, manifest recovery, rollback = manifest truncate + file delete") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_durlog").toString
+    val log = new AppendLog(spark, schema, durableDir = Some(dir))
+    assert(log.restoredBatch.isEmpty)
+    log.append(frame(1L, 2L), batch = 0L)
+    log.append(frame(3L), batch = 1L)
+    assert(log.cur.as[Long].collect().sorted.sameElements(1L to 3L))
+
+    // a NEW instance on the same dir recovers rows + last batch id
+    val log2 = new AppendLog(spark, schema, durableDir = Some(dir))
+    assert(log2.restoredBatch.contains(1L))
+    assert(log2.cur.as[Long].collect().sorted.sameElements(1L to 3L))
+
+    // replay of batch 1 after the "restart": rollback removes exactly
+    // the dead session's last append — from the manifest AND the disk
+    val segsBefore = new java.io.File(dir).list().count(_.startsWith("seg-"))
+    log2.rollback()
+    assert(log2.cur.as[Long].collect().sorted.sameElements(Seq(1L, 2L)))
+    assert(new java.io.File(dir).list().count(_.startsWith("seg-")) == segsBefore - 1)
+    log2.append(frame(4L), batch = 1L) // the replayed batch re-appends
+    val log3 = new AppendLog(spark, schema, durableDir = Some(dir))
+    assert(log3.restoredBatch.contains(1L))
+    assert(log3.cur.as[Long].collect().sorted.sameElements(Seq(1L, 2L, 4L)))
+  }
+
+  test("durable log: compaction rewrites + swaps the manifest; displaced files reaped one append later") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_durlog_c").toString
+    val log = new AppendLog(spark, schema, durableDir = Some(dir), maxSegments = 3)
+    def segDirs = new java.io.File(dir).list().count(_.startsWith("seg-"))
+    (1L to 10L).foreach(i => log.append(frame(i), batch = i))
+    // capture before a compacting append: the fold swaps the manifest,
+    // but the captured scan's files survive until the NEXT append
+    val captured = log.cur
+    log.append(frame(11L), batch = 11L)
+    assert(captured.as[Long].collect().sorted.sameElements(1L to 10L))
+    log.append(frame(12L), batch = 12L) // reaps the displaced files
+    assert(log.cur.as[Long].collect().sorted.sameElements(1L to 12L))
+    assert(segDirs <= 8, s"displaced segment dirs not reaped ($segDirs on disk)")
+    // recovery after all of it is still exact
+    val log2 = new AppendLog(spark, schema, durableDir = Some(dir))
+    assert(log2.cur.as[Long].collect().sorted.sameElements(1L to 12L))
+    assert(log2.restoredBatch.contains(12L))
+  }
+
+  test("durable log: restore replaces the manifest; close deletes only unreferenced files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_durlog_r").toString
+    val log = new AppendLog(spark, schema, durableDir = Some(dir))
+    (1L to 4L).foreach(i => log.append(frame(i), batch = i))
+    log.restore(frame(7L, 8L))
+    assert(log.restoredBatch.isEmpty) // nothing to replay after a restore
+    assert(log.cur.as[Long].collect().sorted.sameElements(Seq(7L, 8L)))
+    log.close() // reaps the four pre-restore segment dirs; keeps the live one
+    val segs = new java.io.File(dir).list().filter(_.startsWith("seg-"))
+    assert(segs.length == 1, s"expected 1 live segment dir, found ${segs.mkString(",")}")
+    val log2 = new AppendLog(spark, schema, durableDir = Some(dir))
+    assert(log2.cur.as[Long].collect().sorted.sameElements(Seq(7L, 8L)))
+  }
+
   test("appendView segments fold by value; rollback drops the reference only") {
     val log = new AppendLog(spark, schema)
     val parent = frame(1L, 2L, 3L).withColumn("extra", lit("x"))

@@ -14,6 +14,12 @@ recently recorded table). A query is flagged when
 noise). Exit 1 when anything is flagged: either investigate the named
 query or re-record the SCALE.md table with the new measurement and a
 named term. New queries (no recorded row) are listed informationally.
+
+A RECORDED query that is MISSING from the new table is itself a failure
+(exit 1): bench_ratio.py renders a query that errored at either SF as an
+'err' row the ROW regex skips, so "missing" usually means "fails outright
+at the 10x fixture" -- the worst scale regression there is, and exactly
+the one a compare-only-what-is-present diff would wave through.
 """
 import re
 import sys
@@ -46,10 +52,19 @@ def main(recorded_path, new_path, growth=2.0):
             fresh.append(q)
         elif r_new > growth * max(rec[q], 1.0):
             flagged.append((q, rec[q], r_new))
+    missing = sorted(set(rec) - set(new))
     print(f"{len(new)} queries in new table, {len(rec)} recorded; "
           f"growth threshold {growth}x")
     if fresh:
         print(f"unrecorded (new) queries: {', '.join(fresh)}")
+    if missing:
+        print("MISSING — these recorded queries have no parseable row in "
+              "the new table (an 'err' row means the query FAILED at one "
+              "of the two SFs):")
+        for q in missing:
+            print(f"  {q}: recorded {rec[q]:.1f}x -> absent")
+        if not flagged:
+            return 1
     if flagged:
         print("RATIO DRIFT — these queries' 10x wall ratio grew since the "
               "recorded SCALE.md table (investigate or re-record):")

@@ -90,6 +90,16 @@ if [ "${BENCH_10X:-0}" = "1" ]; then
     java $JAVAOPTS -Xmx96g -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
     graft.Bench > "$WORK/bench_10x.log" 2>&1 \
     || { echo "   FAIL:"; tail -5 "$WORK/bench_10x.log"; exit 1; }
+  # a query that errors outright at 10x is the worst scale regression —
+  # it must fail the stage here, not vanish from the ratio table as an
+  # 'err' row the drift regex skips (mirrors stage 3's sf0.1 check)
+  python3 - "$WORK/bench_10x.json" <<'EOF'
+import json, sys
+b = json.load(open(sys.argv[1]))
+assert not b["failed"], f"10x bench failures: {b['failed']}"
+print(f"   10x total {b['value']}s spread {b['spread']} "
+      f"load {b['load_start']} -> {b['load_end']}")
+EOF
   python3 tools/bench_ratio.py "$WORK/bench.json" "$WORK/bench_10x.json" \
     > "$WORK/ratio_table.md"
   (tail -3 "$WORK/ratio_table.md" || true) | head -1
