@@ -197,6 +197,9 @@ object Bench {
     val names =
       if (spec.trim == "all") SparkEntry.queries.keys.toSeq.sorted
       else spec.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val unknown = names.filterNot(SparkEntry.queries.contains)
+    require(unknown.isEmpty,
+      s"SPARK_GRAFT_BENCH_ISOLATE names not in SparkEntry.queries: ${unknown.mkString(",")}")
     val loadStart = loadavg()
     val results = isolateRun(names, sfDir, repeats, warmupDir)
     val loadEnd = loadavg()

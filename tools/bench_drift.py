@@ -1,0 +1,59 @@
+#!/usr/bin/env python3
+"""Per-query drift between two graft.Bench FILE artifacts — the
+round-over-round check for the ISOLATED bench (fresh child JVM per
+query), where a per-query regression is attributable to code by
+construction instead of needing a hand-run session A/B.
+
+Usage: python3 tools/bench_drift.py OLD.json NEW.json [ratio] [floor]
+
+Compares the per-query minima in each artifact's "queries" map. Flags
+(exit 1):
+  - a query recorded in OLD that is missing from NEW or errs in NEW
+    (the worst regression: it no longer runs);
+  - a query whose time grew past `ratio` (default 2.0) times
+    max(old, floor) — the `floor` (default 0.3 s) keeps sub-second
+    scheduler jitter from flagging (0.05 s -> 0.12 s is 2.4x and
+    meaningless; 0.3 s -> 0.7 s is worth a look).
+New queries (in NEW only) are listed informationally. Improvements are
+summarized but never flagged.
+"""
+import json
+import sys
+
+
+def load(path):
+    b = json.load(open(path))
+    qs = {k: float(v) for k, v in b["queries"].items() if v != "err"}
+    errs = {k for k, v in b["queries"].items() if v == "err"}
+    return qs, errs
+
+
+def main(old_path, new_path, ratio=2.0, floor=0.3):
+    old, old_errs = load(old_path)
+    new, new_errs = load(new_path)
+    fresh = sorted(set(new) - set(old) - old_errs)
+    gone = sorted((set(old) - set(new) - new_errs) | (set(old) & new_errs))
+    flagged = [(q, old[q], new[q]) for q in sorted(set(old) & set(new))
+               if new[q] > ratio * max(old[q], floor)]
+    improved = sum(1 for q in set(old) & set(new) if new[q] < old[q])
+    print(f"{len(new)} queries in {new_path}, {len(old)} in {old_path}; "
+          f"threshold {ratio}x over max(old, {floor}s); "
+          f"{improved} improved")
+    if fresh:
+        print(f"new queries (no old entry): {', '.join(fresh)}")
+    if gone:
+        print("GONE/ERR — recorded queries that no longer produce a time:")
+        for q in gone:
+            print(f"  {q}: was {old.get(q, float('nan')):.2f}s")
+    if flagged:
+        print("DRIFT — per-query time grew past the threshold "
+              "(isolated mode: this is code or data, not session heap):")
+        for q, o, n in flagged:
+            print(f"  {q}: {o:.2f}s -> {n:.2f}s ({n / max(o, 1e-9):.1f}x)")
+    return 1 if (gone or flagged) else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  float(sys.argv[3]) if len(sys.argv) > 3 else 2.0,
+                  float(sys.argv[4]) if len(sys.argv) > 4 else 0.3))

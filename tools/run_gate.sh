@@ -13,6 +13,10 @@
 #    with BENCH_10X=1, also the full-surface bench on the 10x fixture,
 #    the wall-ratio table (vs this session's sf0.1 artifact), and a
 #    drift check against SCALE.md's recorded ratios (>2x growth fails);
+#    with BENCH_ISO=1, also the ISOLATED bench (fresh child JVM per
+#    query → $WORK/bench_isolated.json, the BENCH_ISOLATED_r{N} recipe)
+#    with a per-query drift check vs the newest committed
+#    BENCH_ISOLATED_r*.json (tools/bench_drift.py, >2x fails);
 # 4. LEAKCHECK-style grep over src/, tools/, build.sbt, README.md for
 #    non-public references.
 #
@@ -106,6 +110,40 @@ EOF
   python3 tools/ratio_drift.py SCALE.md "$WORK/ratio_table.md" \
     | tee "$WORK/ratio_drift.log" \
     || { echo "   RATIO DRIFT — see $WORK/ratio_table.md"; exit 1; }
+fi
+
+# Optional isolated-bench stage (BENCH_ISO=1): the full query surface,
+# one fresh child JVM per query (min-of-3 inside the child), merged to
+# $WORK/bench_isolated.json — the artifact where a per-query move is
+# attributable to CODE by construction (no shared-session heap, no
+# cross-query cache state; two rounds of shared-session artifacts
+# needed manual A/Bs to exonerate perf-neutral code). Copy it to
+# BENCH_ISOLATED_r{N}.json at end-of-round HEAD; the drift check
+# compares against the newest committed BENCH_ISOLATED_r*.json.
+if [ "${BENCH_ISO:-0}" = "1" ]; then
+  echo "== 3c/4 isolated bench (fresh JVM per query, sf0.1)"
+  # shellcheck disable=SC2086
+  SPARK_GRAFT_BENCH_ISOLATE=all SPARK_GRAFT_CPUS=16 \
+    SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
+    SPARK_GRAFT_BENCH_OUT="$WORK/bench_isolated.json" \
+    java $JAVAOPTS -Xmx96g -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
+    graft.Bench > "$WORK/bench_isolated.log" 2>&1 \
+    || { echo "   FAIL:"; tail -5 "$WORK/bench_isolated.log"; exit 1; }
+  tail -1 "$WORK/bench_isolated.log"
+  python3 - "$WORK/bench_isolated.json" <<'EOF'
+import json, sys
+b = json.load(open(sys.argv[1]))
+assert not b["failed"], f"isolated bench failures: {b['failed']}"
+print(f"   isolated total {b['value']}s over {b['query_count']} queries")
+EOF
+  prev=$(ls BENCH_ISOLATED_r*.json 2>/dev/null | sort -V | tail -1 || true)
+  if [ -n "$prev" ]; then
+    python3 tools/bench_drift.py "$prev" "$WORK/bench_isolated.json" \
+      | tee "$WORK/bench_drift.log" \
+      || { echo "   ISOLATED DRIFT vs $prev"; exit 1; }
+  else
+    echo "   no committed BENCH_ISOLATED_r*.json yet — seeding round"
+  fi
 fi
 
 echo "== 4/4 leakcheck grep"
