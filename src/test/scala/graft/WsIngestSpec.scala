@@ -696,6 +696,88 @@ class WsIngestSpec extends AnyFunSuite {
     } finally s.close()
   }
 
+  test("torn-frame soak: mid-frame connection kills across many reconnects never commit a torn container") {
+    // the reference behavior under an abnormal drop is "keep what was
+    // fully received, reconnect, continue" (scraper.py:252-289's cycle
+    // retry); the invariant here is stronger and spool-side: a frame
+    // whose bytes were CUT by the kill must never reach a committed
+    // v3 container — every spooled pack decodes identically to a
+    // directly-written pack of the fully-delivered payloads, across a
+    // dozen reconnect cycles with the tear placed at a different byte
+    // offset each time (inside the header, one byte in, mid-payload).
+    val payloads = (0L until 60L).map(DecodePack.deepFrame)
+    val burst = 5 // complete frames per connection before the tear
+    val srv = new java.net.ServerSocket(0, 4,
+      java.net.InetAddress.getLoopbackAddress)
+    val sent = new java.util.concurrent.atomic.AtomicInteger(0)
+    val t = new Thread(() => {
+      var conn = 0
+      try {
+        while (sent.get < payloads.length) {
+          val c = srv.accept()
+          try {
+            val in = new java.io.BufferedInputStream(c.getInputStream)
+            val out = new java.io.BufferedOutputStream(c.getOutputStream)
+            Rfc6455.serverHandshake(in, out)
+            Rfc6455.writeFrame(out, Rfc6455.OpText,
+              """{"type":"handshake"}""".getBytes("UTF-8"))
+            var k = 0
+            while (k < burst && sent.get < payloads.length) {
+              Rfc6455.writeFrame(out, Rfc6455.OpBinary, payloads(sent.get))
+              sent.incrementAndGet(); k += 1
+            }
+            out.flush()
+            if (sent.get < payloads.length) {
+              // serialize the NEXT frame fully, deliver a strict prefix,
+              // kill the connection — the client must treat the partial
+              // bytes as noise, not data (`sent` is NOT advanced: the
+              // torn frame is re-sent whole on the next connection)
+              val full = new java.io.ByteArrayOutputStream()
+              Rfc6455.writeFrame(full, Rfc6455.OpBinary, payloads(sent.get))
+              val bytes = full.toByteArray
+              val cut = conn % 3 match {
+                case 0 => 1 // inside the 2-byte header
+                case 1 => math.min(3, bytes.length - 1) // header done, payload not begun
+                case _ => bytes.length / 2 // mid-payload
+              }
+              out.write(bytes, 0, cut); out.flush()
+            } else {
+              Rfc6455.writeFrame(out, Rfc6455.OpClose, Array.empty)
+              Rfc6455.readMessage(in) // close-ack
+            }
+          } catch { case _: Throwable => () } finally c.close()
+          conn += 1
+        }
+      } catch { case _: Throwable => () } finally srv.close()
+    })
+    t.setDaemon(true); t.start()
+
+    val spool = java.nio.file.Files.createTempDirectory("graft_ws_torn").toString
+    var total = 0L
+    var runs = 0
+    while (total < payloads.length && runs < 30) {
+      val ws = new WsIngest("127.0.0.1", srv.getLocalPort, "/ws", spool,
+        governor(), framesPerPack = 4, clock = () => 777L,
+        key16 = fixedKey16, mask4 = fixedMask4)
+      val (n, _) = ws.run(startFrameId = total)
+      total += n
+      runs += 1
+    }
+    assert(total == payloads.length,
+      s"reconnect loop recovered $total/${payloads.length} frames in $runs runs")
+    assert(runs >= 12, s"expected ~12 torn connections, got $runs") // the soak actually soaked
+    // spool ≡ written pack: nothing torn committed, nothing lost,
+    // nothing doubled, ids contiguous
+    val direct = java.nio.file.Files.createTempDirectory("graft_ws_torn_direct").toString
+    FrameTokenSource.writeFramePack(direct, "pack_000000",
+      payloads.zipWithIndex.iterator.map { case (p, i) => (i.toLong, 777L, p) })
+    val viaWs = spark.read.format("graft-tokens").load(spool)
+      .orderBy(col("frame_id")).collect().map(_.toSeq).toSeq
+    val viaWriter = spark.read.format("graft-tokens").load(direct)
+      .orderBy(col("frame_id")).collect().map(_.toSeq).toSeq
+    assert(viaWs.nonEmpty && viaWs == viaWriter)
+  }
+
   test("connect gives up after maxRetries and surfaces the trace") {
     // nothing listens on this port (bound then closed)
     val tmp = new java.net.ServerSocket(0); val port = tmp.getLocalPort; tmp.close()
