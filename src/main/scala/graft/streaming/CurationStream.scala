@@ -44,24 +44,42 @@ import org.apache.spark.sql.types._
   * truncated per batch), never executor memory. Retry of the same
   * batchId rolls back the failed attempt's appends first — same
   * idempotence contract as [[NearDupStream.ingest]].
+  *
+  * @param durableDir when set, ALL FOUR logs (bands/fp/pairs/docs) run
+  *        in [[AppendLog]]'s durable mode under per-log subdirectories
+  *        of this path, making the whole corpus build restart-
+  *        survivable: a new instance on the same dir resumes the dead
+  *        one's state, and replay detection is PER LOG (each manifest
+  *        remembers its own last appended batchId), so even a crash
+  *        BETWEEN log appends mid-ingest recovers exactly — the logs
+  *        that already appended the replayed batch roll it back, the
+  *        ones that never got to it simply append. SoakSpec's
+  *        kill-and-restart case proves reconcile() ≡ the batch build
+  *        across the restart. (Durable appendView degrades to a
+  *        parquet write per log — durability costs the write; the
+  *        default in-memory mode keeps the fused zero-copy views.)
   */
 final class CurationStream(spark: SparkSession,
-    frozenUni: DataFrame, frozenBi: DataFrame, benchShingles: DataFrame) {
+    frozenUni: DataFrame, frozenBi: DataFrame, benchShingles: DataFrame,
+    durableDir: Option[String] = None) {
 
-  private val nd = new NearDupStream(spark)
+  private def sub(name: String): Option[String] =
+    durableDir.map(d => java.nio.file.Paths.get(d, name).toString)
+
+  private val nd = new NearDupStream(spark, sub("bands"))
   private val bench = graft.Caches.persisted(
     benchShingles.select(col("sh")).distinct())
 
   private val fpLog = new AppendLog(spark, StructType(Seq(
     StructField("fp", StringType, nullable = true),
-    StructField("doc_id", LongType, nullable = false))))
+    StructField("doc_id", LongType, nullable = false))), sub("fp"))
   // carries n_shared_bands so [[NearDupStream.ingest]]'s returned
   // checkpoint can be appended by OWNERSHIP (no per-batch re-copy job);
   // reconcile() only reads doc1/doc2
   private val pairLog = new AppendLog(spark, StructType(Seq(
     StructField("doc1", LongType, nullable = false),
     StructField("doc2", LongType, nullable = false),
-    StructField("n_shared_bands", LongType, nullable = false))))
+    StructField("n_shared_bands", LongType, nullable = false))), sub("pairs"))
   private val docLog = new AppendLog(spark, StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
     StructField("source", StringType, nullable = true),
@@ -69,8 +87,7 @@ final class CurationStream(spark: SparkSession,
     StructField("is_bench", BooleanType, nullable = false),
     StructField("keep_rep", BooleanType, nullable = false),
     StructField("keep_lm", BooleanType, nullable = false),
-    StructField("contaminated", BooleanType, nullable = false))))
-  private var lastBatchId: Long = Long.MinValue
+    StructField("contaminated", BooleanType, nullable = false))), sub("docs"))
 
   /** Per-doc decisions for one micro-batch; appends all logs. Columns:
     * doc_id, source, n_tokens, is_bench, keep_exact, keep_neardup
@@ -79,8 +96,12 @@ final class CurationStream(spark: SparkSession,
     * attempt's appends (foreachBatch retry contract).
     */
   def ingest(batchDocs: DataFrame, batchId: Long): DataFrame = graft.Caches.scoped {
-    if (batchId == lastBatchId) {
-      fpLog.rollback(); pairLog.rollback(); docLog.rollback()
+    // PER-LOG replay detection (each log remembers its own last appended
+    // batch — across a restart too, via the durable manifest): a retry
+    // rolls back exactly the logs the failed attempt reached. The band
+    // log's check lives in NearDupStream.ingestLazy.
+    Seq(fpLog, pairLog, docLog).foreach { log =>
+      if (log.restoredBatch.contains(batchId)) log.rollback()
     }
     val batch = graft.Caches.persisted(batchDocs
       .select(col("doc_id").cast("long").as("doc_id"), col("source"), col("text")))
@@ -204,14 +225,16 @@ final class CurationStream(spark: SparkSession,
       .select(col("doc_id"), col("source"), col("n_tokens"), col("is_bench"),
         col("fp"), col("keep_exact"), col("keep_neardup"), col("keep_rep"),
         col("keep_lm"), col("contaminated"), col("keep"))
-    fpLog.appendView(decisions.select(col("fp"), col("doc_id")))
+    fpLog.appendView(decisions.select(col("fp"), col("doc_id")), batchId)
     pairLog.appendView(fused.filter(col("_t") === "p")
-      .select(col("doc1"), col("doc2"), col("n_shared_bands")))
+      .select(col("doc1"), col("doc2"), col("n_shared_bands")), batchId)
     docLog.appendView(decisions.select(col("doc_id"), col("source"), col("n_tokens"),
-      col("is_bench"), col("keep_rep"), col("keep_lm"), col("contaminated")))
-    lastBatchId = batchId
+      col("is_bench"), col("keep_rep"), col("keep_lm"), col("contaminated")), batchId)
     decisions.drop("fp")
   }
+
+  /** Release every log's blocks (durable files stay). Call on shutdown. */
+  def close(): Unit = { nd.close(); fpLog.close(); pairLog.close(); docLog.close() }
 
   /** The exact batch corpus build recomposed from accumulated state —
     * NOTHING is re-shingled: fingerprints, candidate pairs and gate
@@ -250,7 +273,6 @@ final class CurationStream(spark: SparkSession,
       if (pairs.columns.contains("n_shared_bands")) pairs
       else pairs.withColumn("n_shared_bands", lit(0L))
     fpLog.restore(fps); pairLog.restore(pairsFull); docLog.restore(docs)
-    nd.restore(bandLog)
-    lastBatchId = Long.MinValue
+    nd.restore(bandLog) // every restore resets its log's replay marker
   }
 }

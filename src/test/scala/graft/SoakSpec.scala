@@ -278,6 +278,54 @@ class SoakSpec extends AnyFunSuite {
     }
   }
 
+  test("CurationStream durable kill-and-restart: reconcile ≡ batch corpus build across a driver restart") {
+    // all four logs (bands/fp/pairs/docs) durable under one dir; the
+    // restart happens mid-stream and the replayed batch's rollback is
+    // driven entirely from the manifests (per-log replay detection) —
+    // the full corpus build, not just pair emission, survives the kill
+    import graft.queries.CurationPack
+    import graft.ext.TextOps
+    val dir = "/root/testdata/sf0.001"
+    val state = java.nio.file.Files.createTempDirectory("graft_cs_durable").toString
+    Caches.scoped {
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"), col("text"))
+      val t = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      val (uni, bi) = CurationPack.lmStats(t, CurationPack.bigramRows(docs))
+      val benchSh = TextOps.shingleRows(
+          docs.filter(col("doc_id") % 101 === 0), "doc_id", "text", 8)
+        .select(col("_s").as("sh"))
+      val ids = docs.select(col("doc_id")).as[Long].collect().sorted
+      val chunks = ids.grouped(10).map(_.toSeq).toVector // 50 batches
+      val killAt = 26 // session 2 still crosses a band-log compaction
+
+      val s1 = new graft.streaming.CurationStream(spark, uni, bi, benchSh, Some(state))
+      var lastDecisions: Set[String] = Set.empty
+      (0 until killAt).foreach { i =>
+        val b = docs.filter(col("doc_id").between(chunks(i).head, chunks(i).last))
+        val got = s1.ingest(b, i.toLong).collect().map(_.toString).toSet
+        if (i == killAt - 1) lastDecisions = got
+      }
+      s1.close() // driver dies: executor blocks gone, disk state not
+
+      val s2 = new graft.streaming.CurationStream(spark, uni, bi, benchSh, Some(state))
+      val replayBatch = docs.filter(
+        col("doc_id").between(chunks(killAt - 1).head, chunks(killAt - 1).last))
+      val replayed = s2.ingest(replayBatch, (killAt - 1).toLong)
+        .collect().map(_.toString).toSet
+      assert(replayed == lastDecisions,
+        "replayed batch's decisions diverged from the dead session's")
+      (killAt until chunks.length).foreach { i =>
+        val b = docs.filter(col("doc_id").between(chunks(i).head, chunks(i).last))
+        s2.ingest(b, i.toLong).count()
+      }
+      val got = s2.reconcile().collect().map(_.toString).sorted
+      val want = CurationPack.corpusBuild(spark, dir).collect().map(_.toString).sorted
+      assert(want.nonEmpty && got.sameElements(want))
+      s2.close()
+    }
+  }
+
   test("CurationStream soak: 100 batches with boundary retries; reconcile ≡ batch corpus build; storage plateaus") {
     import graft.queries.CurationPack
     import graft.ext.TextOps
