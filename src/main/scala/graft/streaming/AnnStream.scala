@@ -24,16 +24,23 @@ import org.apache.spark.sql.types._
   * same batchId rolls back the failed attempt's append, and restore()
   * reseeds after a query restart — the same contracts as
   * [[NearDupStream]]/[[CurationStream]], spec-pinned in StreamingSpec.
+  *
+  * @param durableDir when set, the postings log runs in [[AppendLog]]'s
+  *        durable (parquet+manifest) mode: the index state and replay
+  *        detection survive a driver restart — same contract as
+  *        [[NearDupStream]]'s durable band log. (The frozen codebook is
+  *        the caller's input, re-supplied on restart like the LM stats.)
   */
-final class AnnStream(spark: SparkSession, codebook: DataFrame) {
+final class AnnStream(spark: SparkSession, codebook: DataFrame,
+    durableDir: Option[String] = None) {
 
   private val cb = graft.Caches.persisted(codebook)
   private val postings = new AppendLog(spark, StructType(Seq(
     StructField("cell", LongType, nullable = true),
     StructField("c_id", LongType, nullable = true),
     StructField("c_vec", ArrayType(LongType, containsNull = true), nullable = true),
-    StructField("c_nrm", DoubleType, nullable = true))))
-  private var lastBatchId: Long = Long.MinValue
+    StructField("c_nrm", DoubleType, nullable = true))), durableDir)
+  private var lastBatchId: Long = postings.restoredBatch.getOrElse(Long.MinValue)
 
   /** Assign one micro-batch (idCol, vecCol) to cells and append the
     * postings; returns the batch's (cell, c_id, c_vec, c_nrm) rows.
@@ -54,10 +61,13 @@ final class AnnStream(spark: SparkSession, codebook: DataFrame) {
       // the ContextCleaner reclaims the blocks once the caller's ref
       // drops too (the same borrowed-parent lifecycle as
       // CurationStream's fused-frame views).
-      postings.appendView(assigned)
+      postings.appendView(assigned, batchId)
       lastBatchId = batchId
       assigned
     }
+
+  /** Release the log's blocks (durable files stay). Call on shutdown. */
+  def close(): Unit = postings.close()
 
   /** Top-k over everything ingested so far — the batch probe operator
     * pointed at the streamed postings.

@@ -41,16 +41,21 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructFiel
   * StreamingSpec, same contracts as [[NearDupStream]].
   *
   * Reference analog: none — brief-mandated training-data machinery.
+  *
+  * @param durableDir when set, the occurrence log runs in
+  *        [[AppendLog]]'s durable (parquet+manifest) mode: state and
+  *        replay detection survive a driver restart — same contract as
+  *        [[NearDupStream]]'s durable band log.
   */
-final class SpanDedupStream(spark: SparkSession) {
+final class SpanDedupStream(spark: SparkSession, durableDir: Option[String] = None) {
 
   private val occSchema = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
     StructField("pos", IntegerType, nullable = false),
     StructField("sh", StringType, nullable = true)))
 
-  private val occLog = new AppendLog(spark, occSchema)
-  private var lastBatchId: Long = Long.MinValue
+  private val occLog = new AppendLog(spark, occSchema, durableDir)
+  private var lastBatchId: Long = occLog.restoredBatch.getOrElse(Long.MinValue)
 
   /** Seed the occurrence log after a query restart (production: the
     * log is an append-only table; a fresh instance with an empty log
@@ -95,10 +100,13 @@ final class SpanDedupStream(spark: SparkSession) {
     val fresh = occ.join(dupSh, "sh").select(col("doc_id"), col("pos"))
     val retro = seen.join(newlySh, "sh").select(col("doc_id"), col("pos"))
     val hits = fresh.union(retro).localCheckpoint(eager = true)
-    occLog.appendOwned(occ) // log takes the checkpoint — no re-copy
+    occLog.appendOwned(occ, batchId) // log takes the checkpoint — no re-copy
     lastBatchId = batchId
     hits
   }
+
+  /** Release the log's blocks (durable files stay). Call on shutdown. */
+  def close(): Unit = occLog.close()
 
   /** Periodic reconciliation: merge the accumulated hits into maximal
     * per-doc spans — the batch islands pass over streamed hits.

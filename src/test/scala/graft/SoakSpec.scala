@@ -242,6 +242,72 @@ class SoakSpec extends AnyFunSuite {
       s"cached-RDD count ${samples.map(_._2._1)} exceeds one compaction cycle")
   }
 
+  test("SpanDedupStream durable kill-and-restart: hits exactly-once ≡ batch hit set across a restart") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sp_durable").toString
+    val chunks = docChunks(10) // 50 batches
+    val killAt = 24
+    val emitted = mutable.ArrayBuffer.empty[(Long, Int)]
+    val s1 = new graft.streaming.SpanDedupStream(spark, durableDir = Some(dir))
+    var last: Set[(Long, Int)] = Set.empty
+    (0 until killAt).foreach { i =>
+      val got = s1.ingest(chunks(i).toDF("doc_id", "text"), i.toLong).collect()
+        .map(r => (r.getLong(0), r.getInt(1)))
+      if (i < killAt - 1) emitted ++= got else last = got.toSet
+    }
+    s1.close()
+    val s2 = new graft.streaming.SpanDedupStream(spark, durableDir = Some(dir))
+    val replayed = s2.ingest(chunks(killAt - 1).toDF("doc_id", "text"),
+        (killAt - 1).toLong).collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(replayed == last, "replayed hits diverged from the dead session's")
+    emitted ++= replayed
+    (killAt until chunks.length).foreach { i =>
+      emitted ++= s2.ingest(chunks(i).toDF("doc_id", "text"), i.toLong).collect()
+        .map(r => (r.getLong(0), r.getInt(1)))
+    }
+    val all = chunks.flatten.toDF("doc_id", "text")
+    val batchHits = Caches.scoped {
+      val occ = graft.queries.CurationPack.spanOccurrences(all)
+      val dup = occ.groupBy(col("sh"))
+        .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+        .filter(col("mn") =!= col("mx")).select(col("sh"))
+      occ.join(dup, "sh").select(col("doc_id"), col("pos"))
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    }
+    assert(emitted.size == emitted.toSet.size, "a hit was emitted twice across the restart")
+    assert(emitted.toSet == batchHits)
+    s2.close()
+  }
+
+  test("AnnStream durable kill-and-restart: probe over recovered postings ≡ batch IVF index") {
+    import graft.ext.VectorOps
+    val dir = "/root/testdata/sf0.001"
+    val state = java.nio.file.Files.createTempDirectory("graft_ann_durable").toString
+    Caches.scoped {
+      val vecs = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), VectorOps.quantize(col("embedding"), 1000.0).as("qvec"))
+      val codebook = VectorOps.kmeansCodebook(vecs, 8, 2)
+      val want = VectorOps.ivfProbeTopK(vecs, codebook, q => q < 10, 5, 2)
+        .orderBy(col("q_id"), col("rank")).collect().map(_.toString)
+      val ids = vecs.select(col("vec_id")).as[Long].collect().sorted
+      val chunks = ids.grouped(20).map(_.toSeq).toVector // 25 batches
+      val killAt = 13
+      val s1 = new graft.streaming.AnnStream(spark, codebook, Some(state))
+      (0 until killAt).foreach { i =>
+        s1.ingest(vecs.filter(col("vec_id").between(chunks(i).head, chunks(i).last)), i.toLong)
+      }
+      s1.close()
+      val s2 = new graft.streaming.AnnStream(spark, codebook, Some(state))
+      (killAt - 1 until chunks.length).foreach { i => // killAt-1 = the replay
+        s2.ingest(vecs.filter(col("vec_id").between(chunks(i).head, chunks(i).last)), i.toLong)
+      }
+      val got = s2.probe(vecs.filter(col("vec_id") < 10), 5, 2)
+        .orderBy(col("q_id"), col("rank")).collect().map(_.toString)
+      assert(got.sameElements(want),
+        "probe over restart-recovered postings diverged from the batch index")
+      s2.close()
+    }
+  }
+
   test("AnnStream soak: 100 ingest batches across compactions; probe ≡ batch IVF index; storage bounded") {
     import graft.ext.VectorOps
     val dir = "/root/testdata/sf0.001"
