@@ -542,6 +542,134 @@ object TextPack {
       .orderBy(col("doc1"), col("doc2"))
   }
 
+  private val VerifyContainment = 0.5
+  private val RareShingleDf = 16
+
+  /** q149: containment-verified near-dup pairs — the ASYMMETRIC
+    * complement of q47. Jaccard misses doc-in-doc near-supersets: a
+    * short document fully embedded in a long one has |A∩B|/|A∪B| ≈
+    * |A|/|B| → arbitrarily small, while containment c_A = |A∩B|/|A| is
+    * ~1 regardless of the size gap — the quote/boilerplate/excerpt case
+    * production dedup has to catch. Minhash banding recalls RESEMBLANCE,
+    * not containment (the superset's signature is dominated by its extra
+    * shingles), so candidates come from TWO generators, unioned:
+    * (a) q47's LSH band equi-join (high-jaccard pairs — every q47 pair
+    * reappears here, since jaccard ≥ 0.5 ⇒ both containments ≥ 0.5),
+    * and (b) rare-shingle blocking: docs sharing any shingle fingerprint
+    * with document frequency ≤ 16 pair up (containment ≥ θ means the
+    * contained doc shares ≥ θ·|A| shingles, so only a doc whose shared
+    * shingles are ALL corpus-hot evades the block — and such pairs are
+    * boilerplate, which the df cap deliberately refuses to pair on).
+    * The df cap is also the skew/scale bound: per rare shingle ≤ 16
+    * docs → ≤ C(16,2) pairs, so candidates stay linear in corpus size
+    * and no bucket ever explodes — never all-pairs. Exact verification
+    * runs only on the candidate union; doubles are a single int/int
+    * IEEE division in both engines (q47's pattern), so hashes are
+    * bit-exact.
+    */
+  def lshContainmentVerify(spark: SparkSession, dir: String): DataFrame = {
+    val sh = graft.Caches.persisted(Tables.documents(spark, dir)
+      .select(col("doc_id"), TextOps.wordShingles(col("text"), 3).as("sh")))
+    val hashRows = graft.Caches.persisted(
+      sh.select(col("doc_id"), explode(col("sh")).as("_s"))
+        .select(col("doc_id"), TextOps.hash32(col("_s")).as("_h")))
+    val banded = TextOps.minhashAggFromHashes(hashRows, "doc_id", "_h", K)
+      .select(col("doc_id"), posexplode(TextOps.lshBandKeys(col("sig"), Bands, R))
+        .as(Seq("band", "key")))
+      .select(col("doc_id"),
+        concat(col("band").cast("string"), lit(":"), col("key")).as("band_key"))
+    val bandCands = banded.select(col("doc_id").as("doc1"), col("band_key"))
+      .join(banded.select(col("doc_id").as("doc2"), col("band_key")), "band_key")
+      .filter(col("doc1") < col("doc2"))
+      .select(col("doc1"), col("doc2"))
+    val rareRows = hashRows.join(
+      hashRows.groupBy(col("_h")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= RareShingleDf).select(col("_h")), "_h")
+    val rareCands = rareRows.select(col("_h"), col("doc_id").as("doc1"))
+      .join(rareRows.select(col("_h"), col("doc_id").as("doc2")), "_h")
+      .filter(col("doc1") < col("doc2"))
+      .select(col("doc1"), col("doc2"))
+    val cands = bandCands.union(rareCands).distinct()
+    // Shingle sets are already distinct (wordShingles), so the candidate
+    // sets have |A| ≥ 1 — no 0/0 guard needed.
+    val inter = size(array_intersect(col("sh1"), col("sh2"))).cast("double")
+    cands
+      .join(sh.select(col("doc_id").as("doc1"), col("sh").as("sh1")), "doc1")
+      .join(sh.select(col("doc_id").as("doc2"), col("sh").as("sh2")), "doc2")
+      .select(col("doc1"), col("doc2"),
+        (inter / size(col("sh1")).cast("double")).as("containment1"),
+        (inter / size(col("sh2")).cast("double")).as("containment2"))
+      .filter(greatest(col("containment1"), col("containment2")) >= VerifyContainment)
+      .orderBy(col("doc1"), col("doc2"))
+  }
+
+  /** q150: pairwise total-variation distance between per-source unigram
+    * distributions, in exact ppm — the corpus-mixture drift panel (is
+    * crawl A's vocabulary distribution actually different from crawl
+    * B's, and by how much). TV(p,q) = 1 − Σ_t min(p(t), q(t)), computed
+    * entirely in integers: Σ_t min(c1·T2, c2·T1) rides decimal(38,0)
+    * (hugeint in the oracle) and the ppm is ONE integral floor-division
+    * of identical 128-bit rationals, so both engines agree bit-for-bit.
+    * Envelope: 10⁶·T1·T2 fits decimal(38,0)/hugeint through ~10¹³
+    * tokens per source (≈40 TB of raw text per slice); past it both
+    * engines error loudly (ANSI decimal overflow / checked hugeint).
+    * Shuffle posture: one vocab×sources count frame (map-side
+    * combinable groupBy); the pair join runs on the COLLAPSED counts
+    * keyed by token, never on occurrence rows; the pair universe is
+    * |sources|² — driver-tiny, broadcast.
+    */
+  def sourceTvDistance(spark: SparkSession, dir: String): DataFrame = {
+    val cnt = graft.Caches.persisted(Tables.documents(spark, dir)
+      .select(col("source"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c")))
+    val tot = cnt.groupBy(col("source")).agg(sum(col("c")).as("t"))
+    val pairs = tot.select(col("source").as("source1"), col("t").as("t1"))
+      .crossJoin(tot.select(col("source").as("source2"), col("t").as("t2")))
+      .filter(col("source1") < col("source2"))
+    val joined = cnt.select(col("source").as("source1"), col("tok"), col("c").as("c1"))
+      .join(cnt.select(col("source").as("source2"), col("tok"), col("c").as("c2")), "tok")
+      .filter(col("source1") < col("source2"))
+      .join(broadcast(pairs), Seq("source1", "source2"))
+    val sharedAgg = joined.groupBy(col("source1"), col("source2"))
+      .agg(count(lit(1)).as("n_shared_terms"),
+        sum(least(col("c1").cast("decimal(38,0)") * col("t2"),
+          col("c2").cast("decimal(38,0)") * col("t1"))).as("smin"))
+    pairs.join(sharedAgg, Seq("source1", "source2"), "left")
+      .select(col("source1"), col("source2"),
+        coalesce(col("n_shared_terms"), lit(0L)).as("n_shared_terms"),
+        (lit(1000000L) - expr(
+          """(cast(1000000 as decimal(38,0)) * coalesce(smin, cast(0 as decimal(38,0))))
+            | div (cast(t1 as decimal(38,0)) * t2)""".stripMargin))
+          .as("tv_ppm"))
+      .orderBy(col("source1"), col("source2"))
+  }
+
+  /** q151: per-doc shingle NOVELTY — the fraction of each document's
+    * distinct 3-gram fingerprints whose global first occurrence (taking
+    * doc_id as ingest order) is this document. This is the marginal-
+    * value curve a dedup-ordered corpus build reads to decide when a
+    * crawl stops contributing new content (distinct from q142's vocab
+    * growth: that is corpus-level token counts per bucket; this is
+    * per-document and shingle-level). Shuffle posture: everything past
+    * the explode carries (hash, doc_id) longs — never text; one
+    * groupBy-min over the shingle-fingerprint space, one equi-join back
+    * on the hash, one doc-keyed aggregate; ppm is an exact integral
+    * floor-division.
+    */
+  def shingleNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val ex = graft.Caches.persisted(Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(TextOps.wordShingles(col("text"), 3)).as("_s"))
+      .select(col("doc_id"), TextOps.hash32(col("_s")).as("h")))
+    val firsts = ex.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
+    ex.join(firsts, "h")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("h")).as("n_shingles"),
+        countDistinct(when(col("doc_id") === col("first_doc"), col("h"))).as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        expr("(n_novel * 1000000) div n_shingles").as("novelty_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
   def simhashes(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
@@ -783,7 +911,10 @@ object TextPack {
     "q51_stratified_sample" -> stratifiedSample _,
     "q19_simhash" -> simhashes _,
     "q20_language_id" -> languageId _,
-    "q47_lsh_jaccard_verify" -> lshJaccardVerify _)
+    "q47_lsh_jaccard_verify" -> lshJaccardVerify _,
+    "q149_containment_verify" -> lshContainmentVerify _,
+    "q150_source_tv_distance" -> sourceTvDistance _,
+    "q151_shingle_novelty" -> shingleNovelty _)
 
   private val stopList = TextOps.Stopwords.map(s => s"'$s'").mkString(", ")
   private val (aList, bList) = {
@@ -1164,6 +1295,77 @@ object TextPack {
          |  GROUP BY 1, 2)
          |SELECT doc1, doc2, n AS n_unsalted, n AS n_salted
          |FROM pairs ORDER BY doc1, doc2""".stripMargin,
+    "q149_containment_verify" ->
+      s"""WITH shtok AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |sh AS (SELECT doc_id, $shinglesSql AS sh FROM shtok),
+         |sig AS (SELECT doc_id, $sigSql AS sig FROM sh),
+         |bands AS (
+         |  SELECT doc_id, b,
+         |    b || ':' || array_to_string(sig[b*$R+1:b*$R+$R], ',') AS band_key
+         |  FROM sig CROSS JOIN (SELECT unnest(range($Bands)) AS b)),
+         |ex AS (
+         |  SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::bigint AS h
+         |  FROM (SELECT doc_id, unnest(sh) AS s FROM sh)),
+         |rare AS (SELECT h FROM ex GROUP BY h HAVING count(*) <= $RareShingleDf),
+         |cand AS (
+         |  SELECT a.doc_id AS doc1, b.doc_id AS doc2
+         |  FROM bands a JOIN bands b
+         |    ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+         |  UNION
+         |  SELECT a.doc_id AS doc1, b.doc_id AS doc2
+         |  FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  JOIN rare r ON r.h = a.h),
+         |cv AS (
+         |  SELECT c.doc1, c.doc2,
+         |    cast(len(list_intersect(s1.sh, s2.sh)) AS double)
+         |      / cast(len(s1.sh) AS double) AS containment1,
+         |    cast(len(list_intersect(s1.sh, s2.sh)) AS double)
+         |      / cast(len(s2.sh) AS double) AS containment2
+         |  FROM cand c
+         |  JOIN sh s1 ON s1.doc_id = c.doc1
+         |  JOIN sh s2 ON s2.doc_id = c.doc2)
+         |SELECT doc1, doc2, containment1, containment2 FROM cv
+         |WHERE greatest(containment1, containment2) >= $VerifyContainment
+         |ORDER BY doc1, doc2""".stripMargin,
+    "q150_source_tv_distance" ->
+      """WITH tk AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |cnt AS (SELECT source, tok, count(*) AS c FROM tk GROUP BY 1, 2),
+        |tot AS (SELECT source, sum(c) AS t FROM cnt GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.source AS source1, a.t AS t1, b.source AS source2, b.t AS t2
+        |  FROM tot a JOIN tot b ON a.source < b.source),
+        |shared AS (
+        |  SELECT a.source AS source1, b.source AS source2,
+        |    count(*) AS n_shared_terms,
+        |    sum(least(a.c::hugeint * tb.t, b.c::hugeint * ta.t)) AS smin
+        |  FROM cnt a JOIN cnt b ON a.tok = b.tok AND a.source < b.source
+        |  JOIN tot ta ON ta.source = a.source
+        |  JOIN tot tb ON tb.source = b.source
+        |  GROUP BY 1, 2)
+        |SELECT p.source1, p.source2,
+        |  coalesce(s.n_shared_terms, 0) AS n_shared_terms,
+        |  cast(1000000 - (1000000::hugeint * coalesce(s.smin, 0))
+        |         // (p.t1::hugeint * p.t2) AS bigint) AS tv_ppm
+        |FROM pairs p
+        |LEFT JOIN shared s ON s.source1 = p.source1 AND s.source2 = p.source2
+        |ORDER BY p.source1, p.source2""".stripMargin,
+    "q151_shingle_novelty" ->
+      s"""WITH shtok AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |sh AS (SELECT doc_id, $shinglesSql AS sh FROM shtok),
+         |ex AS (
+         |  SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::bigint AS h
+         |  FROM (SELECT doc_id, unnest(sh) AS s FROM sh)),
+         |firsts AS (SELECT h, min(doc_id) AS first_doc FROM ex GROUP BY 1)
+         |SELECT e.doc_id,
+         |  count(DISTINCT e.h) AS n_shingles,
+         |  count(DISTINCT CASE WHEN e.doc_id = f.first_doc THEN e.h END) AS n_novel,
+         |  cast((count(DISTINCT CASE WHEN e.doc_id = f.first_doc THEN e.h END)
+         |          * 1000000) // count(DISTINCT e.h) AS bigint) AS novelty_ppm
+         |FROM ex e JOIN firsts f ON f.h = e.h
+         |GROUP BY e.doc_id ORDER BY e.doc_id""".stripMargin,
     "q47_lsh_jaccard_verify" ->
       s"""WITH shtok AS (
          |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

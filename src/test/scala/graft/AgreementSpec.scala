@@ -890,4 +890,110 @@ class AgreementSpec extends AnyFunSuite {
       assert(ok.count() == 15L)
     }
   }
+
+  test("q149 containment ⊇ q47 jaccard: every verified pair survives with containments ≥ jaccard") {
+    Caches.scoped {
+      val dir = "/root/testdata/sf0.001"
+      val j = graft.queries.TextPack.lshJaccardVerify(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val c = graft.queries.TextPack.lshContainmentVerify(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getDouble(3))).toMap
+      assert(j.nonEmpty, "fixture must produce verified jaccard pairs")
+      // jaccard >= 0.5 ⇒ both containments >= 0.5 ⇒ pair is in q149
+      j.foreach { case (pair, jac) =>
+        val (c1, c2) = c.getOrElse(pair, fail(s"q47 pair $pair missing from q149"))
+        assert(c1 >= jac - 1e-12 && c2 >= jac - 1e-12,
+          s"containment below jaccard for $pair: ($c1, $c2) < $jac")
+      }
+      // asymmetry sanity: containments are per-side set fractions in [0,1]
+      c.values.foreach { case (c1, c2) =>
+        assert(c1 > 0.0 && c1 <= 1.0 && c2 > 0.0 && c2 <= 1.0)
+      }
+    }
+  }
+
+  test("q149 containment catches a doc-in-doc near-superset that jaccard misses") {
+    import spark.implicits._
+    Caches.scoped {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q149-").toString
+      // doc 2 = doc 1 plus 4x padding: jaccard(1,2) ≈ |A|/|B| ≈ 0.2 (below
+      // the 0.5 verify bar) but containment1 = 1.0 — the asymmetric case.
+      val base = (1 to 12).map(i => s"w$i").mkString(" ")
+      val pad = (13 to 60).map(i => s"w$i").mkString(" ")
+      Seq((1L, base), (2L, s"$base $pad"))
+        .toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      val jac = graft.queries.TextPack.lshJaccardVerify(spark, tmp).collect()
+      assert(jac.isEmpty, s"jaccard verify should reject the embedded doc: ${jac.toSeq}")
+      val con = graft.queries.TextPack.lshContainmentVerify(spark, tmp).collect()
+      assert(con.length == 1, s"containment verify must keep the embedded doc: ${con.toSeq}")
+      val r = con.head
+      assert(r.getLong(0) == 1L && r.getLong(1) == 2L)
+      assert(r.getDouble(2) == 1.0, s"containment1 must be exactly 1.0: ${r.getDouble(2)}")
+      assert(r.getDouble(3) < 0.5, s"containment2 must stay small: ${r.getDouble(3)}")
+    }
+  }
+
+  test("q150 source TV distance: hand-computed exact ppm, bounds, and self-consistency") {
+    import spark.implicits._
+    Caches.scoped {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q150-").toString
+      // A = {a:2, b:1}, B = {a:1, b:2}: TV = 1 − Σ min(p,q) = 1 − (1/3 + 1/3)
+      // = 1/3; smin = min(2·3,1·3) + min(1·3,2·3) = 6; ppm = 10⁶ − ⌊6·10⁶/9⌋
+      // = 10⁶ − 666666 = 333334. C = {c:1} shares nothing with A or B:
+      // TV = 1 exactly, n_shared_terms = 0 (the LEFT-join branch).
+      Seq((1L, "a a b", "A"), (2L, "a b b", "B"), (3L, "c", "C"))
+        .toDF("doc_id", "text", "source")
+        .withColumn("lang", lit("en"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      val rows = graft.queries.TextPack.sourceTvDistance(spark, tmp).collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          (r.getLong(2), r.getLong(3))).toMap
+      assert(rows.size == 3)
+      assert(rows(("A", "B")) == (2L, 333334L), s"AB: ${rows(("A", "B"))}")
+      assert(rows(("A", "C")) == (0L, 1000000L))
+      assert(rows(("B", "C")) == (0L, 1000000L))
+      // real fixture: every pair in [0, 10⁶], every source present
+      val real = graft.queries.TextPack.sourceTvDistance(spark, "/root/testdata/sf0.001")
+        .collect()
+      assert(real.nonEmpty)
+      real.foreach { r =>
+        val tv = r.getLong(3)
+        assert(tv >= 0L && tv <= 1000000L, s"tv_ppm out of range: $r")
+      }
+    }
+  }
+
+  test("q151 shingle novelty: first doc fully novel, exact duplicate fully stale, ppm exact") {
+    import spark.implicits._
+    Caches.scoped {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q151-").toString
+      val t1 = "w1 w2 w3 w4" // shingles {w1w2w3, w2w3w4}
+      val t3 = "w3 w4 w5"    // shingle {w3w4w5} — novel despite shared words
+      Seq((1L, t1), (2L, t1), (3L, t3))
+        .toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      val rows = graft.queries.TextPack.shingleNovelty(spark, tmp).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      assert(rows(1L) == (2L, 2L, 1000000L), s"doc1: ${rows(1L)}")
+      assert(rows(2L) == (2L, 0L, 0L), s"exact dup must be 0-novel: ${rows(2L)}")
+      assert(rows(3L) == (1L, 1L, 1000000L), s"doc3: ${rows(3L)}")
+      // real fixture invariants: the lowest doc_id is fully novel; counts
+      // and ppm stay in range everywhere
+      val real = graft.queries.TextPack.shingleNovelty(spark, "/root/testdata/sf0.001")
+        .collect()
+      assert(real.nonEmpty)
+      val first = real.minBy(_.getLong(0))
+      assert(first.getLong(3) == 1000000L, s"first doc must be fully novel: $first")
+      real.foreach { r =>
+        assert(r.getLong(2) <= r.getLong(1), s"n_novel > n_shingles: $r")
+        assert(r.getLong(3) >= 0L && r.getLong(3) <= 1000000L, s"ppm out of range: $r")
+      }
+    }
+  }
 }

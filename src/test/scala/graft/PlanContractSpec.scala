@@ -520,4 +520,47 @@ class PlanContractSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
       assert(collect(plan) { case c: CartesianProductExec => c }.isEmpty)
     }
   }
+
+  test("q149 containment: both candidate generators are equi-joins — no NLJ, no cartesian, no window") {
+    Caches.scoped {
+      val plan = executed("q149_containment_verify")
+      assert(collect(plan) { case c: CartesianProductExec => c }.isEmpty,
+        s"candidates must never go all-pairs:\n$plan")
+      assert(collect(plan) { case n: BroadcastNestedLoopJoinExec => n }.isEmpty,
+        s"band and rare-shingle joins must stay equi-joins:\n$plan")
+      assert(collect(plan) {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }.isEmpty, s"q149 must not plan a window:\n$plan")
+    }
+  }
+
+  test("q150 TV distance: the only NLJ is the |sources|² pair cross — counts join equi, no window") {
+    Caches.scoped {
+      val plan = executed("q150_source_tv_distance")
+      // the deliberate tiny cross over per-source totals plans as a
+      // broadcast NLJ; the vocab-sized count join must NOT
+      val nljs = collect(plan) { case n: BroadcastNestedLoopJoinExec => n }
+      assert(nljs.nonEmpty, s"pair universe should broadcast-cross:\n$plan")
+      nljs.foreach { n =>
+        assert(!n.output.exists(_.name == "tok"),
+          s"the token-keyed count join must stay an equi-join:\n$plan")
+      }
+      assert(collect(plan) { case c: CartesianProductExec => c }.isEmpty)
+      assert(collect(plan) {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }.isEmpty, s"q150 must not plan a window:\n$plan")
+    }
+  }
+
+  test("q151 novelty: hash-keyed equi-join + aggregates — no NLJ, no cartesian, no window") {
+    Caches.scoped {
+      val plan = executed("q151_shingle_novelty")
+      assert(collect(plan) { case c: CartesianProductExec => c }.isEmpty)
+      assert(collect(plan) { case n: BroadcastNestedLoopJoinExec => n }.isEmpty,
+        s"first-occurrence join must stay an equi-join:\n$plan")
+      assert(collect(plan) {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }.isEmpty, s"q151 must not plan a window:\n$plan")
+    }
+  }
 }
