@@ -882,8 +882,27 @@ object TextPack {
       .orderBy(col("doc1"), col("doc2"))
   }
 
+  /** q152: the incremental novelty stream driven over doc_id-ordered
+    * batches — [[graft.streaming.NoveltyStream]]'s stream ≡ batch
+    * contract gated end-to-end on q151's own oracle (the streamed rows
+    * union to exactly the batch panel; q74's drive pattern).
+    */
+  def streamNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Caches.persisted(Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")))
+    val nv = new graft.streaming.NoveltyStream(spark)
+    val mx = docs.agg(max(col("doc_id"))).head.getLong(0)
+    val emitted = Seq(
+      nv.ingest(docs.filter(col("doc_id") <= mx / 3), 0L),
+      nv.ingest(docs.filter(col("doc_id") > mx / 3 && col("doc_id") <= 2 * mx / 3), 1L),
+      nv.ingest(docs.filter(col("doc_id") > 2 * mx / 3), 2L))
+    nv.close() // emitted rows are independent checkpoints — safe to free
+    emitted.reduce(_ unionByName _).orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q74_stream_pairs" -> streamPairs _,
+    "q152_stream_novelty" -> streamNovelty _,
     "q52_sequence_pack" -> sequencePack _,
     "q31_corpus_clean" -> corpusClean _,
     "q32_simhash_neardup" -> simhashNearDup _,
@@ -1433,6 +1452,7 @@ object TextPack {
   val oracles: Map[String, String] =
     baseOracles +
       ("q74_stream_pairs" -> baseOracles("q18_lsh_candidate_pairs")) +
-      ("q146_stream_vocab" -> baseOracles("q142_vocab_growth"))
+      ("q146_stream_vocab" -> baseOracles("q142_vocab_growth")) +
+      ("q152_stream_novelty" -> baseOracles("q151_shingle_novelty"))
 
 }

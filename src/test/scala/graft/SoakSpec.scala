@@ -5,9 +5,9 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import scala.collection.mutable
 
-/** Long-horizon micro-batch soaks for ALL FOUR
+/** Long-horizon micro-batch soaks for the
   * [[graft.streaming.AppendLog]]-backed streams (NearDupStream,
-  * SpanDedupStream, AnnStream, CurationStream). The 3-batch
+  * SpanDedupStream, AnnStream, CurationStream, NoveltyStream). The 3-batch
   * StreamingSpec cases never cross `AppendLog.maxSegments` (32), so log
   * COMPACTION — and the lifetime of checkpoint blocks it displaces —
   * was exercised by no test. These run 100+ batches (the compaction
@@ -276,6 +276,37 @@ class SoakSpec extends AnyFunSuite {
     assert(emitted.size == emitted.toSet.size, "a hit was emitted twice across the restart")
     assert(emitted.toSet == batchHits)
     s2.close()
+  }
+
+  test("NoveltyStream durable kill-and-restart: streamed rows exactly-once ≡ batch panel across a restart") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_nv_durable").toString
+    val chunks = docChunks(10) // 50 doc_id-ordered batches
+    val killAt = 24
+    val emitted = mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    def rowsOf(df: DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val s1 = new graft.streaming.NoveltyStream(spark, durableDir = Some(dir))
+    var last: Set[(Long, Long, Long, Long)] = Set.empty
+    (0 until killAt).foreach { i =>
+      val got = rowsOf(s1.ingest(chunks(i).toDF("doc_id", "text"), i.toLong))
+      if (i < killAt - 1) emitted ++= got else last = got.toSet
+    }
+    s1.close()
+    val s2 = new graft.streaming.NoveltyStream(spark, durableDir = Some(dir))
+    val replayed = rowsOf(s2.ingest(chunks(killAt - 1).toDF("doc_id", "text"),
+      (killAt - 1).toLong)).toSet
+    assert(replayed == last, "replayed novelty rows diverged from the dead session's")
+    emitted ++= replayed
+    (killAt until chunks.length).foreach { i =>
+      emitted ++= rowsOf(s2.ingest(chunks(i).toDF("doc_id", "text"), i.toLong))
+    }
+    s2.close()
+    val batch = Caches.scoped {
+      graft.queries.TextPack.shingleNovelty(spark, "/root/testdata/sf0.001")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    }
+    assert(emitted.size == emitted.toSet.size, "a doc's row was emitted twice across the restart")
+    assert(emitted.toSet == batch, "stream union diverged from the batch novelty panel")
   }
 
   test("AnnStream durable kill-and-restart: probe over recovered postings ≡ batch IVF index") {

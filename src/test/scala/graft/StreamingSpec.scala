@@ -316,6 +316,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(pairsOf(nd2.ingest(docs(20L -> dupA), 0)) == p2)
   }
 
+  test("NoveltyStream: exact per-doc novelty, retry idempotent, restore rebuilds") {
+    import org.apache.spark.sql.DataFrame
+    def docs(rows: (Long, String)*): DataFrame = rows.toDF("doc_id", "text")
+    def rowsOf(df: DataFrame): Map[Long, (Long, Long, Long)] =
+      df.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val t1 = "w1 w2 w3 w4" // shingles {w1w2w3, w2w3w4}
+    val t2 = "w2 w3 w4 w5" // {w2w3w4 (stale after batch 0), w3w4w5 (novel)}
+    val nv = new graft.streaming.NoveltyStream(spark)
+    assert(rowsOf(nv.ingest(docs(1L -> t1), 0)) == Map(1L -> (2L, 2L, 1000000L)))
+    val b1 = rowsOf(nv.ingest(docs(2L -> t2), 1))
+    assert(b1 == Map(2L -> (2L, 1L, 500000L)), s"half-novel doc: $b1")
+    // foreachBatch retry: same batchId replayed — the first attempt's
+    // registry append must roll back or w3w4w5 reads as stale on replay
+    assert(rowsOf(nv.ingest(docs(2L -> t2), 1)) == b1)
+    // post-retry registry is un-doubled and w3w4w5 is now registered
+    assert(rowsOf(nv.ingest(docs(3L -> t2), 2)) == Map(3L -> (2L, 0L, 0L)))
+    // within-batch first-carrier election: two docs sharing a NEW
+    // shingle in ONE batch — only the min doc_id carrier is novel
+    val b3 = rowsOf(nv.ingest(docs(4L -> "a b c", 5L -> "a b c"), 3))
+    assert(b3 == Map(4L -> (1L, 1L, 1000000L), 5L -> (1L, 0L, 0L)), s"$b3")
+    // restart: a fresh instance restored from the registry continues
+    // exactly like the uninterrupted run
+    val nv2 = new graft.streaming.NoveltyStream(spark)
+    nv2.restore(nv.registry)
+    nv.close()
+    assert(rowsOf(nv2.ingest(docs(6L -> t2), 0)) == Map(6L -> (2L, 0L, 0L)))
+    assert(rowsOf(nv2.ingest(docs(7L -> "a b c d"), 1)) ==
+      Map(7L -> (2L, 1L, 500000L))) // abc stale, bcd novel
+    nv2.close()
+  }
+
   test("SpanDedupStream under a real streaming query: foreachBatch hits ≡ batch hit set") {
     import org.apache.spark.sql.DataFrame
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
