@@ -278,6 +278,49 @@ class SoakSpec extends AnyFunSuite {
     s2.close()
   }
 
+  test("NoveltyStream soak: 125 batches across compactions; rows ≡ batch panel; storage plateaus") {
+    val chunks = docChunks(4) // 500 docs → 125 batches; compaction ~every 32
+    val nv = new graft.streaming.NoveltyStream(spark)
+    val emitted = mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    val samples = mutable.ArrayBuffer.empty[(Int, (Int, Long))]
+    chunks.zipWithIndex.foreach { case (chunk, i) =>
+      val b = chunk.toDF("doc_id", "text")
+      // foreachBatch retry ON the compaction boundary and mid-run: the
+      // replay must roll back the registry append or every replayed
+      // doc's fingerprints read as stale
+      if (i == 33 || i == 70) {
+        val first = nv.ingest(b, i.toLong).collect().toSet
+        val retry = nv.ingest(b, i.toLong).collect().toSet
+        assert(first == retry, s"retry at batch $i not idempotent")
+        emitted ++= retry.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      } else {
+        emitted ++= nv.ingest(b, i.toLong).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      }
+      if (i == 40 || i == 80 || i == chunks.length - 1)
+        samples += (i + 1) * 4 -> storageNow() // keyed by docs ingested
+    }
+    nv.close()
+    val batch = Caches.scoped {
+      graft.queries.TextPack.shingleNovelty(spark, "/root/testdata/sf0.001")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    }
+    assert(emitted.size == emitted.toSet.size, "a doc's row was emitted twice")
+    assert(emitted.toSet == batch, "soak union diverged from the batch novelty panel")
+    // retention bound: registry state is O(distinct fingerprints) by
+    // design; the bound under test is the overhead on top — per-doc
+    // stored bytes must not grow across compaction cycles and the
+    // cached-RDD count stays within one cycle's segment width
+    info("storage (docs→(rdds,bytes)): " +
+      samples.map { case (n, (c, m)) => s"$n→($c,$m)" }.mkString(" "))
+    val (d0, (_, m0)) = samples.head
+    val (dEnd, (_, mEnd)) = samples.last
+    assert(mEnd.toDouble / dEnd <= 2.0 * (m0.toDouble / d0),
+      s"per-doc stored bytes grew ${m0 / d0} → ${mEnd / dEnd}: retention is super-linear")
+    assert(samples.forall(_._2._1 <= 48),
+      s"cached-RDD count ${samples.map(_._2._1)} exceeds one compaction cycle")
+  }
+
   test("NoveltyStream durable kill-and-restart: streamed rows exactly-once ≡ batch panel across a restart") {
     val dir = java.nio.file.Files.createTempDirectory("graft_nv_durable").toString
     val chunks = docChunks(10) // 50 doc_id-ordered batches
