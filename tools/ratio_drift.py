@@ -4,6 +4,7 @@ recorded in SCALE.md, so a scale regression (a query whose 10x ratio
 GREW) is flagged mechanically instead of by eyeballing two tables.
 
 Usage: python3 tools/ratio_drift.py SCALE.md NEW_TABLE.md [growth]
+           [--subset] [--flagged-out FILE]
 
 Both inputs use bench_ratio.py's row format:
     | q01_pricing_summary | 1.23 s | 4.56 s | 3.7x |   (maybe **3.7x**)
@@ -20,6 +21,13 @@ A RECORDED query that is MISSING from the new table is itself a failure
 'err' row the ROW regex skips, so "missing" usually means "fails outright
 at the 10x fixture" -- the worst scale regression there is, and exactly
 the one a compare-only-what-is-present diff would wave through.
+
+--subset disables that missing check: the new table deliberately covers
+only a few queries (the gate's isolated re-measure of exactly the
+flagged set), so every other recorded query being absent is the point.
+--flagged-out FILE writes the flagged query names one per line (empty
+file when nothing flagged), which is what lets the gate re-measure
+exactly the flagged set in fresh-JVM isolation and re-judge.
 """
 import re
 import sys
@@ -38,7 +46,8 @@ def ratios(path):
     return out
 
 
-def main(recorded_path, new_path, growth=2.0):
+def main(recorded_path, new_path, growth=2.0, subset=False,
+         flagged_out=None):
     rec, new = ratios(recorded_path), ratios(new_path)
     if not rec:
         print(f"no recorded ratio rows found in {recorded_path}")
@@ -52,9 +61,13 @@ def main(recorded_path, new_path, growth=2.0):
             fresh.append(q)
         elif r_new > growth * max(rec[q], 1.0):
             flagged.append((q, rec[q], r_new))
-    missing = sorted(set(rec) - set(new))
+    missing = [] if subset else sorted(set(rec) - set(new))
+    if flagged_out is not None:
+        with open(flagged_out, "w") as f:
+            f.write("".join(q + "\n" for q, _, _ in flagged))
     print(f"{len(new)} queries in new table, {len(rec)} recorded; "
-          f"growth threshold {growth}x")
+          f"growth threshold {growth}x"
+          + (" (subset mode)" if subset else ""))
     if fresh:
         print(f"unrecorded (new) queries: {', '.join(fresh)}")
     if missing:
@@ -76,5 +89,13 @@ def main(recorded_path, new_path, growth=2.0):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2],
-                  float(sys.argv[3]) if len(sys.argv) > 3 else 2.0))
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    subset = "--subset" in sys.argv
+    flagged_out = None
+    if "--flagged-out" in sys.argv:
+        flagged_out = sys.argv[sys.argv.index("--flagged-out") + 1]
+        if flagged_out in args:
+            args.remove(flagged_out)
+    sys.exit(main(args[0], args[1],
+                  float(args[2]) if len(args) > 2 else 2.0,
+                  subset=subset, flagged_out=flagged_out))

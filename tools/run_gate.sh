@@ -107,9 +107,41 @@ EOF
   python3 tools/bench_ratio.py "$WORK/bench.json" "$WORK/bench_10x.json" \
     > "$WORK/ratio_table.md"
   (tail -3 "$WORK/ratio_table.md" || true) | head -1
-  python3 tools/ratio_drift.py SCALE.md "$WORK/ratio_table.md" \
-    | tee "$WORK/ratio_drift.log" \
-    || { echo "   RATIO DRIFT — see $WORK/ratio_table.md"; exit 1; }
+  # Drift in the SHARED-SESSION artifact is re-judged in fresh-JVM
+  # isolation before failing: the flagged queries re-run isolated at
+  # both SFs (min-of-3 per child JVM) and only a drift that SURVIVES
+  # isolation fails the stage — rounds 14-16 each spent manual A/B work
+  # exonerating session-heap artifacts on exactly this class of
+  # sub-second queries; this makes the exoneration mechanical. A real
+  # scale regression reproduces in the isolated children and still
+  # stops the gate.
+  if ! python3 tools/ratio_drift.py SCALE.md "$WORK/ratio_table.md" \
+      --flagged-out "$WORK/drift_flagged.txt" \
+      | tee "$WORK/ratio_drift.log"; then
+    flagged=$(paste -sd, "$WORK/drift_flagged.txt")
+    [ -n "$flagged" ] || { echo "   RATIO DRIFT (missing rows) — see $WORK/ratio_table.md"; exit 1; }
+    echo "   shared-session drift on: $flagged — re-judging isolated"
+    # shellcheck disable=SC2086
+    SPARK_GRAFT_BENCH_ISOLATE="$flagged" SPARK_GRAFT_CPUS=16 \
+      SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
+      SPARK_GRAFT_BENCH_OUT="$WORK/drift_iso_01.json" \
+      java $JAVAOPTS -Xmx96g -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
+      graft.Bench > "$WORK/drift_iso_01.log" 2>&1 \
+      || { echo "   FAIL:"; tail -5 "$WORK/drift_iso_01.log"; exit 1; }
+    # shellcheck disable=SC2086
+    SPARK_GRAFT_BENCH_ISOLATE="$flagged" SPARK_GRAFT_CPUS=16 \
+      SPARK_GRAFT_SF_DIR="$PWD/target/sf10x" \
+      SPARK_GRAFT_BENCH_OUT="$WORK/drift_iso_10x.json" \
+      java $JAVAOPTS -Xmx96g -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
+      graft.Bench > "$WORK/drift_iso_10x.log" 2>&1 \
+      || { echo "   FAIL:"; tail -5 "$WORK/drift_iso_10x.log"; exit 1; }
+    python3 tools/bench_ratio.py "$WORK/drift_iso_01.json" "$WORK/drift_iso_10x.json" \
+      > "$WORK/drift_iso_table.md"
+    python3 tools/ratio_drift.py SCALE.md "$WORK/drift_iso_table.md" --subset \
+      | tee "$WORK/ratio_drift_iso.log" \
+      || { echo "   RATIO DRIFT SURVIVES ISOLATION — real scale regression, see $WORK/drift_iso_table.md"; exit 1; }
+    echo "   drift exonerated in isolation (session-state artifact)"
+  fi
 fi
 
 # Optional isolated-bench stage (BENCH_ISO=1): the full query surface,
