@@ -967,6 +967,30 @@ class AgreementSpec extends AnyFunSuite {
     }
   }
 
+  test("q150 TV distance is a metric on the real fixture: triangle inequality over all source triples") {
+    Caches.scoped {
+      // TV is a true metric; the ppm rows floor the exact rational, so
+      // each side carries <1 ppm of downward error — the inequality must
+      // hold within 2 ppm of slack. An arithmetic slip (wrong total,
+      // swapped min operands, off-by-one division) breaks this across
+      // many of the 1 140 triples at once.
+      val tv = graft.queries.TextPack
+        .sourceTvDistance(spark, "/root/testdata/sf0.001").collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(3)).toMap
+      def d(a: String, b: String): Long = {
+        val (lo, hi) = if (a < b) (a, b) else (b, a)
+        if (a == b) 0L else tv.getOrElse((lo, hi), fail(s"missing pair ($a,$b)"))
+      }
+      val sources = tv.keys.flatMap(p => Seq(p._1, p._2)).toSeq.distinct.sorted
+      assert(sources.size >= 3, "fixture must have at least 3 sources")
+      for (a <- sources; b <- sources if a < b; c <- sources if b < c) {
+        assert(d(a, c) <= d(a, b) + d(b, c) + 2L, s"triangle violated: $a,$b,$c")
+        assert(d(a, b) <= d(a, c) + d(b, c) + 2L, s"triangle violated: $b,$a,$c")
+        assert(d(b, c) <= d(a, b) + d(a, c) + 2L, s"triangle violated: $a,$c,$b")
+      }
+    }
+  }
+
   test("q151 shingle novelty: first doc fully novel, exact duplicate fully stale, ppm exact") {
     import spark.implicits._
     Caches.scoped {
