@@ -170,8 +170,16 @@ private[streaming] final class AppendLog(
       committedCount = header(2).stripPrefix("committed=").toInt
       import scala.jdk.CollectionConverters._
       segments = lines.asScala.drop(1).filter(_.nonEmpty).toVector.map { name =>
-        Seg(spark.read.schema(schema).parquet(
-          java.nio.file.Paths.get(dir, name).toString), owned = false, Some(name))
+        val p = java.nio.file.Paths.get(dir, name)
+        // fail LOUDLY at open, not at first action: a manifest naming a
+        // missing segment dir means the durable state is mangled (e.g.
+        // files deleted out from under the manifest) — constructing a
+        // scan over the void would surface as an opaque read error
+        // mid-stream instead of a recovery-time contract violation
+        require(java.nio.file.Files.isDirectory(p),
+          s"AppendLog manifest in $dir references missing segment dir " +
+            s"'$name' — durable state is corrupt (recovery refused)")
+        Seg(spark.read.schema(schema).parquet(p.toString), owned = false, Some(name))
       }
       // resume naming past everything ever referenced; +1 headroom in
       // case a crash left an unreferenced seg dir at the max name
@@ -274,12 +282,21 @@ private[streaming] final class AppendLog(
     }
 
   def rollback(): Unit = {
-    segments.drop(committedCount).foreach { s =>
+    val pending = segments.drop(committedCount)
+    segments = segments.take(committedCount)
+    // Publish the truncated view BEFORE touching the files — the mirror
+    // of append's write-then-register. A crash after the swap leaves the
+    // pending segments as unreferenced garbage (recovery never reads
+    // them; the monotone segCounter keeps their names from colliding);
+    // a crash before it leaves the old manifest over still-present
+    // files, i.e. the rollback simply didn't happen yet. The previous
+    // delete-then-publish order had a window where the manifest named
+    // already-deleted dirs and recovery constructed scans over nothing.
+    if (durableDir.isDefined) writeManifest()
+    pending.foreach { s =>
       if (s.owned) graft.ext.GraphOps.unpersistCheckpoint(s.df)
       s.path.foreach(deleteSegFiles)
     }
-    segments = segments.take(committedCount)
-    if (durableDir.isDefined) writeManifest()
   }
 
   /** Replace the whole log with `rows` — the restart-seed path for

@@ -176,6 +176,50 @@ class AppendLogSpec extends AnyFunSuite {
     assert(log2.cur.as[Long].collect().sorted.sameElements(Seq(7L, 8L)))
   }
 
+  test("durable crash-safety: rollback publishes the truncated manifest BEFORE deleting files; a manifest naming a missing dir refuses recovery loudly") {
+    // CRASH STATE A — the only window the manifest-first rollback
+    // ordering leaves: the truncated manifest is already published but
+    // the rolled-back segment files were not yet deleted. Construct it
+    // exactly: snapshot the manifest after batch 0, append batch 1, then
+    // put the snapshot back — the batch-1 segment dir is now dangling
+    // (on disk, unreferenced). Recovery must see only batch 0's rows,
+    // report batch 0 for replay detection, and keep appending without
+    // colliding with the dangling dir.
+    val dir = java.nio.file.Files.createTempDirectory("graft_durlog_xa").toString
+    val manifest = java.nio.file.Paths.get(dir, "manifest")
+    val log = new AppendLog(spark, schema, durableDir = Some(dir))
+    log.append(frame(1L, 2L), batch = 0L)
+    val snap = java.nio.file.Files.readAllBytes(manifest)
+    log.append(frame(3L), batch = 1L)
+    java.nio.file.Files.write(manifest, snap) // crash between swap and delete
+    assert(new java.io.File(dir).list().count(_.startsWith("seg-")) == 2,
+      "crash state must leave the rolled-back files on disk")
+    val rec = new AppendLog(spark, schema, durableDir = Some(dir))
+    assert(rec.restoredBatch.contains(0L))
+    assert(rec.cur.as[Long].collect().sorted.sameElements(Seq(1L, 2L)))
+    rec.append(frame(9L), batch = 1L) // the replayed batch, post-recovery
+    assert(rec.cur.as[Long].collect().sorted.sameElements(Seq(1L, 2L, 9L)))
+    val rec2 = new AppendLog(spark, schema, durableDir = Some(dir))
+    assert(rec2.cur.as[Long].collect().sorted.sameElements(Seq(1L, 2L, 9L)))
+
+    // CRASH STATE B — the OLD delete-then-publish ordering's hole: a
+    // manifest referencing a deleted segment dir. That state is now
+    // unreachable by construction; if it ever appears (mangled storage),
+    // recovery must refuse AT OPEN with a named error, not hand back a
+    // log whose first action explodes mid-stream.
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_durlog_xb").toString
+    val l2 = new AppendLog(spark, schema, durableDir = Some(dir2))
+    l2.append(frame(1L), batch = 0L)
+    l2.append(frame(2L), batch = 1L)
+    val victim = java.nio.file.Paths.get(dir2, "seg-000001")
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(victim).sorted(java.util.Comparator.reverseOrder())
+      .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+    val e = intercept[IllegalArgumentException](
+      new AppendLog(spark, schema, durableDir = Some(dir2)))
+    assert(e.getMessage.contains("missing segment dir"))
+  }
+
   test("appendView segments fold by value; rollback drops the reference only") {
     val log = new AppendLog(spark, schema)
     val parent = frame(1L, 2L, 3L).withColumn("extra", lit("x"))
