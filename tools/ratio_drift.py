@@ -27,8 +27,13 @@ only a few queries (the gate's isolated re-measure of exactly the
 flagged set), so every other recorded query being absent is the point.
 --flagged-out FILE writes the flagged query names one per line (empty
 file when nothing flagged), which is what lets the gate re-measure
-exactly the flagged set in fresh-JVM isolation and re-judge.
+exactly the flagged set in fresh-JVM isolation and re-judge. Missing
+recorded queries are written to the same file as `MISSING:<name>`
+lines so the gate's exoneration path can distinguish "drift that may
+exonerate in isolation" from "a recorded query with no row at all"
+(which must fail outright — isolation cannot exonerate an absence).
 """
+import argparse
 import re
 import sys
 
@@ -65,6 +70,10 @@ def main(recorded_path, new_path, growth=2.0, subset=False,
     if flagged_out is not None:
         with open(flagged_out, "w") as f:
             f.write("".join(q + "\n" for q, _, _ in flagged))
+            # distinct marker lines: the gate greps these so a missing
+            # row can never ride the exoneration path (which re-measures
+            # only queries that HAVE a measurement to re-judge)
+            f.write("".join(f"MISSING:{q}\n" for q in missing))
     print(f"{len(new)} queries in new table, {len(rec)} recorded; "
           f"growth threshold {growth}x"
           + (" (subset mode)" if subset else ""))
@@ -89,13 +98,19 @@ def main(recorded_path, new_path, growth=2.0, subset=False,
 
 
 if __name__ == "__main__":
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    subset = "--subset" in sys.argv
-    flagged_out = None
-    if "--flagged-out" in sys.argv:
-        flagged_out = sys.argv[sys.argv.index("--flagged-out") + 1]
-        if flagged_out in args:
-            args.remove(flagged_out)
-    sys.exit(main(args[0], args[1],
-                  float(args[2]) if len(args) > 2 else 2.0,
-                  subset=subset, flagged_out=flagged_out))
+    p = argparse.ArgumentParser(
+        description="Diff a fresh 10x wall-ratio table against SCALE.md's "
+                    "recorded ratios; exit 1 on drift or missing rows.")
+    p.add_argument("recorded", help="SCALE.md (last table occurrence wins)")
+    p.add_argument("new_table", help="freshly rendered bench_ratio.py table")
+    p.add_argument("growth", nargs="?", type=float, default=2.0,
+                   help="flag when new > growth * max(recorded, 1.0)")
+    p.add_argument("--subset", action="store_true",
+                   help="new table deliberately covers a subset; "
+                        "disable the missing-row check")
+    p.add_argument("--flagged-out", metavar="FILE",
+                   help="write flagged names (and MISSING:<name> marker "
+                        "lines) one per line for the gate's re-judge")
+    a = p.parse_args()
+    sys.exit(main(a.recorded, a.new_table, a.growth,
+                  subset=a.subset, flagged_out=a.flagged_out))

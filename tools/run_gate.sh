@@ -118,8 +118,17 @@ EOF
   if ! python3 tools/ratio_drift.py SCALE.md "$WORK/ratio_table.md" \
       --flagged-out "$WORK/drift_flagged.txt" \
       | tee "$WORK/ratio_drift.log"; then
+    # A recorded query with NO parseable row cannot be exonerated by
+    # isolation — there is nothing to re-measure (it errored at one SF
+    # or fell out of the bench surface). Check the distinct MISSING:
+    # markers BEFORE the exoneration path so a missing row can never be
+    # swallowed by a drift flag that happens to exonerate alongside it.
+    if grep -q '^MISSING:' "$WORK/drift_flagged.txt"; then
+      echo "   RATIO DRIFT (missing rows: $(grep '^MISSING:' "$WORK/drift_flagged.txt" | cut -d: -f2- | paste -sd,)) — see $WORK/ratio_table.md"
+      exit 1
+    fi
     flagged=$(paste -sd, "$WORK/drift_flagged.txt")
-    [ -n "$flagged" ] || { echo "   RATIO DRIFT (missing rows) — see $WORK/ratio_table.md"; exit 1; }
+    [ -n "$flagged" ] || { echo "   RATIO DRIFT (nothing flagged yet exit!=0 — parse failure?) — see $WORK/ratio_drift.log"; exit 1; }
     echo "   shared-session drift on: $flagged — re-judging isolated"
     # shellcheck disable=SC2086
     SPARK_GRAFT_BENCH_ISOLATE="$flagged" SPARK_GRAFT_CPUS=16 \
