@@ -689,7 +689,18 @@ object CurationPack {
     * the plan a 100 TB corpus build would actually run, and the single
     * hash gate that proves all the stage interfaces line up.
     */
-  def corpusBuild(spark: SparkSession, dir: String): DataFrame = {
+  def corpusBuild(spark: SparkSession, dir: String): DataFrame =
+    sqrtQuotaCap(corpusGated(spark, dir))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("cap_rank"),
+        col("quota"))
+      .orderBy(col("doc_id"))
+
+  /** The q68 build's gated set BEFORE the quota cap — shared by
+    * [[corpusBuild]] and the novelty-composed [[corpusBuildNovelty]]
+    * (the cap must count whatever distribution survives the gates, so
+    * composition inserts gates here, never after the cap).
+    */
+  private def corpusGated(spark: SparkSession, dir: String): DataFrame = {
     val docs = graft.Caches.persisted(Tables.documents(spark, dir))
 
     // exact + near-dup survivors (keep = my id is the group/component min)
@@ -717,7 +728,7 @@ object CurationPack {
     // eval holdout + decontamination (natural 8-gram overlap only)
     val contaminated = benchOverlaps(docs).select(col("doc_id")).distinct()
 
-    val gated = docs
+    docs
       .filter(col("doc_id") % 101 =!= 0)
       .join(exactKeep, "doc_id", "left_semi")
       .join(nearDupDrop, Seq("doc_id"), "left_anti")
@@ -726,8 +737,35 @@ object CurationPack {
       .join(contaminated, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("source"),
         TextOps.tokenCount(col("text")).as("n_tokens"))
+  }
 
-    sqrtQuotaCap(gated)
+  /** Novelty floor for the composed q153/q154 builds: keep a doc iff at
+    * least half its distinct 3-gram fingerprints are globally first
+    * seen in it (q151's curve read as a stopping criterion). Fixture-
+    * independent; binds — drops some docs, keeps some — at every SF.
+    */
+  private[graft] val NoveltyFloorPpm = 500000L
+
+  /** q153: the corpus build with the NOVELTY FLOOR as a fifth content
+    * gate — q68's exact/near-dup/repetition/LM/decontamination plan ∧
+    * q151's per-doc shingle novelty ≥ [[NoveltyFloorPpm]], quota-capped
+    * AFTER all gates. This is the marginal-content stopping criterion a
+    * crawl-ordered corpus build actually applies: a document that
+    * mostly re-covers already-ingested shingles without being a
+    * near-dup of any single earlier doc passes every q68 gate yet adds
+    * almost nothing new — the novelty floor is the only gate that sees
+    * it. Composition is one more doc-keyed semi-join over the SAME
+    * tested operators (q68's gates, q151's panel) — no new shuffle
+    * shape; at 100 TB the novelty panel's groupBy-min on 64-bit
+    * fingerprints is the same population the span-dedup log already
+    * carries. Reference analog: none — brief-mandated training-data
+    * machinery.
+    */
+  def corpusBuildNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val novKeep = TextPack.noveltyPanel(spark, dir)
+      .filter(col("novelty_ppm") >= NoveltyFloorPpm)
+      .select(col("doc_id"))
+    sqrtQuotaCap(corpusGated(spark, dir).join(novKeep, Seq("doc_id"), "left_semi"))
       .select(col("doc_id"), col("source"), col("n_tokens"), col("cap_rank"),
         col("quota"))
       .orderBy(col("doc_id"))
@@ -798,7 +836,20 @@ object CurationPack {
     * machinery must land on exactly the batch build's rows — the
     * strongest driver-visible contract the streaming layer has.
     */
-  def streamReconcile(spark: SparkSession, dir: String): DataFrame = {
+  def streamReconcile(spark: SparkSession, dir: String): DataFrame =
+    driveCurationStream(spark, dir, noveltyFloor = None)
+
+  /** q154: the STREAMING five-gate corpus build — [[streamReconcile]]'s
+    * drive with [[graft.streaming.CurationStream]]'s novelty floor on,
+    * hash-gated against the IDENTICAL composed DuckDB oracle as q153:
+    * the incremental novelty registry + verdict log must land the
+    * reconciled corpus on exactly the batch composition's rows.
+    */
+  def streamReconcileNovelty(spark: SparkSession, dir: String): DataFrame =
+    driveCurationStream(spark, dir, noveltyFloor = Some(NoveltyFloorPpm))
+
+  private def driveCurationStream(spark: SparkSession, dir: String,
+      noveltyFloor: Option[Long]): DataFrame = {
     val docs = graft.Caches.persisted(Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), col("text")))
     val t = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
@@ -808,7 +859,8 @@ object CurationPack {
     val benchSh = TextOps.shingleRows(
         docs.filter(col("doc_id") % 101 === 0), "doc_id", "text", 8)
       .select(col("_s").as("sh"))
-    val cs = new graft.streaming.CurationStream(spark, uni, bi, benchSh)
+    val cs = new graft.streaming.CurationStream(spark, uni, bi, benchSh,
+      noveltyFloorPpm = noveltyFloor)
     // Micro-batch posture: AQE stays ON. The ProfileQ72 matrix
     // (SCALE.md, round 13) measured the alternatives — AQE off cuts
     // jobs 2.7x but leaves wall flat-to-worse (9.1 vs 11.0 s here),
@@ -816,7 +868,12 @@ object CurationPack {
     // stage launches 32 near-empty tasks; job-scheduling overhead is
     // NOT the per-batch constant, stage/exchange materialization is.
     ingestInThirds(docs)(cs.ingest)
-    cs.reconcile()
+    // reconcile() reads the logs LAZILY — materialize it, then release
+    // the stream's state blocks deterministically (without close() the
+    // logs' final generation waits on weak-reference GC every execution)
+    val out = cs.reconcile().localCheckpoint(eager = true)
+    cs.close()
+    out
   }
 
   // ---------------------------------------------------------------- q75
@@ -976,7 +1033,12 @@ object CurationPack {
   def streamSpans(spark: SparkSession, dir: String): DataFrame = {
     val docs = graft.Caches.persisted(spanPlantedDocs(spark, dir))
     val st = new graft.streaming.SpanDedupStream(spark)
-    st.reconcileSpans(ingestInThirds(docs)(st.ingest).reduce(_ union _))
+    // the emitted hits are independent checkpoints and reconcileSpans
+    // reads only those — the occurrence log can be released here rather
+    // than leak its final generation to weak-reference GC
+    val spans = st.reconcileSpans(ingestInThirds(docs)(st.ingest).reduce(_ union _))
+    st.close()
+    spans
   }
 
   // ---------------------------------------------------------------- q79
@@ -1435,6 +1497,8 @@ object CurationPack {
     "q67_decontaminate" -> decontaminate _,
     "q107_bloom_decontaminate" -> bloomDecontaminate _,
     "q68_corpus_build" -> corpusBuild _,
+    "q153_corpus_build_novelty" -> corpusBuildNovelty _,
+    "q154_stream_reconcile_novelty" -> streamReconcileNovelty _,
     "q69_mixture_draw" -> mixtureDraw _,
     "q70_star_components" -> starDedupComponents _,
     "q72_stream_reconcile" -> streamReconcile _,
@@ -1490,6 +1554,114 @@ object CurationPack {
        |  translate(split_part(bg, ' ', 2), chr(1)||chr(2)||chr(3), '') AS w2,
        |  translate(replace(bg, ' ', ''), chr(1)||chr(2)||chr(3), '') AS merged,
        |  n FROM b$r""".stripMargin
+
+
+  /** The q68 corpus-build oracle, optionally composed with the q151
+    * novelty floor (q153/q154): `noveltyFloor` adds novelty CTEs over
+    * the SAME 3-gram `sh` CTE the LSH stage shingles from (q151's
+    * exact md5-prefix fingerprints and distinct-count ppm) and one
+    * more `gated` predicate — mirroring the Spark side's composition
+    * point, BEFORE the quota cap counts the surviving distribution.
+    */
+  private def corpusBuildSql(noveltyFloor: Option[Long]): String = {
+    val novCtes = noveltyFloor.fold("") { f =>
+      s"""novex AS (
+         |  SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::bigint AS h
+         |  FROM (SELECT doc_id, unnest(sh) AS s FROM sh)),
+         |novfirsts AS (SELECT h, min(doc_id) AS first_doc FROM novex GROUP BY 1),
+         |novkeep AS (
+         |  SELECT e.doc_id FROM novex e JOIN novfirsts f ON f.h = e.h
+         |  GROUP BY e.doc_id
+         |  HAVING (count(DISTINCT CASE WHEN e.doc_id = f.first_doc THEN e.h END)
+         |            * 1000000) // count(DISTINCT e.h) >= $f),
+         |""".stripMargin
+    }
+    val novPred = noveltyFloor.fold("")(_ =>
+      "\n    AND d.doc_id IN (SELECT doc_id FROM novkeep)")
+    s"""WITH RECURSIVE
+       |sh AS (
+       |  SELECT doc_id, ${TextPack.shinglesSql} AS sh
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+       |${novCtes}sig AS (SELECT doc_id, ${TextPack.sigSql} AS sig FROM sh),
+       |bands AS (
+       |  SELECT doc_id, b,
+       |    b || ':' || array_to_string(sig[b*${TextPack.R}+1:b*${TextPack.R}+${TextPack.R}], ',') AS band_key
+       |  FROM sig CROSS JOIN (SELECT unnest(range(${TextPack.Bands})) AS b)),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS src, b2.doc_id AS dst
+       |  FROM bands a JOIN bands b2
+       |    ON a.band_key = b2.band_key AND a.doc_id < b2.doc_id),
+       |sym AS (SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT src, dst FROM sym
+       |  UNION
+       |  SELECT r.a, s.dst FROM reach r JOIN sym s ON s.src = r.b),
+       |neardrop AS (
+       |  SELECT a AS doc_id FROM reach GROUP BY a HAVING min(b) < a),
+       |exactkeep AS (
+       |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+       |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |base AS (
+       |  SELECT doc_id, len(toks)::bigint AS n_words,
+       |    len(list_distinct(toks))::bigint AS n_distinct_words
+       |  FROM t),
+       |bgr AS (
+       |  SELECT doc_id,
+       |    unnest([toks[i] for i in range(1, len(toks))]) AS w1,
+       |    unnest([array_to_string(toks[i:i+1], ' ')
+       |            for i in range(1, len(toks))]) AS bg
+       |  FROM t WHERE len(toks) >= 2),
+       |topb AS (
+       |  SELECT doc_id, max(n) AS top_n
+       |  FROM (SELECT doc_id, bg, count(*)::bigint AS n FROM bgr GROUP BY 1, 2)
+       |  GROUP BY 1),
+       |repkeep AS (
+       |  SELECT base.doc_id FROM base JOIN topb ON topb.doc_id = base.doc_id
+       |  WHERE floor($FracScale * (n_words - n_distinct_words) / n_words)::bigint
+       |          < $MaxDupWordFp
+       |    AND floor($FracScale * 2 * top_n / n_words)::bigint < $MaxTopBigramFp),
+       |uni AS (
+       |  SELECT w1, count(*)::bigint AS cu
+       |  FROM (SELECT unnest(toks) AS w1 FROM t) GROUP BY 1),
+       |bi AS (SELECT bg, count(*)::bigint AS cb FROM bgr GROUP BY 1),
+       |lm AS (
+       |  SELECT doc_id, count(*)::bigint AS nb,
+       |    sum(floor($FracScale * cb / cu))::bigint AS sp
+       |  FROM bgr JOIN bi USING (bg) JOIN uni USING (w1) GROUP BY 1),
+       |lmkeep AS (SELECT doc_id FROM lm WHERE floor(sp / nb)::bigint >= $LmThresholdFp),
+       |sh8 AS (
+       |  SELECT doc_id,
+       |    unnest(list_distinct([array_to_string(toks[i:i+7], ' ')
+       |                          for i in range(1, len(toks) - 6)])) AS s8
+       |  FROM t),
+       |bench AS (SELECT DISTINCT s8 FROM sh8 WHERE doc_id % 101 = 0),
+       |contam AS (
+       |  SELECT DISTINCT doc_id FROM sh8 JOIN bench USING (s8)
+       |  WHERE doc_id % 101 != 0),
+       |gated AS (
+       |  SELECT d.doc_id, d.source,
+       |    len(d.text) - len(replace(d.text, ' ', '')) + 1 AS n_tokens,
+       |    ('0x' || substr(md5('cap:' || d.doc_id), 1, 8))::bigint AS h
+       |  FROM documents d
+       |  WHERE d.doc_id % 101 != 0
+       |    AND d.doc_id IN (SELECT doc_id FROM exactkeep)
+       |    AND d.doc_id NOT IN (SELECT doc_id FROM neardrop)
+       |    AND d.doc_id IN (SELECT doc_id FROM repkeep)
+       |    AND d.doc_id IN (SELECT doc_id FROM lmkeep)
+       |    AND d.doc_id NOT IN (SELECT doc_id FROM contam)$novPred),
+       |quotas AS (
+       |  SELECT source, count(*)::bigint AS n_source,
+       |    floor(sqrt(count(*)))::bigint AS quota
+       |  FROM gated GROUP BY 1),
+       |ranked AS (
+       |  SELECT doc_id, source, n_tokens, h,
+       |    row_number() OVER (PARTITION BY source ORDER BY h, doc_id)::bigint
+       |      AS cap_rank
+       |  FROM gated)
+       |SELECT r.doc_id, r.source, r.n_tokens, cap_rank, quota
+       |FROM ranked r JOIN quotas q ON q.source = r.source
+       |WHERE cap_rank <= q.quota ORDER BY r.doc_id""".stripMargin
+  }
 
   private val baseOracles: Map[String, String] = Map(
     "q98_source_overlap" ->
@@ -1788,90 +1960,9 @@ object CurationPack {
          |SELECT doc_id, r.source, n_tokens, cum_tokens, budget_tokens
          |FROM r JOIN budgets ON budgets.source = r.source
          |WHERE cum_tokens <= budget_tokens ORDER BY doc_id""".stripMargin,
-    "q68_corpus_build" ->
-      s"""WITH RECURSIVE
-         |sh AS (
-         |  SELECT doc_id, ${TextPack.shinglesSql} AS sh
-         |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
-         |sig AS (SELECT doc_id, ${TextPack.sigSql} AS sig FROM sh),
-         |bands AS (
-         |  SELECT doc_id, b,
-         |    b || ':' || array_to_string(sig[b*${TextPack.R}+1:b*${TextPack.R}+${TextPack.R}], ',') AS band_key
-         |  FROM sig CROSS JOIN (SELECT unnest(range(${TextPack.Bands})) AS b)),
-         |pairs AS (
-         |  SELECT DISTINCT a.doc_id AS src, b2.doc_id AS dst
-         |  FROM bands a JOIN bands b2
-         |    ON a.band_key = b2.band_key AND a.doc_id < b2.doc_id),
-         |sym AS (SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs),
-         |reach(a, b) AS (
-         |  SELECT src, dst FROM sym
-         |  UNION
-         |  SELECT r.a, s.dst FROM reach r JOIN sym s ON s.src = r.b),
-         |neardrop AS (
-         |  SELECT a AS doc_id FROM reach GROUP BY a HAVING min(b) < a),
-         |exactkeep AS (
-         |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
-         |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-         |base AS (
-         |  SELECT doc_id, len(toks)::bigint AS n_words,
-         |    len(list_distinct(toks))::bigint AS n_distinct_words
-         |  FROM t),
-         |bgr AS (
-         |  SELECT doc_id,
-         |    unnest([toks[i] for i in range(1, len(toks))]) AS w1,
-         |    unnest([array_to_string(toks[i:i+1], ' ')
-         |            for i in range(1, len(toks))]) AS bg
-         |  FROM t WHERE len(toks) >= 2),
-         |topb AS (
-         |  SELECT doc_id, max(n) AS top_n
-         |  FROM (SELECT doc_id, bg, count(*)::bigint AS n FROM bgr GROUP BY 1, 2)
-         |  GROUP BY 1),
-         |repkeep AS (
-         |  SELECT base.doc_id FROM base JOIN topb ON topb.doc_id = base.doc_id
-         |  WHERE floor($FracScale * (n_words - n_distinct_words) / n_words)::bigint
-         |          < $MaxDupWordFp
-         |    AND floor($FracScale * 2 * top_n / n_words)::bigint < $MaxTopBigramFp),
-         |uni AS (
-         |  SELECT w1, count(*)::bigint AS cu
-         |  FROM (SELECT unnest(toks) AS w1 FROM t) GROUP BY 1),
-         |bi AS (SELECT bg, count(*)::bigint AS cb FROM bgr GROUP BY 1),
-         |lm AS (
-         |  SELECT doc_id, count(*)::bigint AS nb,
-         |    sum(floor($FracScale * cb / cu))::bigint AS sp
-         |  FROM bgr JOIN bi USING (bg) JOIN uni USING (w1) GROUP BY 1),
-         |lmkeep AS (SELECT doc_id FROM lm WHERE floor(sp / nb)::bigint >= $LmThresholdFp),
-         |sh8 AS (
-         |  SELECT doc_id,
-         |    unnest(list_distinct([array_to_string(toks[i:i+7], ' ')
-         |                          for i in range(1, len(toks) - 6)])) AS s8
-         |  FROM t),
-         |bench AS (SELECT DISTINCT s8 FROM sh8 WHERE doc_id % 101 = 0),
-         |contam AS (
-         |  SELECT DISTINCT doc_id FROM sh8 JOIN bench USING (s8)
-         |  WHERE doc_id % 101 != 0),
-         |gated AS (
-         |  SELECT d.doc_id, d.source,
-         |    len(d.text) - len(replace(d.text, ' ', '')) + 1 AS n_tokens,
-         |    ('0x' || substr(md5('cap:' || d.doc_id), 1, 8))::bigint AS h
-         |  FROM documents d
-         |  WHERE d.doc_id % 101 != 0
-         |    AND d.doc_id IN (SELECT doc_id FROM exactkeep)
-         |    AND d.doc_id NOT IN (SELECT doc_id FROM neardrop)
-         |    AND d.doc_id IN (SELECT doc_id FROM repkeep)
-         |    AND d.doc_id IN (SELECT doc_id FROM lmkeep)
-         |    AND d.doc_id NOT IN (SELECT doc_id FROM contam)),
-         |quotas AS (
-         |  SELECT source, count(*)::bigint AS n_source,
-         |    floor(sqrt(count(*)))::bigint AS quota
-         |  FROM gated GROUP BY 1),
-         |ranked AS (
-         |  SELECT doc_id, source, n_tokens, h,
-         |    row_number() OVER (PARTITION BY source ORDER BY h, doc_id)::bigint
-         |      AS cap_rank
-         |  FROM gated)
-         |SELECT r.doc_id, r.source, r.n_tokens, cap_rank, quota
-         |FROM ranked r JOIN quotas q ON q.source = r.source
-         |WHERE cap_rank <= q.quota ORDER BY r.doc_id""".stripMargin,
+    "q68_corpus_build" -> corpusBuildSql(noveltyFloor = None),
+    "q153_corpus_build_novelty" ->
+      corpusBuildSql(noveltyFloor = Some(NoveltyFloorPpm)),
     "q115_systematic_sample" ->
       s"""WITH c AS (
          |  SELECT doc_id, n_chars,
@@ -2256,6 +2347,8 @@ object CurationPack {
   val oracles: Map[String, String] =
     baseOracles +
       ("q72_stream_reconcile" -> baseOracles("q68_corpus_build")) +
+      ("q154_stream_reconcile_novelty" ->
+        baseOracles("q153_corpus_build_novelty")) +
       ("q77_stream_spans" -> baseOracles("q75_span_dedup")) +
       ("q99_stream_cms" -> baseOracles("q65_cms_heavy_hitters"))
 }

@@ -691,7 +691,14 @@ object TextPack {
     * on the hash, one doc-keyed aggregate; ppm is an exact integral
     * floor-division.
     */
-  def shingleNovelty(spark: SparkSession, dir: String): DataFrame = {
+  def shingleNovelty(spark: SparkSession, dir: String): DataFrame =
+    noveltyPanel(spark, dir).orderBy(col("doc_id"))
+
+  /** [[shingleNovelty]] without the presentation sort — the form other
+    * operators compose on (q153 semi-joins it under the corpus build's
+    * gates; a sort below a join is wasted work at any scale).
+    */
+  private[queries] def noveltyPanel(spark: SparkSession, dir: String): DataFrame = {
     val ex = graft.Caches.persisted(Tables.documents(spark, dir)
       .select(col("doc_id"), explode(TextOps.wordShingles(col("text"), 3)).as("_s"))
       .select(col("doc_id"), TextOps.hash32(col("_s")).as("h")))
@@ -702,7 +709,6 @@ object TextPack {
         countDistinct(when(col("doc_id") === col("first_doc"), col("h"))).as("n_novel"))
       .select(col("doc_id"), col("n_shingles"), col("n_novel"),
         expr("(n_novel * 1000000) div n_shingles").as("novelty_ppm"))
-      .orderBy(col("doc_id"))
   }
 
   def simhashes(spark: SparkSession, dir: String): DataFrame = {
@@ -913,6 +919,7 @@ object TextPack {
       nd.ingest(docs.filter(col("doc_id") <= mx / 3), 0L),
       nd.ingest(docs.filter(col("doc_id") > mx / 3 && col("doc_id") <= 2 * mx / 3), 1L),
       nd.ingest(docs.filter(col("doc_id") > 2 * mx / 3), 2L))
+    nd.close() // emitted rows are independent checkpoints — safe to free
     emitted.reduce(_ unionByName _)
       .orderBy(col("doc1"), col("doc2"))
   }
@@ -1370,7 +1377,12 @@ object TextPack {
          |  SELECT a.doc_id AS doc1, b.doc_id AS doc2
          |  FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
          |  JOIN rare r ON r.h = a.h
-         |  GROUP BY 1, 2 HAVING count(*) >= $MinRareShared),
+         |  -- DISTINCT shared rare fingerprints, matching the Spark
+         |  -- side's collect_set semantics: count(*) counts occurrence-
+         |  -- multiplied join rows, so a within-doc md5-prefix collision
+         |  -- landing on a shared rare shingle would promote a one-
+         |  -- shingle pair into a DuckDB-only candidate at scale
+         |  GROUP BY 1, 2 HAVING count(DISTINCT a.h) >= $MinRareShared),
          |hset AS (
          |  SELECT doc_id, list_distinct(list_transform(sh,
          |    s -> ('0x' || substr(md5(s), 1, 8))::bigint)) AS hs

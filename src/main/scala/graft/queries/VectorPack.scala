@@ -316,9 +316,14 @@ object VectorPack {
     as.ingest(vecs.filter(col("vec_id") <= mx / 3), 0L)
     as.ingest(vecs.filter(col("vec_id") > mx / 3 && col("vec_id") <= 2 * mx / 3), 1L)
     as.ingest(vecs.filter(col("vec_id") > 2 * mx / 3), 2L)
-    as.probe(vecs.filter(col("vec_id") < 10), TopK, NProbe)
+    // probe() reads the postings log LAZILY — materialize the answers,
+    // then release the stream's state deterministically
+    val out = as.probe(vecs.filter(col("vec_id") < 10), TopK, NProbe)
       .withColumn("rank", col("rank").cast("long"))
       .orderBy(col("q_id"), col("rank"))
+      .localCheckpoint(eager = true)
+    as.close()
+    out
   }
 
   // ---------------------------------------------------------------- q76

@@ -45,23 +45,40 @@ import org.apache.spark.sql.types._
   * batchId rolls back the failed attempt's appends first — same
   * idempotence contract as [[NearDupStream.ingest]].
   *
-  * @param durableDir when set, ALL FOUR logs (bands/fp/pairs/docs) run
-  *        in [[AppendLog]]'s durable mode under per-log subdirectories
-  *        of this path, making the whole corpus build restart-
-  *        survivable: a new instance on the same dir resumes the dead
-  *        one's state, and replay detection is PER LOG (each manifest
-  *        remembers its own last appended batchId), so even a crash
-  *        BETWEEN log appends mid-ingest recovers exactly — the logs
-  *        that already appended the replayed batch roll it back, the
-  *        ones that never got to it simply append. SoakSpec's
+  * @param durableDir when set, ALL logs (bands/fp/pairs/docs, plus the
+  *        novelty registry + verdict logs when the fifth gate is on)
+  *        run in [[AppendLog]]'s durable mode under per-log
+  *        subdirectories of this path, making the whole corpus build
+  *        restart-survivable: a new instance on the same dir resumes
+  *        the dead one's state, and replay detection is PER LOG (each
+  *        manifest remembers its own last appended batchId), so even a
+  *        crash BETWEEN log appends mid-ingest recovers exactly — the
+  *        logs that already appended the replayed batch roll it back,
+  *        the ones that never got to it simply append. SoakSpec's
   *        kill-and-restart case proves reconcile() ≡ the batch build
   *        across the restart. (Durable appendView degrades to a
   *        parquet write per log — durability costs the write; the
   *        default in-memory mode keeps the fused zero-copy views.)
+  * @param noveltyFloorPpm optional FIFTH GATE — the marginal-content
+  *        stopping criterion a corpus build reads q151's novelty curve
+  *        for: keep a doc iff its shingle novelty (fraction of its
+  *        distinct 3-gram fingerprints globally first-seen in it,
+  *        [[NoveltyStream]]'s exact-at-arrival account) is at least
+  *        this many ppm. Stale crawl tails — documents that mostly
+  *        re-cover already-ingested content without being near-dups of
+  *        any single earlier doc — fall below the floor and drop.
+  *        When set, ingest additionally runs the batch through a
+  *        [[NoveltyStream]] (the registry is the sixth keyed log) and
+  *        appends the per-doc verdict rows to a novelty log;
+  *        reconcile() composes `novelty_ppm >= floor` as one more
+  *        doc-keyed semi-join before the quota cap. The default (None)
+  *        leaves every plan and output of the four-gate build
+  *        bit-identical to before the gate existed (q72's contract).
   */
 final class CurationStream(spark: SparkSession,
     frozenUni: DataFrame, frozenBi: DataFrame, benchShingles: DataFrame,
-    durableDir: Option[String] = None) {
+    durableDir: Option[String] = None,
+    noveltyFloorPpm: Option[Long] = None) {
 
   private def sub(name: String): Option[String] =
     durableDir.map(d => java.nio.file.Paths.get(d, name).toString)
@@ -89,6 +106,18 @@ final class CurationStream(spark: SparkSession,
     StructField("keep_lm", BooleanType, nullable = false),
     StructField("contaminated", BooleanType, nullable = false))), sub("docs"))
 
+  // fifth gate (optional): the novelty registry rides a NoveltyStream
+  // (its own keyed log + replay detection), and the per-doc verdict
+  // rows it emits land in a novelty log for reconcile() — exactly the
+  // schema NoveltyStream.ingest returns, so the append is an ownership
+  // transfer of the already-materialized checkpoint, not a copy job
+  private val nv = noveltyFloorPpm.map(_ => new NoveltyStream(spark, sub("novelty")))
+  private val novLog = noveltyFloorPpm.map(_ => new AppendLog(spark, StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("n_shingles", LongType, nullable = false),
+    StructField("n_novel", LongType, nullable = false),
+    StructField("novelty_ppm", LongType, nullable = true))), sub("novdocs")))
+
   /** Per-doc decisions for one micro-batch; appends all logs. Columns:
     * doc_id, source, n_tokens, is_bench, keep_exact, keep_neardup
     * (provisional), keep_rep, keep_lm, contaminated, keep (the AND).
@@ -100,11 +129,16 @@ final class CurationStream(spark: SparkSession,
     // batch — across a restart too, via the durable manifest): a retry
     // rolls back exactly the logs the failed attempt reached. The band
     // log's check lives in NearDupStream.ingestLazy.
-    Seq(fpLog, pairLog, docLog).foreach { log =>
+    (Seq(fpLog, pairLog, docLog) ++ novLog).foreach { log =>
       if (log.restoredBatch.contains(batchId)) log.rollback()
     }
     val batch = graft.Caches.persisted(batchDocs
       .select(col("doc_id").cast("long").as("doc_id"), col("source"), col("text")))
+
+    // fifth gate: the NoveltyStream handles its own registry append +
+    // replay rollback; its returned checkpoint is the batch's per-doc
+    // novelty verdicts, logged below for reconcile()
+    val nvRows = nv.map(_.ingest(batch.select(col("doc_id"), col("text")), batchId))
 
     // exact dedup: unseen fingerprint AND first (min doc_id) in batch.
     // One groupBy then one anti join — min-doc-per-fp of an unseen fp is
@@ -230,11 +264,26 @@ final class CurationStream(spark: SparkSession,
       .select(col("doc1"), col("doc2"), col("n_shared_bands")), batchId)
     docLog.appendView(decisions.select(col("doc_id"), col("source"), col("n_tokens"),
       col("is_bench"), col("keep_rep"), col("keep_lm"), col("contaminated")), batchId)
-    decisions.drop("fp")
+    nvRows.foreach(r => novLog.get.appendOwned(r, batchId))
+    // with the fifth gate on, the returned per-doc row gains a trailing
+    // keep_novel column (final at arrival — NoveltyStream's contract)
+    // folded into keep; the join reads the batch's already-materialized
+    // novelty checkpoint, so the four-gate path's plans are untouched
+    nvRows.fold(decisions.drop("fp")) { r =>
+      decisions.drop("fp")
+        .join(r.select(col("doc_id"),
+          (col("novelty_ppm") >= noveltyFloorPpm.get).as("keep_novel")),
+          Seq("doc_id"), "left")
+        .withColumn("keep_novel", coalesce(col("keep_novel"), lit(false)))
+        .withColumn("keep", col("keep") && col("keep_novel"))
+    }
   }
 
   /** Release every log's blocks (durable files stay). Call on shutdown. */
-  def close(): Unit = { nd.close(); fpLog.close(); pairLog.close(); docLog.close() }
+  def close(): Unit = {
+    nd.close(); fpLog.close(); pairLog.close(); docLog.close()
+    nv.foreach(_.close()); novLog.foreach(_.close())
+  }
 
   /** The exact batch corpus build recomposed from accumulated state —
     * NOTHING is re-shingled: fingerprints, candidate pairs and gate
@@ -248,12 +297,19 @@ final class CurationStream(spark: SparkSession,
     val comps = graft.ext.GraphOps.connectedComponents(pairLog.cur, "doc1", "doc2")
     val nearDupDrop = comps.filter(col("node") =!= col("comp"))
       .select(col("node").as("doc_id"))
-    val gated = docLog.cur
+    val gated0 = docLog.cur
       .filter(!col("is_bench") && col("keep_rep") && col("keep_lm") &&
         !col("contaminated"))
       .join(exactKeep, Seq("doc_id"), "left_semi")
       .join(nearDupDrop, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("source"), col("n_tokens"))
+    // fifth gate: novelty floor from the stored verdict rows — one more
+    // doc-keyed semi-join BEFORE the quota cap, so source quotas count
+    // the post-novelty surviving distribution (the batch composition)
+    val gated = novLog.fold(gated0)(log => gated0.join(
+      log.cur.filter(col("novelty_ppm") >= noveltyFloorPpm.get)
+        .select(col("doc_id")),
+      Seq("doc_id"), "left_semi"))
     graft.queries.CurationPack.sqrtQuotaCap(gated)
       .select(col("doc_id"), col("source"), col("n_tokens"), col("cap_rank"),
         col("quota"))

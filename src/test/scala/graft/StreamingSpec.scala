@@ -604,6 +604,67 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("CurationStream novelty floor: five-gate ingest + reconcile ≡ the batch novelty-composed build") {
+    import graft.queries.{CurationPack, TextPack}
+    import graft.ext.TextOps
+    val dir = "/root/testdata/sf0.001"
+    Caches.scoped {
+      val docs = graft.Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"), col("text"))
+      val t = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      val (uni, bi) = CurationPack.lmStats(t, CurationPack.bigramRows(docs))
+      val benchSh = TextOps.shingleRows(
+          docs.filter(col("doc_id") % 101 === 0), "doc_id", "text", 8)
+        .select(col("_s").as("sh"))
+      val cs = new graft.streaming.CurationStream(spark, uni, bi, benchSh,
+        noveltyFloorPpm = Some(500000L))
+
+      val ids = docs.select(col("doc_id")).as[Long].collect().sorted
+      val cuts = Seq(ids(ids.length / 3), ids(2 * ids.length / 3))
+      val batches = Seq(
+        docs.filter(col("doc_id") <= cuts(0)),
+        docs.filter(col("doc_id") > cuts(0) && col("doc_id") <= cuts(1)),
+        docs.filter(col("doc_id") > cuts(1)))
+      val decisions = batches.zipWithIndex.flatMap { case (b, i) =>
+        cs.ingest(b, i.toLong).collect()
+      }
+      assert(decisions.length == ids.length)
+
+      // the streamed per-doc keep_novel bits ARE the batch q151 panel's
+      // floor verdicts (novelty is final at arrival under id-order)
+      val panelKeep = TextPack.shingleNovelty(spark, dir)
+        .filter(col("novelty_ppm") >= 500000L)
+        .select(col("doc_id")).as[Long].collect().toSet
+      assert(decisions.filter(_.getAs[Boolean]("keep_novel"))
+        .map(_.getAs[Long]("doc_id")).toSet == panelKeep)
+
+      // reconcile ≡ the batch five-gate build, and the composed keep bit
+      // is the AND of the four-gate keep and the novelty verdict
+      val got = cs.reconcile().collect().map(_.toString).sorted
+      val want = CurationPack.corpusBuildNovelty(spark, dir)
+        .collect().map(_.toString).sorted
+      assert(want.nonEmpty && got.sameElements(want))
+      assert(decisions.filter(_.getAs[Boolean]("keep"))
+        .forall(_.getAs[Boolean]("keep_novel")))
+      // the floor binds: some docs fail only the novelty gate, and the
+      // composed corpus differs from q68's (NOT a subset — the sqrt
+      // quota cap re-ranks over the post-novelty distribution, so a
+      // cap-dropped q68 doc can be cap-kept here)
+      assert(panelKeep.size < ids.length)
+      val fourGate = CurationPack.corpusBuild(spark, dir)
+        .select(col("doc_id")).as[Long].collect().toSet
+      val fiveGate = cs.reconcile().collect().map(_.getAs[Long]("doc_id")).toSet
+      assert(fiveGate != fourGate)
+
+      // foreachBatch retry of the last batch: registry + verdict log
+      // roll back, the reconciled corpus is unchanged
+      cs.ingest(batches.last, 2L)
+      val afterRetry = cs.reconcile().collect().map(_.toString).sorted
+      assert(afterRetry.sameElements(want))
+      cs.close()
+    }
+  }
+
   test("AnnStream: streamed postings serve the batch index's answers; retry/restore hold") {
     import graft.ext.VectorOps
     val dir = "/root/testdata/sf0.001"
