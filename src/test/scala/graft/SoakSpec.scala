@@ -200,6 +200,56 @@ class SoakSpec extends AnyFunSuite {
     nd.close()
   }
 
+  test("NearDupStream DURABLE tight-compaction soak (maxSegments=4): file reap/rollback/manifest interleaving; segment dirs bounded; pairs ≡ batch") {
+    // the r16 durable soaks cross compaction at default width only; this
+    // is the in-memory tight-compaction soak re-run on the parquet+
+    // manifest backend, so every ~4 appends a fold REWRITES the log to
+    // disk, swaps the manifest, and the displaced segment FILES must be
+    // reaped one append later — with retries pinned right after the
+    // compaction threshold crossings, where a fold, a manifest-first
+    // rollback, and the deferred file reap interleave hardest.
+    val dir = java.nio.file.Files.createTempDirectory("graft_nd_dur_tight").toString
+    def segDirs = new java.io.File(dir).list().count(_.startsWith("seg-"))
+    val chunks = docChunks(10) // 500 docs → 50 batches → ~12 folds
+    val nd = new graft.streaming.NearDupStream(spark,
+      durableDir = Some(dir), logMaxSegments = 4)
+    val emitted = mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    var maxSegDirs = 0
+    chunks.zipWithIndex.foreach { case (chunk, i) =>
+      val b = chunk.toDF("doc_id", "text")
+      if (i == 6 || i == 7 || i == 21 || i == 38) {
+        val first = nd.ingest(b, i.toLong).collect().toSet
+        val retry = nd.ingest(b, i.toLong).collect().toSet
+        assert(first == retry, s"retry at batch $i not idempotent")
+        emitted ++= retry.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      } else {
+        emitted ++= nd.ingest(b, i.toLong).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      }
+      maxSegDirs = math.max(maxSegDirs, segDirs)
+    }
+    // on-disk bound: ≤ maxSegments+1 committed + 1 pending referenced,
+    // plus ≤ maxSegments+1 displaced files awaiting the one-append-
+    // deferred reap, plus the in-flight fold — NEVER one dir per batch
+    // (which would be 50+ here): compaction's file reclamation works
+    assert(maxSegDirs <= 3 * 4 + 2, s"segment dirs grew to $maxSegDirs — displaced files not reaped")
+    val all = chunks.flatten.toDF("doc_id", "text")
+    val batchPairs = Caches.scoped {
+      graft.queries.TextPack.lshCandidatePairsFrom(all).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    assert(emitted.size == emitted.toSet.size, "a pair was emitted twice")
+    assert(emitted.toSet == batchPairs)
+    // the durable point: a fresh instance on the same dir recovers the
+    // full band state across all those folds/rollbacks
+    nd.close()
+    val nd2 = new graft.streaming.NearDupStream(spark,
+      durableDir = Some(dir), logMaxSegments = 4)
+    assert(nd2.ingest(Seq((100000L, "zz yy xx ww vv uu tt ss")).toDF("doc_id", "text"),
+      chunks.length.toLong).collect() != null) // appends fine post-recovery
+    nd2.close()
+  }
+
   test("SpanDedupStream soak: 100 batches across compactions; hits exactly-once ≡ batch hit set; storage bounded") {
     val chunks = docChunks(5) // 100 batches; occLog compaction ~b34, ~b67
     val st = new graft.streaming.SpanDedupStream(spark)
