@@ -250,6 +250,30 @@ class SoakSpec extends AnyFunSuite {
     nd2.close()
   }
 
+  test("stream drives release state deterministically: repeated q72 executions leave flat immediate RDD storage (no GC)") {
+    // the r16 drives left each execution's final log generation to the
+    // ContextCleaner (weak-ref GC); with materialize-then-close() the
+    // OWNED blocks (band checkpoints, compaction folds) are unpersisted
+    // synchronously, so the immediate post-run persisted-RDD count —
+    // measured WITHOUT any GC nudge — grows only by the per-run
+    // non-owned leftovers (the fused view parents + the result
+    // checkpoint, reclaimed later by the cleaner), never by the log
+    // generation itself.
+    def persistedNow = spark.sparkContext.getRDDStorageInfo.count(_.isCached)
+    val counts = (1 to 3).map { _ =>
+      Caches.scoped {
+        graft.queries.CurationPack.streamReconcile(spark, "/root/testdata/sf0.001")
+          .queryExecution.toRdd.count()
+      }
+      persistedNow
+    }
+    info(s"post-run persisted RDD counts (no GC): ${counts.mkString(", ")}")
+    val perRun = (counts(2) - counts(0)) / 2.0
+    assert(perRun <= 6.0,
+      s"per-execution immediate RDD-storage growth $perRun — a stream " +
+        "drive is leaking its log generation to weak-reference GC again")
+  }
+
   test("SpanDedupStream soak: 100 batches across compactions; hits exactly-once ≡ batch hit set; storage bounded") {
     val chunks = docChunks(5) // 100 batches; occLog compaction ~b34, ~b67
     val st = new graft.streaming.SpanDedupStream(spark)
