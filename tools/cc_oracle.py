@@ -1,6 +1,7 @@
 #!/usr/bin/env python3
-"""Subquadratic oracle for the closure-bearing queries (q55/q70 and the
-gated-corpus trio q68/q72/q82).
+"""Subquadratic oracle for the closure-bearing queries (q55/q70, the
+gated-corpus trio q68/q72/q82, and the novelty-composed builds
+q153/q154 which share q68's closure verbatim).
 
 The recorded oracle SQL for these computes a transitive closure via a
 recursive CTE (`reach`), which is frontier-quadratic in component size:
@@ -75,6 +76,12 @@ SWAPS = {
         REACH_CTE + NEARDROP_CTE,
         "neardrop AS (SELECT node AS doc_id FROM uf WHERE comp < node),\n"),
     "q72_stream_reconcile": (
+        REACH_CTE + NEARDROP_CTE,
+        "neardrop AS (SELECT node AS doc_id FROM uf WHERE comp < node),\n"),
+    "q153_corpus_build_novelty": (
+        REACH_CTE + NEARDROP_CTE,
+        "neardrop AS (SELECT node AS doc_id FROM uf WHERE comp < node),\n"),
+    "q154_stream_reconcile_novelty": (
         REACH_CTE + NEARDROP_CTE,
         "neardrop AS (SELECT node AS doc_id FROM uf WHERE comp < node),\n"),
     "q82_semantic_dedup": (

@@ -9,8 +9,8 @@
 # 2. one graft.Verify dump of all queries (plain java so sbt stays
 #    free; requires `sbt Test/compile` beforehand);
 # 3. one selfcheck.py invocation (driver-equivalent DuckDB compare,
-#    skipping the five closure-bearing queries);
-# 4. cc_oracle.py for those five (recursive closure swapped for a
+#    skipping the seven closure-bearing queries);
+# 4. cc_oracle.py for those seven (recursive closure swapped for a
 #    union-find, cross-validated at sf0.01 — re-run `xval` mode after
 #    any oracle SQL change);
 # 5. render the per-query markdown table for SCALE.md.
@@ -20,7 +20,7 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 WORK="${1:-/tmp/sweep10x_$(date +%H%M%S)}"
 mkdir -p "$WORK"
-SKIP=q55_dedup_components,q70_star_components,q68_corpus_build,q72_stream_reconcile,q82_semantic_dedup
+SKIP=q55_dedup_components,q70_star_components,q68_corpus_build,q72_stream_reconcile,q82_semantic_dedup,q153_corpus_build_novelty,q154_stream_reconcile_novelty
 JAVAOPTS="--add-exports=java.base/sun.nio.ch=ALL-UNNAMED
   --add-opens=java.base/java.nio=ALL-UNNAMED
   --add-opens=java.base/java.util=ALL-UNNAMED
@@ -52,7 +52,7 @@ echo "== 3/5 selfcheck (one invocation, skip=$SKIP)"
 python3 tools/selfcheck.py "$WORK/out" "$PWD/target/sf10x" "skip=$SKIP" \
   | tee "$WORK/selfcheck.log" | tail -1
 
-echo "== 4/5 union-find oracle for the closure-bearing five"
+echo "== 4/5 union-find oracle for the closure-bearing seven"
 python3 tools/cc_oracle.py "$WORK/out" "$PWD/target/sf10x" \
   | tee "$WORK/cc.log"
 

@@ -6,7 +6,7 @@
 #
 # 1. sbt Test/compile + full ScalaTest suite;
 # 2. graft.Verify dump + selfcheck oracle compare at sf0.001 AND
-#    sf0.01 (the driver's gate SF), closure-bearing five via
+#    sf0.01 (the driver's gate SF), closure-bearing seven via
 #    cc_oracle.py's union-find path;
 # 3. full bench at sf0.1 (SPARK_GRAFT_CPUS=16, repeats 3 — the
 #    BENCH_LOCAL_r{N} recipe), artifact left in $WORK/bench.json;
@@ -27,7 +27,7 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 WORK="${1:-/tmp/gate_$(date +%H%M%S)}"
 mkdir -p "$WORK"
-CC5=q55_dedup_components,q70_star_components,q68_corpus_build,q72_stream_reconcile,q82_semantic_dedup
+CC5=q55_dedup_components,q70_star_components,q68_corpus_build,q72_stream_reconcile,q82_semantic_dedup,q153_corpus_build_novelty,q154_stream_reconcile_novelty
 JAVAOPTS="--add-exports=java.base/sun.nio.ch=ALL-UNNAMED
   --add-opens=java.base/java.nio=ALL-UNNAMED
   --add-opens=java.base/java.util=ALL-UNNAMED
