@@ -5,6 +5,7 @@ query), where a per-query regression is attributable to code by
 construction instead of needing a hand-run session A/B.
 
 Usage: python3 tools/bench_drift.py OLD.json NEW.json [ratio] [floor]
+           [--subset]
 
 Compares the per-query minima in each artifact's "queries" map. Flags
 (exit 1):
@@ -16,7 +17,18 @@ Compares the per-query minima in each artifact's "queries" map. Flags
     meaningless; 0.3 s -> 0.7 s is worth a look).
 New queries (in NEW only) are listed informationally. Improvements are
 summarized but never flagged.
+
+--subset disables the GONE check: NEW deliberately covers only a few
+queries (a targeted idle-machine re-measure of a flagged set — the r17
+gate's full isolated stage ran at load ~3-4 and inflated nine
+sub-second queries ~2.5x; the re-measure exonerated all nine), so
+every other recorded query being absent is the point.
+--flagged-out FILE writes the drift-flagged names one per line (plus
+MISSING:<name> markers for GONE/ERR rows, which a re-measure cannot
+exonerate), so the gate can re-judge exactly the flagged set on a
+quieter machine mechanically.
 """
+import argparse
 import json
 import sys
 
@@ -28,17 +40,23 @@ def load(path):
     return qs, errs
 
 
-def main(old_path, new_path, ratio=2.0, floor=0.3):
+def main(old_path, new_path, ratio=2.0, floor=0.3, subset=False,
+         flagged_out=None):
     old, old_errs = load(old_path)
     new, new_errs = load(new_path)
     fresh = sorted(set(new) - set(old) - old_errs)
-    gone = sorted((set(old) - set(new) - new_errs) | (set(old) & new_errs))
+    gone = sorted(set(old) & new_errs) if subset else \
+        sorted((set(old) - set(new) - new_errs) | (set(old) & new_errs))
     flagged = [(q, old[q], new[q]) for q in sorted(set(old) & set(new))
                if new[q] > ratio * max(old[q], floor)]
     improved = sum(1 for q in set(old) & set(new) if new[q] < old[q])
+    if flagged_out is not None:
+        with open(flagged_out, "w") as f:
+            f.write("".join(q + "\n" for q, _, _ in flagged))
+            f.write("".join(f"MISSING:{q}\n" for q in gone))
     print(f"{len(new)} queries in {new_path}, {len(old)} in {old_path}; "
           f"threshold {ratio}x over max(old, {floor}s); "
-          f"{improved} improved")
+          f"{improved} improved" + (" (subset mode)" if subset else ""))
     if fresh:
         print(f"new queries (no old entry): {', '.join(fresh)}")
     if gone:
@@ -54,6 +72,18 @@ def main(old_path, new_path, ratio=2.0, floor=0.3):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2],
-                  float(sys.argv[3]) if len(sys.argv) > 3 else 2.0,
-                  float(sys.argv[4]) if len(sys.argv) > 4 else 0.3))
+    p = argparse.ArgumentParser(
+        description="Per-query drift between two graft.Bench artifacts")
+    p.add_argument("old_json")
+    p.add_argument("new_json")
+    p.add_argument("ratio", nargs="?", type=float, default=2.0)
+    p.add_argument("floor", nargs="?", type=float, default=0.3)
+    p.add_argument("--subset", action="store_true",
+                   help="NEW covers only a re-measured subset; "
+                        "disable the GONE check")
+    p.add_argument("--flagged-out", metavar="FILE",
+                   help="write flagged names (and MISSING:<name> "
+                        "markers) one per line for the gate's re-judge")
+    a = p.parse_args()
+    sys.exit(main(a.old_json, a.new_json, a.ratio, a.floor,
+                  subset=a.subset, flagged_out=a.flagged_out))

@@ -175,13 +175,40 @@ if [ "${BENCH_ISO:-0}" = "1" ]; then
 import json, sys
 b = json.load(open(sys.argv[1]))
 assert not b["failed"], f"isolated bench failures: {b['failed']}"
-print(f"   isolated total {b['value']}s over {b['query_count']} queries")
+# the per-query OUT-FILE carries `queries` but not the console line's
+# `query_count` — r17's gate learned this with a KeyError AFTER the
+# hour-long bench, killing the stage before bench_drift could run
+print(f"   isolated total {b['value']}s over {len(b['queries'])} queries")
 EOF
   prev=$(ls BENCH_ISOLATED_r*.json 2>/dev/null | sort -V | tail -1 || true)
   if [ -n "$prev" ]; then
-    python3 tools/bench_drift.py "$prev" "$WORK/bench_isolated.json" \
-      | tee "$WORK/bench_drift.log" \
-      || { echo "   ISOLATED DRIFT vs $prev"; exit 1; }
+    if ! python3 tools/bench_drift.py "$prev" "$WORK/bench_isolated.json" \
+        --flagged-out "$WORK/iso_flagged.txt" \
+        | tee "$WORK/bench_drift.log"; then
+      # GONE/ERR rows cannot be exonerated by a re-measure — fail first
+      if grep -q '^MISSING:' "$WORK/iso_flagged.txt"; then
+        echo "   ISOLATED DRIFT (gone/err rows) vs $prev"; exit 1
+      fi
+      flagged=$(paste -sd, "$WORK/iso_flagged.txt")
+      [ -n "$flagged" ] || { echo "   ISOLATED DRIFT (nothing flagged yet exit!=0 — parse failure?)"; exit 1; }
+      # The full 154-child stage runs right after two full benches, so
+      # residual machine load can inflate every sub-second child by a
+      # uniform factor (r17: nine queries read ~2.5x, ALL exonerated at
+      # 0.8-1.3x on the idle machine minutes later). Re-measure exactly
+      # the flagged set — a far lighter, sequential run — and re-judge.
+      echo "   isolated drift on: $flagged — re-measuring the subset"
+      # shellcheck disable=SC2086
+      SPARK_GRAFT_BENCH_ISOLATE="$flagged" SPARK_GRAFT_CPUS=16 \
+        SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
+        SPARK_GRAFT_BENCH_OUT="$WORK/iso_flagged_remeasure.json" \
+        java $JAVAOPTS -Xmx96g -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
+        graft.Bench > "$WORK/iso_flagged_remeasure.log" 2>&1 \
+        || { echo "   FAIL:"; tail -5 "$WORK/iso_flagged_remeasure.log"; exit 1; }
+      python3 tools/bench_drift.py "$prev" "$WORK/iso_flagged_remeasure.json" \
+        --subset | tee "$WORK/bench_drift_subset.log" \
+        || { echo "   ISOLATED DRIFT SURVIVES RE-MEASURE vs $prev — code-attributable"; exit 1; }
+      echo "   isolated drift exonerated on re-measure (machine-load artifact)"
+    fi
   else
     echo "   no committed BENCH_ISOLATED_r*.json yet — seeding round"
   fi
