@@ -53,6 +53,12 @@ import pandas as pd
 
 from selfcheck import TABLES, compare_frames
 
+# Per-query results must appear AS each query finishes: at 10x this
+# tool runs ~45 minutes, and block-buffered stdout piped into tee
+# printed nothing until completion (r17: it looked hung and was
+# abandoned mid-run, leaving an empty cc.log).
+sys.stdout.reconfigure(line_buffering=True)
+
 CC_QUERIES = ("q55_dedup_components", "q70_star_components")
 TAIL = "reach(a, b) AS"
 # The exact projection the uf compare stands in for: if a q55/q70 oracle

@@ -20,7 +20,8 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 WORK="${1:-/tmp/sweep10x_$(date +%H%M%S)}"
 mkdir -p "$WORK"
-SKIP=q55_dedup_components,q70_star_components,q68_corpus_build,q72_stream_reconcile,q82_semantic_dedup,q153_corpus_build_novelty,q154_stream_reconcile_novelty
+# closure-bearing set shared with run_gate.sh — single source of truth
+SKIP=$(grep -v '^\s*$' tools/cc_queries.txt | paste -sd,)
 JAVAOPTS="--add-exports=java.base/sun.nio.ch=ALL-UNNAMED
   --add-opens=java.base/java.nio=ALL-UNNAMED
   --add-opens=java.base/java.util=ALL-UNNAMED
@@ -52,10 +53,18 @@ echo "== 3/5 selfcheck (one invocation, skip=$SKIP)"
 python3 tools/selfcheck.py "$WORK/out" "$PWD/target/sf10x" "skip=$SKIP" \
   | tee "$WORK/selfcheck.log" | tail -1
 
-echo "== 4/5 union-find oracle for the closure-bearing seven"
-python3 tools/cc_oracle.py "$WORK/out" "$PWD/target/sf10x" \
+echo "== 4/5 union-find oracle for the closure-bearing set"
+# Unbuffered: at 10x this stage runs ~45 min in DuckDB (q55's sym
+# table is ~4.1 M edges); with block-buffered stdout into tee it
+# printed NOTHING until done and was abandoned mid-run in r17,
+# leaving an empty cc.log under a CHANGELOG claim written early.
+PYTHONUNBUFFERED=1 python3 tools/cc_oracle.py "$WORK/out" "$PWD/target/sf10x" \
   | tee "$WORK/cc.log"
 
 echo "== 5/5 SCALE.md table -> $WORK/table.md"
 python3 tools/sweep_table.py "$WORK/selfcheck.log" "$WORK/cc.log" > "$WORK/table.md"
 tail -1 "$WORK/table.md"
+# The ONLY sanctioned claim line: derived from the completed table,
+# refusing if any stage died early. Paste sweep_claim.py's output into
+# CHANGELOG/SCALE verbatim — never hand-write the sweep claim.
+python3 tools/sweep_claim.py "$WORK/table.md"

@@ -27,7 +27,8 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 WORK="${1:-/tmp/gate_$(date +%H%M%S)}"
 mkdir -p "$WORK"
-CC5=q55_dedup_components,q70_star_components,q68_corpus_build,q72_stream_reconcile,q82_semantic_dedup,q153_corpus_build_novelty,q154_stream_reconcile_novelty
+# closure-bearing set shared with run_10x_sweep.sh — single source of truth
+CC_QUERIES=$(grep -v '^\s*$' tools/cc_queries.txt | paste -sd,)
 JAVAOPTS="--add-exports=java.base/sun.nio.ch=ALL-UNNAMED
   --add-opens=java.base/java.nio=ALL-UNNAMED
   --add-opens=java.base/java.util=ALL-UNNAMED
@@ -50,7 +51,7 @@ for sf in sf0.001 sf0.01; do
   # shellcheck disable=SC2086
   java $JAVAOPTS -Xmx32g -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
     graft.Verify "/root/testdata/$sf" "$out" > "$WORK/verify_$sf.log" 2>&1
-  python3 tools/selfcheck.py "$out" "/root/testdata/$sf" "skip=$CC5" \
+  python3 tools/selfcheck.py "$out" "/root/testdata/$sf" "skip=$CC_QUERIES" \
     > "$WORK/selfcheck_$sf.log" 2>&1 || true
   tail -1 "$WORK/selfcheck_$sf.log"
   tail -1 "$WORK/selfcheck_$sf.log" | grep -q "/ 0 fail" \
@@ -180,7 +181,9 @@ assert not b["failed"], f"isolated bench failures: {b['failed']}"
 # hour-long bench, killing the stage before bench_drift could run
 print(f"   isolated total {b['value']}s over {len(b['queries'])} queries")
 EOF
-  prev=$(ls BENCH_ISOLATED_r*.json 2>/dev/null | sort -V | tail -1 || true)
+  # exclude *_remeasure.json sidecars — bench_drift.py splices those
+  # onto their base artifact itself
+  prev=$(ls BENCH_ISOLATED_r*.json 2>/dev/null | grep -v _remeasure | sort -V | tail -1 || true)
   if [ -n "$prev" ]; then
     if ! python3 tools/bench_drift.py "$prev" "$WORK/bench_isolated.json" \
         --flagged-out "$WORK/iso_flagged.txt" \
@@ -205,7 +208,8 @@ EOF
         graft.Bench > "$WORK/iso_flagged_remeasure.log" 2>&1 \
         || { echo "   FAIL:"; tail -5 "$WORK/iso_flagged_remeasure.log"; exit 1; }
       python3 tools/bench_drift.py "$prev" "$WORK/iso_flagged_remeasure.json" \
-        --subset | tee "$WORK/bench_drift_subset.log" \
+        --subset --expect "$WORK/iso_flagged.txt" \
+        | tee "$WORK/bench_drift_subset.log" \
         || { echo "   ISOLATED DRIFT SURVIVES RE-MEASURE vs $prev — code-attributable"; exit 1; }
       echo "   isolated drift exonerated on re-measure (machine-load artifact)"
     fi
