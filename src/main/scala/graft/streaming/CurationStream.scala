@@ -78,25 +78,28 @@ import org.apache.spark.sql.types._
 final class CurationStream(spark: SparkSession,
     frozenUni: DataFrame, frozenBi: DataFrame, benchShingles: DataFrame,
     durableDir: Option[String] = None,
-    noveltyFloorPpm: Option[Long] = None) {
+    noveltyFloorPpm: Option[Long] = None,
+    logMaxSegments: Int = 32) {
 
   private def sub(name: String): Option[String] =
     durableDir.map(d => java.nio.file.Paths.get(d, name).toString)
 
-  private val nd = new NearDupStream(spark, sub("bands"))
+  private val nd = new NearDupStream(spark, sub("bands"), logMaxSegments)
   private val bench = graft.Caches.persisted(
     benchShingles.select(col("sh")).distinct())
 
   private val fpLog = new AppendLog(spark, StructType(Seq(
     StructField("fp", StringType, nullable = true),
-    StructField("doc_id", LongType, nullable = false))), sub("fp"))
+    StructField("doc_id", LongType, nullable = false))), sub("fp"),
+    logMaxSegments)
   // carries n_shared_bands so [[NearDupStream.ingest]]'s returned
   // checkpoint can be appended by OWNERSHIP (no per-batch re-copy job);
   // reconcile() only reads doc1/doc2
   private val pairLog = new AppendLog(spark, StructType(Seq(
     StructField("doc1", LongType, nullable = false),
     StructField("doc2", LongType, nullable = false),
-    StructField("n_shared_bands", LongType, nullable = false))), sub("pairs"))
+    StructField("n_shared_bands", LongType, nullable = false))), sub("pairs"),
+    logMaxSegments)
   private val docLog = new AppendLog(spark, StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
     StructField("source", StringType, nullable = true),
@@ -104,19 +107,22 @@ final class CurationStream(spark: SparkSession,
     StructField("is_bench", BooleanType, nullable = false),
     StructField("keep_rep", BooleanType, nullable = false),
     StructField("keep_lm", BooleanType, nullable = false),
-    StructField("contaminated", BooleanType, nullable = false))), sub("docs"))
+    StructField("contaminated", BooleanType, nullable = false))), sub("docs"),
+    logMaxSegments)
 
   // fifth gate (optional): the novelty registry rides a NoveltyStream
   // (its own keyed log + replay detection), and the per-doc verdict
-  // rows it emits land in a novelty log for reconcile() — exactly the
-  // schema NoveltyStream.ingest returns, so the append is an ownership
-  // transfer of the already-materialized checkpoint, not a copy job
-  private val nv = noveltyFloorPpm.map(_ => new NoveltyStream(spark, sub("novelty")))
+  // rows it emits land in a novelty log for reconcile() — as a VIEW of
+  // the batch's fused checkpoint (the verdicts materialize inside that
+  // one job; the gate's only extra per-batch job is the registry's
+  // new-fingerprint checkpoint)
+  private val nv = noveltyFloorPpm.map(_ => new NoveltyStream(spark, sub("novelty"), logMaxSegments))
   private val novLog = noveltyFloorPpm.map(_ => new AppendLog(spark, StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
     StructField("n_shingles", LongType, nullable = false),
     StructField("n_novel", LongType, nullable = false),
-    StructField("novelty_ppm", LongType, nullable = true))), sub("novdocs")))
+    StructField("novelty_ppm", LongType, nullable = true))), sub("novdocs"),
+    logMaxSegments))
 
   /** Per-doc decisions for one micro-batch; appends all logs. Columns:
     * doc_id, source, n_tokens, is_bench, keep_exact, keep_neardup
@@ -136,9 +142,12 @@ final class CurationStream(spark: SparkSession,
       .select(col("doc_id").cast("long").as("doc_id"), col("source"), col("text")))
 
     // fifth gate: the NoveltyStream handles its own registry append +
-    // replay rollback; its returned checkpoint is the batch's per-doc
-    // novelty verdicts, logged below for reconcile()
-    val nvRows = nv.map(_.ingest(batch.select(col("doc_id"), col("text")), batchId))
+    // replay rollback (ONE checkpoint job — the batch's new
+    // fingerprints, the gate's only per-batch exchange); the per-doc
+    // verdict frame comes back LAZY and rides the fused tagged-union
+    // checkpoint below, so verdicts materialize inside the batch's
+    // existing job instead of their own
+    val nvRows = nv.map(_.ingestLazy(batch.select(col("doc_id"), col("text")), batchId))
 
     // exact dedup: unseen fingerprint AND first (min doc_id) in batch.
     // One groupBy then one anti join — min-doc-per-fp of an unseen fp is
@@ -239,7 +248,7 @@ final class CurationStream(spark: SparkSession,
     // filter+projection VIEW of the one materialized frame.
     def nulls(pairs: (String, String)*): Seq[org.apache.spark.sql.Column] =
       pairs.map { case (n, t) => lit(null).cast(t).as(n) }
-    val fused = pairs
+    val fusedBase = pairs
       .select(Seq(lit("p").as("_t"), col("doc1"), col("doc2"),
         col("n_shared_bands")) ++
         nulls("doc_id" -> "long", "source" -> "string", "n_tokens" -> "long",
@@ -254,7 +263,23 @@ final class CurationStream(spark: SparkSession,
           Seq(col("doc_id"), col("source"), col("n_tokens"), col("is_bench"),
             col("fp"), col("keep_exact"), col("keep_neardup"), col("keep_rep"),
             col("keep_lm"), col("contaminated"), col("keep")): _*))
-      .localCheckpoint(eager = true)
+    // fifth gate on: the batch's lazy novelty verdicts join the union as
+    // a third tag, so they materialize in THIS job — the four-gate
+    // path's union shape (and therefore q72's plans) is untouched
+    val fused = nvRows.fold(fusedBase) { r =>
+      fusedBase
+        .select(col("*") +: nulls("n_shingles" -> "long", "n_novel" -> "long",
+          "novelty_ppm" -> "long"): _*)
+        .unionByName(r.select(Seq(lit("n").as("_t")) ++
+          nulls("doc1" -> "long", "doc2" -> "long", "n_shared_bands" -> "long") ++
+          Seq(col("doc_id")) ++
+          nulls("source" -> "string", "n_tokens" -> "long",
+            "is_bench" -> "boolean", "fp" -> "string",
+            "keep_exact" -> "boolean", "keep_neardup" -> "boolean",
+            "keep_rep" -> "boolean", "keep_lm" -> "boolean",
+            "contaminated" -> "boolean", "keep" -> "boolean") ++
+          Seq(col("n_shingles"), col("n_novel"), col("novelty_ppm")): _*))
+    }.localCheckpoint(eager = true)
     val decisions = fused.filter(col("_t") === "d")
       .select(col("doc_id"), col("source"), col("n_tokens"), col("is_bench"),
         col("fp"), col("keep_exact"), col("keep_neardup"), col("keep_rep"),
@@ -264,14 +289,19 @@ final class CurationStream(spark: SparkSession,
       .select(col("doc1"), col("doc2"), col("n_shared_bands")), batchId)
     docLog.appendView(decisions.select(col("doc_id"), col("source"), col("n_tokens"),
       col("is_bench"), col("keep_rep"), col("keep_lm"), col("contaminated")), batchId)
-    nvRows.foreach(r => novLog.get.appendOwned(r, batchId))
+    // the verdict rows are "n"-tagged slices of the fused checkpoint —
+    // the novelty log's append is a view, like fp/docs
+    val nvView = nvRows.map(_ => fused.filter(col("_t") === "n")
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        col("novelty_ppm")))
+    nvView.foreach(v => novLog.get.appendView(v, batchId))
     // with the fifth gate on, the returned per-doc row gains a trailing
     // keep_novel column (final at arrival — NoveltyStream's contract)
     // folded into keep; the join reads the batch's already-materialized
-    // novelty checkpoint, so the four-gate path's plans are untouched
-    nvRows.fold(decisions.drop("fp")) { r =>
+    // fused checkpoint, so the four-gate path's plans are untouched
+    nvView.fold(decisions.drop("fp")) { v =>
       decisions.drop("fp")
-        .join(r.select(col("doc_id"),
+        .join(v.select(col("doc_id"),
           (col("novelty_ppm") >= noveltyFloorPpm.get).as("keep_novel")),
           Seq("doc_id"), "left")
         .withColumn("keep_novel", coalesce(col("keep_novel"), lit(false)))

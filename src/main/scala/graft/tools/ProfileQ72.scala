@@ -59,7 +59,11 @@ object ProfileQ72 {
       val benchSh = graft.ext.TextOps.shingleRows(
           docs.filter(col("doc_id") % 101 === 0), "doc_id", "text", 8)
         .select(col("_s").as("sh"))
-      val cs = new graft.streaming.CurationStream(spark, uni, bi, benchSh)
+      // SPARK_GRAFT_NOVELTY=1 profiles the q154 shape (fifth gate on)
+      val floor = sys.env.get("SPARK_GRAFT_NOVELTY")
+        .map(_ => graft.queries.CurationPack.NoveltyFloorPpm)
+      val cs = new graft.streaming.CurationStream(spark, uni, bi, benchSh,
+        noveltyFloorPpm = floor)
       val mx = phase("max-id")(docs.agg(max(col("doc_id"))).head.getLong(0))
       phase("ingest-0")(cs.ingest(docs.filter(col("doc_id") <= mx / 3), 0L))
       phase("ingest-1")(cs.ingest(docs.filter(col("doc_id") > mx / 3 && col("doc_id") <= 2 * mx / 3), 1L))

@@ -256,11 +256,27 @@ class SoakSpec extends AnyFunSuite {
     // OWNED blocks (band checkpoints, compaction folds) are unpersisted
     // synchronously, so the immediate post-run persisted-RDD count —
     // measured WITHOUT any GC nudge — grows only by the per-run
-    // non-owned leftovers (the fused view parents + the result
-    // checkpoint, reclaimed later by the cleaner), never by the log
-    // generation itself.
+    // non-owned leftovers, never by the log generation itself.
+    //
+    // Budget composition (the 6-block bound): a q72 drive's non-owned
+    // per-run leftovers are the three fused tagged-union checkpoints
+    // (one per micro-batch — the logs hold only VIEWS of them, nobody
+    // owns them) + the reconcile result checkpoint = 4 RDDs; the
+    // log generation close() releases synchronously is ~3 band
+    // checkpoints + compaction folds + the final fp/pair/doc segments
+    // (~10+), so a close() regression reads well above the budget.
+    // Measurement determinism: the ContextCleaner reclaims the
+    // non-owned leftovers at UNPREDICTABLE points (async weak-ref
+    // drain), which can deflate one sample and inflate the next delta
+    // — a deliberate GC-settle before each sample would be worse,
+    // because a settled measurement can no longer distinguish
+    // synchronous close() from cleaner-eventually-got-it (the leak
+    // under test is also unreferenced, so it also settles away). So:
+    // four runs, and the MIN of the three per-run deltas — cleaner
+    // interference can only shrink a sample (inflating ONE delta);
+    // only a real leak raises every delta.
     def persistedNow = spark.sparkContext.getRDDStorageInfo.count(_.isCached)
-    val counts = (1 to 3).map { _ =>
+    val counts = (1 to 4).map { _ =>
       Caches.scoped {
         graft.queries.CurationPack.streamReconcile(spark, "/root/testdata/sf0.001")
           .queryExecution.toRdd.count()
@@ -268,10 +284,11 @@ class SoakSpec extends AnyFunSuite {
       persistedNow
     }
     info(s"post-run persisted RDD counts (no GC): ${counts.mkString(", ")}")
-    val perRun = (counts(2) - counts(0)) / 2.0
-    assert(perRun <= 6.0,
-      s"per-execution immediate RDD-storage growth $perRun — a stream " +
-        "drive is leaking its log generation to weak-reference GC again")
+    val perRun = counts.sliding(2).map(w => w(1) - w(0)).min
+    assert(perRun <= 6,
+      s"per-execution immediate RDD-storage growth $perRun (min over " +
+        s"${counts.mkString(",")}) — a stream drive is leaking its log " +
+        "generation to weak-reference GC again")
   }
 
   test("SpanDedupStream soak: 100 batches across compactions; hits exactly-once ≡ batch hit set; storage bounded") {
@@ -585,5 +602,98 @@ class SoakSpec extends AnyFunSuite {
       assert(samples.forall(_._2._1 <= 160),
         s"cached-RDD count ${samples.map(_._2._1)} exceeds the four logs' segment width")
     }
+  }
+
+  /** Recursive copy (for snapshotting a durable log dir mid-stream). */
+  private def copyTree(src: String, dst: String): Unit = {
+    val s = java.nio.file.Paths.get(src)
+    val d = java.nio.file.Paths.get(dst)
+    java.nio.file.Files.walk(s).forEach { p =>
+      val t = d.resolve(s.relativize(p))
+      if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
+      else java.nio.file.Files.copy(p, t,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
+  private def deleteTree(path: String): Unit = {
+    val p = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.exists(p))
+      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(java.nio.file.Files.delete(_))
+  }
+
+  test("CurationStream FIVE-GATE durable kill-and-restart (all six logs, maxSegments=4): mid-ingest partial-append crash; reconcile ≡ corpusBuildNovelty") {
+    // The five-gate configuration runs SIX durable logs under one dir
+    // (bands / fp / pairs / docs / novelty registry / novdocs verdicts)
+    // and ingest appends them in a fixed order (bands, fp, pairs,
+    // docs, novelty registry, novdocs) — so the worst crash is BETWEEN
+    // log appends mid-batch: some manifests already name the batch,
+    // the rest never saw it. That state is constructed LITERALLY here
+    // (AppendLogSpec's method, at stream scope): snapshot the last
+    // three logs in append order (docs/novelty/novdocs) just before
+    // the final pre-kill batch, ingest it, kill the instance, then
+    // splice the snapshots back — on disk, bands/fp/pairs have
+    // appended the batch and docs/novelty/novdocs have not, exactly as
+    // if the driver died after the pairs append. Recovery must be PER
+    // LOG: on the
+    // replayed batch the three ahead-logs roll back from their own
+    // manifests while the three behind-logs simply append, and the
+    // tight maxSegments=4 keeps compactions crossing the kill on both
+    // sides. The final reconcile must equal the batch five-gate build.
+    import graft.queries.CurationPack
+    import graft.ext.TextOps
+    val dir = "/root/testdata/sf0.001"
+    val state = java.nio.file.Files.createTempDirectory("graft_cs5g_durable").toString
+    val snap = java.nio.file.Files.createTempDirectory("graft_cs5g_snap").toString
+    val behindLogs = Seq("docs", "novelty", "novdocs") // appended last, in order
+    Caches.scoped {
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"), col("text"))
+      val t = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      val (uni, bi) = CurationPack.lmStats(t, CurationPack.bigramRows(docs))
+      val benchSh = TextOps.shingleRows(
+          docs.filter(col("doc_id") % 101 === 0), "doc_id", "text", 8)
+        .select(col("_s").as("sh"))
+      val ids = docs.select(col("doc_id")).as[Long].collect().sorted
+      val chunks = ids.grouped(10).map(_.toSeq).toVector // 50 batches
+      val killAt = 26 // both sessions cross several maxSegments=4 compactions
+
+      def mkStream() = new graft.streaming.CurationStream(spark, uni, bi,
+        benchSh, Some(state),
+        noveltyFloorPpm = Some(CurationPack.NoveltyFloorPpm), logMaxSegments = 4)
+      def batchOf(i: Int) =
+        docs.filter(col("doc_id").between(chunks(i).head, chunks(i).last))
+
+      val s1 = mkStream()
+      var lastDecisions: Set[String] = Set.empty
+      (0 until killAt).foreach { i =>
+        if (i == killAt - 1) // pre-batch state of the logs the crash won't reach
+          behindLogs.foreach(l => copyTree(s"$state/$l", s"$snap/$l"))
+        val got = s1.ingest(batchOf(i), i.toLong).collect().map(_.toString).toSet
+        if (i == killAt - 1) lastDecisions = got
+      }
+      s1.close() // driver dies; disk state stays
+
+      // splice: bands/fp/pairs keep batch 25, docs/novelty/novdocs lose it
+      behindLogs.foreach { l =>
+        deleteTree(s"$state/$l"); copyTree(s"$snap/$l", s"$state/$l")
+      }
+
+      val s2 = mkStream()
+      val replayed = s2.ingest(batchOf(killAt - 1), (killAt - 1).toLong)
+        .collect().map(_.toString).toSet
+      assert(replayed == lastDecisions,
+        "replayed batch's decisions diverged from the dead session's")
+      (killAt until chunks.length).foreach { i =>
+        s2.ingest(batchOf(i), i.toLong).count()
+      }
+      val got = s2.reconcile().collect().map(_.toString).sorted
+      val want = CurationPack.corpusBuildNovelty(spark, dir)
+        .collect().map(_.toString).sorted
+      assert(want.nonEmpty && got.sameElements(want))
+      s2.close()
+    }
+    deleteTree(state); deleteTree(snap)
   }
 }
