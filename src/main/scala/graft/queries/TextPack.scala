@@ -687,9 +687,9 @@ object TextPack {
     * growth: that is corpus-level token counts per bucket; this is
     * per-document and shingle-level). Shuffle posture: everything past
     * the explode carries (hash, doc_id) longs — never text; one
-    * groupBy-min over the shingle-fingerprint space, one equi-join back
-    * on the hash, one doc-keyed aggregate; ppm is an exact integral
-    * floor-division.
+    * groupBy-min over the shingle-fingerprint space and one doc-keyed
+    * aggregate — no occurrence-grain join (see [[noveltyPanel]]); ppm
+    * is an exact integral floor-division.
     */
   def shingleNovelty(spark: SparkSession, dir: String): DataFrame =
     noveltyPanel(spark, dir).orderBy(col("doc_id"))
@@ -697,16 +697,46 @@ object TextPack {
   /** [[shingleNovelty]] without the presentation sort — the form other
     * operators compose on (q153 semi-joins it under the corpus build's
     * gates; a sort below a join is wasted work at any scale).
+    *
+    * No occurrence-grain join: the round-18 30x slope measurement
+    * caught the original ex⋈firsts-on-h + double-countDistinct shape
+    * going SUPER-linear (q153 2.4x per 10x, then 4.5x per 3x — the
+    * occurrence rows were persisted AND re-shuffled twice). The panel
+    * needs neither:
+    *
+    *   - n_shingles is per-document — `size(array_distinct(hashes))`
+    *     computed PER ROW over the shingle array (exactly the oracle's
+    *     per-doc `count(DISTINCT h)`), no explode, no exchange;
+    *   - n_novel: `firsts` carries one row per distinct fingerprint
+    *     with its min carrier, so per-doc novel counts are just
+    *     `firsts` grouped by first_doc — every fingerprint is novel
+    *     for exactly its first carrier, the oracle's
+    *     `count(DISTINCT CASE WHEN doc = first_doc THEN h END)`.
+    *
+    * The corpus-wide shuffle budget is the ONE fingerprint-grain
+    * groupBy-min (plus a doc-keyed aggregate three orders of magnitude
+    * smaller); nothing occurrence-grain is persisted or joined.
+    * [[graft.streaming.NoveltyStream.ingestLazy]] is the same plan
+    * against a first-occurrence registry.
     */
   private[queries] def noveltyPanel(spark: SparkSession, dir: String): DataFrame = {
-    val ex = graft.Caches.persisted(Tables.documents(spark, dir)
+    val docs = Tables.documents(spark, dir)
+    val novel = docs
       .select(col("doc_id"), explode(TextOps.wordShingles(col("text"), 3)).as("_s"))
-      .select(col("doc_id"), TextOps.hash32(col("_s")).as("h")))
-    val firsts = ex.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
-    ex.join(firsts, "h")
-      .groupBy(col("doc_id"))
-      .agg(countDistinct(col("h")).as("n_shingles"),
-        countDistinct(when(col("doc_id") === col("first_doc"), col("h"))).as("n_novel"))
+      .select(col("doc_id"), TextOps.hash32(col("_s")).as("h"))
+      .groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
+      .groupBy(col("first_doc").as("doc_id"))
+      .agg(count(lit(1)).as("n_novel"))
+    docs
+      .select(col("doc_id"),
+        size(array_distinct(transform(TextOps.wordShingles(col("text"), 3),
+          s => TextOps.hash32(s)))).cast("long").as("n_shingles"))
+      // a doc too short for any 3-shingle has no fingerprint rows —
+      // the oracle's inner-join grouping emits no row for it
+      .filter(col("n_shingles") > 0L)
+      .join(novel, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
       .select(col("doc_id"), col("n_shingles"), col("n_novel"),
         expr("(n_novel * 1000000) div n_shingles").as("novelty_ppm"))
   }
