@@ -229,4 +229,24 @@ else
   echo "   clean"
 fi
 
+# Round-record check (ROUND=N): the end-of-round snapshot must not be
+# cut while the round's record is missing — r18 shipped its story only
+# in commit messages and /tmp (VERDICT r18 ding #1). With ROUND set the
+# gate REFUSES unless all three artifacts for the round exist at HEAD:
+# the CHANGELOG entry, BENCH_LOCAL_r{N}.json, BENCH_ISOLATED_r{N}.json.
+if [ -n "${ROUND:-}" ]; then
+  echo "== round-$ROUND record check"
+  missing=""
+  grep -q "^## Round $ROUND\b" CHANGELOG.md || missing="$missing CHANGELOG-entry"
+  [ -f "BENCH_LOCAL_r$ROUND.json" ] || missing="$missing BENCH_LOCAL_r$ROUND.json"
+  ls BENCH_ISOLATED_r$ROUND*.json >/dev/null 2>&1 || missing="$missing BENCH_ISOLATED_r$ROUND.json"
+  if [ -n "$missing" ]; then
+    echo "   ROUND RECORD INCOMPLETE — missing:$missing"
+    echo "   (write the CHANGELOG entry and copy \$WORK/bench.json /"
+    echo "    \$WORK/bench_isolated.json to the r$ROUND artifacts first)"
+    exit 1
+  fi
+  echo "   complete (CHANGELOG + BENCH_LOCAL + BENCH_ISOLATED present)"
+fi
+
 echo "== GATE PASS ($WORK)"
