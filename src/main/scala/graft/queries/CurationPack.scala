@@ -295,8 +295,13 @@ object CurationPack {
     * broadcast (the quota table has one row per source).
     */
   private[graft] def sqrtQuotaCap(docs: DataFrame): DataFrame = {
-    val hashed = docs.withColumn("h",
-      TextOps.hash32(concat(lit("cap:"), col("doc_id").cast("string"))))
+    // persisted: three downstream passes read this projection (the quota
+    // groupBy, the range-partitioner's sampling pass, and the sorted
+    // materialization inside groupedRunningAgg) — without the cache the
+    // caller's gated subtree recomputes once per pass, a 2-extra-scan
+    // cost that scales with the corpus (round 19, guide §1.2)
+    val hashed = graft.Caches.persisted(docs.withColumn("h",
+      TextOps.hash32(concat(lit("cap:"), col("doc_id").cast("string")))))
     val quotas = hashed.groupBy(col("source"))
       .agg(count(lit(1)).as("n_source"))
       .withColumn("quota", floor(sqrt(col("n_source"))).cast("long"))
@@ -791,9 +796,11 @@ object CurationPack {
     * so the gate binds at every SF.
     */
   def mixtureDraw(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("source"),
-      TextOps.tokenCount(col("text")).as("n_tokens"),
-      TextOps.hash32(concat(lit("mix:"), col("doc_id").cast("string"))).as("h"))
+    // persisted for the same three-pass reason as [[sqrtQuotaCap]]
+    val docs = graft.Caches.persisted(
+      Tables.documents(spark, dir).select(col("doc_id"), col("source"),
+        TextOps.tokenCount(col("text")).as("n_tokens"),
+        TextOps.hash32(concat(lit("mix:"), col("doc_id").cast("string"))).as("h")))
     val sqrts = docs.groupBy(col("source"))
       .agg(count(lit(1)).as("n_source"))
       .withColumn("s", floor(sqrt(col("n_source"))).cast("long"))
@@ -1432,9 +1439,10 @@ object CurationPack {
     * heaviest p%), emitting exact `(10⁶·cum_chars) div total_chars`.
     */
   def concentrationCurve(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
+    // persisted for the same three-pass reason as [[sqrtQuotaCap]]
+    val d = graft.Caches.persisted(Tables.documents(spark, dir)
       .select(col("doc_id"), col("n_chars"),
-        (-col("n_chars")).as("neg_chars"), lit(1).as("g"))
+        (-col("n_chars")).as("neg_chars"), lit(1).as("g")))
     val ranked = graft.ext.PrefixOps.groupedRunningAgg(
       d, Seq("g"), Seq("neg_chars", "doc_id"), Some("n_chars"),
       rankName = "rank", sumName = "cum_chars")
@@ -1465,12 +1473,16 @@ object CurationPack {
     * task); the 1-row total broadcasts.
     */
   def percentileRanks(spark: SparkSession, dir: String): DataFrame = {
-    val s = Tables.documents(spark, dir)
+    // persisted: the type-token score splits every document's text — the
+    // dominant scan — and is read by three passes (total count, range
+    // sampling, sorted materialization); cache the 16-byte projection so
+    // the text is tokenized once (round 19)
+    val s = graft.Caches.persisted(Tables.documents(spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"),
         floor(lit(1000000.0) * size(array_distinct(col("toks"))).cast("double") /
           size(col("toks")).cast("double")).cast("long").as("score_fp"),
-        lit(1).as("g"))
+        lit(1).as("g")))
     val ranked = graft.ext.PrefixOps.groupedRunningAgg(
       s, Seq("g"), Seq("score_fp", "doc_id"), None, rankName = "rank")
     val tot = s.agg(count(lit(1)).as("n_total"))

@@ -525,9 +525,15 @@ object Relational {
     val sessions = graft.streaming.Streaming.sessionStream(
       src, s"$gapUs microseconds", "0 seconds", keyCols = Seq("user_id"))
     val sinkName = s"graft_q89_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val q = sessions.writeStream.outputMode("append")
-      .format("memory").queryName(sinkName).start()
-    try { q.processAllAvailable() } finally q.stop()
+    // state partitions sized to the input, not the core count — the
+    // stateful stream pins its state layout from shuffle.partitions at
+    // start and AQE cannot coalesce it (Streaming.statePartitions)
+    graft.streaming.Streaming.withShufflePartitions(spark,
+      graft.streaming.Streaming.statePartitions(spark, ev)) {
+      val q = sessions.writeStream.outputMode("append")
+        .format("memory").queryName(sinkName).start()
+      try { q.processAllAvailable() } finally q.stop()
+    }
     val closed = spark.table(sinkName)
       .filter(col("user_id") =!= -1L)
       .select(col("user_id"),
@@ -588,9 +594,14 @@ object Relational {
         .as[graft.streaming.StatefulOps.FunnelEvent],
       Seq("view", "click", "purchase"))
     val sinkName = s"graft_q93_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val q = snaps.toDF().writeStream.outputMode("append")
-      .format("memory").queryName(sinkName).start()
-    try { q.processAllAvailable() } finally q.stop()
+    // input-proportional state partitioning, as in q89 — see
+    // Streaming.statePartitions for the sizing contract
+    graft.streaming.Streaming.withShufflePartitions(spark,
+      graft.streaming.Streaming.statePartitions(spark, ev)) {
+      val q = snaps.toDF().writeStream.outputMode("append")
+        .format("memory").queryName(sinkName).start()
+      try { q.processAllAvailable() } finally q.stop()
+    }
     val fin = spark.table(sinkName).groupBy(col("userId"))
       .agg(max(col("t1")).as("t1"), max(col("t2")).as("t2"), max(col("t3")).as("t3"))
     def stageRow(df: DataFrame, stage: Long, name: String, lag: Column): DataFrame =

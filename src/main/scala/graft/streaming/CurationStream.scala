@@ -165,19 +165,6 @@ final class CurationStream(spark: SparkSession,
     // unmaterialized): the pairs materialize once, inside the fused
     // checkpoint below, instead of in their own per-batch job
     val pairs = nd.ingestLazy(batch.select(col("doc_id"), col("text")), batchId)
-    val batchIds = batch.select(col("doc_id"))
-    val members = pairs.select(col("doc1").as("member"), col("doc2").as("other"))
-      .union(pairs.select(col("doc2").as("member"), col("doc1").as("other")))
-      .join(batchIds.select(col("doc_id").as("member")), Seq("member"), "left_semi")
-    // drop a batch member linked to an earlier-emitted doc, or to a
-    // smaller id within its own batch (in-id-order arrival this is the
-    // batch min-member election; reconcile() is exact regardless)
-    // no `.distinct()`: the tagged-union groupBy below dedups doc_ids
-    val nearDrop = members
-      .join(batchIds.select(col("doc_id").as("other"),
-        lit(true).as("_in_batch")), Seq("other"), "left")
-      .filter(col("_in_batch").isNull || col("other") < col("member"))
-      .select(col("member").as("doc_id"))
 
     // stateless gates, the SAME code paths the batch operators verify —
     // one shared bigram explode for both, as in the batch build
@@ -197,22 +184,26 @@ final class CurationStream(spark: SparkSession,
       .join(bench, Seq("sh"), "left_semi")
       .select(col("doc_id")) // groupBy below dedups
 
-    // assemble the five gate verdicts as ONE tagged union + one
-    // doc-keyed aggregation + one join — not five sequential left joins
-    // each re-shuffling the batch on doc_id (2 exchanges instead of 6;
+    // assemble the eager gate verdicts as ONE tagged union + one
+    // doc-keyed aggregation + one join — not sequential left joins
+    // each re-shuffling the batch on doc_id (2 exchanges instead of 5;
     // at 100 TB the batch is the corpus increment, so exchange count on
-    // it is the ingest cost)
+    // it is the ingest cost). The near-dup provisional bit is NOT here:
+    // no log stores it (reconcile() re-derives components from the pair
+    // log), only the RETURNED frame carries it — so it is derived below
+    // as a view over the batch's own checkpointed pair rows instead of
+    // riding the eager tree, which would otherwise plan the whole pairs
+    // subtree a second time plus the members/nearDrop joins (round-19:
+    // ~8 fewer stage/broadcast jobs per micro-batch, values identical).
     def tagged(df: DataFrame, tag: String): DataFrame =
       df.select(col("doc_id"), lit(tag).as("_g"))
     val bits = tagged(exactKeep, "exact")
-      .union(tagged(nearDrop, "nd"))
       .union(tagged(rep.filter(col("keep_rep")), "rep"))
       .union(tagged(lm.filter(col("keep_lm")), "lm"))
       .union(tagged(contam, "ct"))
       .groupBy(col("doc_id"))
       .agg(
         max(col("_g") === "exact").as("keep_exact"),
-        max(col("_g") === "nd").as("_nd"),
         max(col("_g") === "rep").as("keep_rep"),
         max(col("_g") === "lm").as("keep_lm"),
         max(col("_g") === "ct").as("contaminated"))
@@ -228,15 +219,11 @@ final class CurationStream(spark: SparkSession,
       .select(col("doc_id"), col("source"), col("n_tokens"), col("is_bench"),
         col("fp"),
         coalesce(col("keep_exact"), lit(false)).as("keep_exact"),
-        (!coalesce(col("_nd"), lit(false))).as("keep_neardup"),
         // a doc with no bigram rows is absent from the gates — the
         // batch build's left_semi drops it, so default to false
         coalesce(col("keep_rep"), lit(false)).as("keep_rep"),
         coalesce(col("keep_lm"), lit(false)).as("keep_lm"),
         coalesce(col("contaminated"), lit(false)).as("contaminated"))
-      .withColumn("keep",
-        !col("is_bench") && col("keep_exact") && col("keep_neardup") &&
-          col("keep_rep") && col("keep_lm") && !col("contaminated"))
 
     // FUSED multi-log append: the batch's pair rows and decision rows
     // materialize in ONE tagged-union checkpoint job instead of two
@@ -253,16 +240,15 @@ final class CurationStream(spark: SparkSession,
         col("n_shared_bands")) ++
         nulls("doc_id" -> "long", "source" -> "string", "n_tokens" -> "long",
           "is_bench" -> "boolean", "fp" -> "string", "keep_exact" -> "boolean",
-          "keep_neardup" -> "boolean", "keep_rep" -> "boolean",
-          "keep_lm" -> "boolean", "contaminated" -> "boolean",
-          "keep" -> "boolean"): _*)
+          "keep_rep" -> "boolean", "keep_lm" -> "boolean",
+          "contaminated" -> "boolean"): _*)
       .unionByName(decisionRows
         .select(Seq(lit("d").as("_t")) ++
           nulls("doc1" -> "long", "doc2" -> "long",
             "n_shared_bands" -> "long") ++
           Seq(col("doc_id"), col("source"), col("n_tokens"), col("is_bench"),
-            col("fp"), col("keep_exact"), col("keep_neardup"), col("keep_rep"),
-            col("keep_lm"), col("contaminated"), col("keep")): _*))
+            col("fp"), col("keep_exact"), col("keep_rep"),
+            col("keep_lm"), col("contaminated")): _*))
     // fifth gate on: the batch's lazy novelty verdicts join the union as
     // a third tag, so they materialize in THIS job — the four-gate
     // path's union shape (and therefore q72's plans) is untouched
@@ -275,19 +261,18 @@ final class CurationStream(spark: SparkSession,
           Seq(col("doc_id")) ++
           nulls("source" -> "string", "n_tokens" -> "long",
             "is_bench" -> "boolean", "fp" -> "string",
-            "keep_exact" -> "boolean", "keep_neardup" -> "boolean",
-            "keep_rep" -> "boolean", "keep_lm" -> "boolean",
-            "contaminated" -> "boolean", "keep" -> "boolean") ++
+            "keep_exact" -> "boolean", "keep_rep" -> "boolean",
+            "keep_lm" -> "boolean", "contaminated" -> "boolean") ++
           Seq(col("n_shingles"), col("n_novel"), col("novelty_ppm")): _*))
     }.localCheckpoint(eager = true)
-    val decisions = fused.filter(col("_t") === "d")
+    val dRows = fused.filter(col("_t") === "d")
       .select(col("doc_id"), col("source"), col("n_tokens"), col("is_bench"),
-        col("fp"), col("keep_exact"), col("keep_neardup"), col("keep_rep"),
-        col("keep_lm"), col("contaminated"), col("keep"))
-    fpLog.appendView(decisions.select(col("fp"), col("doc_id")), batchId)
+        col("fp"), col("keep_exact"), col("keep_rep"),
+        col("keep_lm"), col("contaminated"))
+    fpLog.appendView(dRows.select(col("fp"), col("doc_id")), batchId)
     pairLog.appendView(fused.filter(col("_t") === "p")
       .select(col("doc1"), col("doc2"), col("n_shared_bands")), batchId)
-    docLog.appendView(decisions.select(col("doc_id"), col("source"), col("n_tokens"),
+    docLog.appendView(dRows.select(col("doc_id"), col("source"), col("n_tokens"),
       col("is_bench"), col("keep_rep"), col("keep_lm"), col("contaminated")), batchId)
     // the verdict rows are "n"-tagged slices of the fused checkpoint —
     // the novelty log's append is a view, like fp/docs
@@ -295,12 +280,43 @@ final class CurationStream(spark: SparkSession,
       .select(col("doc_id"), col("n_shingles"), col("n_novel"),
         col("novelty_ppm")))
     nvView.foreach(v => novLog.get.appendView(v, batchId))
+
+    // RETURNED frame only below this point — every input is a slice of
+    // the batch's own fused checkpoint, so the frame is self-contained
+    // (safe to materialize at any later time) and none of it costs a
+    // per-batch job when the caller discards it.
+    //
+    // near-dup provisional bit, from the checkpointed pair rows: drop a
+    // batch member linked to an earlier-emitted doc, or to a smaller id
+    // within its own batch (in-id-order arrival this is the batch
+    // min-member election; reconcile() is exact regardless).
+    val pairsCk = fused.filter(col("_t") === "p")
+      .select(col("doc1"), col("doc2"))
+    val batchIds = dRows.select(col("doc_id"))
+    val members = pairsCk.select(col("doc1").as("member"), col("doc2").as("other"))
+      .union(pairsCk.select(col("doc2").as("member"), col("doc1").as("other")))
+      .join(batchIds.select(col("doc_id").as("member")), Seq("member"), "left_semi")
+    val nearDrop = members
+      .join(batchIds.select(col("doc_id").as("other"),
+        lit(true).as("_in_batch")), Seq("other"), "left")
+      .filter(col("_in_batch").isNull || col("other") < col("member"))
+      .select(col("member").as("doc_id"))
+    val decisions = dRows.drop("fp")
+      .join(nearDrop.distinct().withColumn("_nd", lit(true)),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("is_bench"),
+        col("keep_exact"),
+        (!coalesce(col("_nd"), lit(false))).as("keep_neardup"),
+        col("keep_rep"), col("keep_lm"), col("contaminated"))
+      .withColumn("keep",
+        !col("is_bench") && col("keep_exact") && col("keep_neardup") &&
+          col("keep_rep") && col("keep_lm") && !col("contaminated"))
     // with the fifth gate on, the returned per-doc row gains a trailing
     // keep_novel column (final at arrival — NoveltyStream's contract)
     // folded into keep; the join reads the batch's already-materialized
     // fused checkpoint, so the four-gate path's plans are untouched
-    nvView.fold(decisions.drop("fp")) { v =>
-      decisions.drop("fp")
+    nvView.fold(decisions) { v =>
+      decisions
         .join(v.select(col("doc_id"),
           (col("novelty_ppm") >= noveltyFloorPpm.get).as("keep_novel")),
           Seq("doc_id"), "left")

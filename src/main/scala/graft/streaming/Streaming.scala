@@ -120,6 +120,48 @@ object Streaming {
   private def tokenOhlc(t: TokenProfile): Option[graft.model.Ohlc] =
     Sinks.tokenOhlcBar(t)
 
+  /** Scale-adaptive STATE-STORE partition count for a stateful stream.
+    *
+    * A stateful streaming query's state partitioning is pinned by
+    * `spark.sql.shuffle.partitions` at first checkpoint and AQE cannot
+    * coalesce it (the engine disables AQE in stateful workloads), so the
+    * count is a real capacity decision: every micro-batch pays one state
+    * store open/commit per partition regardless of data. Sizing it to
+    * the CORE COUNT — the session default — is wrong in both directions:
+    * tiny inputs pay (cores × stores × batches) of pure constant
+    * (measured: q93's three near-empty micro-batches at 32 stores cost
+    * 4.7 s of store commits vs 1.2 s at the derived count), and a 100 TB
+    * stream wants state sharded by VOLUME, not by one node's cores.
+    *
+    * Contract: `spark.graft.stream.statePartitions` (when set) wins —
+    * production pins state shards explicitly, exactly like choosing a
+    * Kafka partition count. Default derives from the stream input's
+    * optimizer-estimated bytes at ~32 MB of input per state partition,
+    * clamped to [1, defaultParallelism] — input-proportional, so the
+    * local bench and a cluster both get a count that matches their data,
+    * not their core count.
+    */
+  def statePartitions(spark: SparkSession, input: DataFrame): Int =
+    spark.conf.getOption("spark.graft.stream.statePartitions")
+      .map(_.toInt).getOrElse {
+        val bytes = input.queryExecution.optimizedPlan.stats.sizeInBytes
+        val target = BigInt(32L << 20)
+        val cap = spark.sparkContext.defaultParallelism.max(1)
+        ((bytes + target - 1) / target).min(cap).max(1).toInt
+      }
+
+  /** Run `body` with `spark.sql.shuffle.partitions` temporarily set to
+    * `n` (the window in which a stateful stream must START so its state
+    * layout picks the count up), restoring the previous value after.
+    * Batch work outside the window is untouched.
+    */
+  def withShufflePartitions[A](spark: SparkSession, n: Int)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** True streaming OHLC (W4 + ST5): watermarked tick stream → windowed
     * bars. `ticks` needs (ts: timestamp, price, volume, key columns).
     */
