@@ -32,8 +32,17 @@ object DumpPlans {
         // execute so AQE's final plan (the shape that actually ran) is
         // what gets recorded, not the isFinalPlan=false initial guess
         df.queryExecution.toRdd.count()
-        val txt = df.queryExecution.explainString(
+        val full = df.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode)
+        // driver-paced loop queries (coreset, BPE, Lloyd) unroll to
+        // plans of 10^5+ lines; cap the artifact — the shape evidence
+        // lives in the head, and a 46 MB dump is repo bloat
+        val lines = full.linesIterator.toSeq
+        val cap = 4000
+        val txt =
+          if (lines.length <= cap) full
+          else (lines.take(cap) :+
+            s"... [truncated: ${lines.length - cap} more lines]").mkString("\n")
         java.nio.file.Files.writeString(
           java.nio.file.Paths.get(outDir, s"${name}_$suffix.txt"), txt + "\n")
         println(s"[plans] wrote $outDir/${name}_$suffix.txt")
