@@ -220,28 +220,40 @@ object GraphOps {
     }
 
     var cur = canonical(e0).localCheckpoint(eager = true)
+    // edge COUNT per round: |next| != |cur| PROVES the round changed the
+    // edge set (both are canonical/distinct), so the exact symmetric-
+    // difference join only runs on the equal-count rounds — typically
+    // just the final one. One cheap count on the already-materialized
+    // checkpoint replaces a (u,v)-keyed full-outer join on every
+    // shrinking round (round 19; the join is 3 exchanges + 2 sorts over
+    // both full edge sets, pure overhead while the contraction is still
+    // visibly making progress).
+    var curCount = cur.count()
     var iter = 0
     var stable = false
     while (iter < maxIters && !stable) {
       val t0 = System.nanoTime
-      // lazy checkpoint: the fixpoint probe below is the round's ONE
-      // action — it materializes the checkpoint and computes the
-      // symmetric difference in the same job (an eager checkpoint would
-      // pay a second full pass per round)
+      // lazy checkpoint: the count probe below is the round's ONE
+      // action — it materializes the checkpoint and counts it in the
+      // same job (an eager checkpoint would pay a second full pass)
       val next = canonical(smallStar(largeStar(cur))).localCheckpoint(eager = false)
-      // fixpoint = empty symmetric difference, as ONE action (a full
-      // outer join on the canonical edge) instead of two anti-join
-      // isEmpty probes — the loop is driver-paced, so per-round action
-      // count is the local-latency bottleneck
-      val diff = next.select(col("u"), col("v"), lit(1).as("_n"))
-        .join(cur.select(col("u"), col("v"), lit(1).as("_c")),
-          Seq("u", "v"), "full_outer")
-        .filter(col("_n").isNull || col("_c").isNull)
-        .count()
+      val nextCount = next.count()
+      // equal counts are necessary but not sufficient — confirm with the
+      // exact symmetric difference (empty ⇒ stable), one full-outer join
+      val diff =
+        if (nextCount != curCount) math.abs(nextCount - curCount)
+        else next.select(col("u"), col("v"), lit(1).as("_n"))
+          .join(cur.select(col("u"), col("v"), lit(1).as("_c")),
+            Seq("u", "v"), "full_outer")
+          .filter(col("_n").isNull || col("_c").isNull)
+          .count()
       stable = diff == 0
       unpersistCheckpoint(cur) // fixpoint test done; free the old round
       cur = next
+      curCount = nextCount
       iter += 1
+      // edgesChanged: exact symmetric-difference size on probed rounds,
+      // the |count delta| lower bound on count-gated rounds
       trace(iter, diff, (System.nanoTime - t0) / 1e9)
     }
     require(stable, s"starComponents did not converge in $maxIters rounds")

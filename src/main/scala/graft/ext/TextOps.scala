@@ -69,13 +69,17 @@ object TextOps {
   }
 
   /** 32-bit deterministic string hash from the md5 hex prefix —
-    * `conv(hex,16,10)` here ≡ `('0x'||substr(md5(s),1,8))::bigint` in
-    * DuckDB.
+    * ≡ `('0x'||substr(md5(s),1,8))::bigint` in DuckDB. One codegen
+    * expression over the digest bytes ([[graft.functions.Md5PrefixLong]]);
+    * the historical `conv(substring(md5(s),1,8),16,10)` composition
+    * allocated and re-parsed a 32-char hex string per row in every text
+    * operator's hottest map stage (values bit-identical — FunctionsSpec
+    * pins the equivalence, every hash-gated oracle re-proves it).
     */
-  def hash32(s: Column): Column = conv(substring(md5(s), 1, 8), 16, 10).cast("long")
+  def hash32(s: Column): Column = graft.functions.Md5PrefixLong(s, 8)
 
   /** 60-bit variant for SimHash bit sampling. */
-  def hash60(s: Column): Column = conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+  def hash60(s: Column): Column = graft.functions.Md5PrefixLong(s, 15)
 
   /** Deterministic stratified sampling for training-data curation
     * (corpus mixing: "p% of each (lang, source), at most `quota` docs

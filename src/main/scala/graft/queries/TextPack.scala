@@ -621,9 +621,8 @@ object TextPack {
     // containments and the filter reuse it; inlining it into each would
     // re-evaluate it per reference). Candidate sets have |A| ≥ 1 by
     // construction — no 0/0 guard needed.
-    val hs = sh.select(col("doc_id"), expr(
-      "array_distinct(transform(sh, s -> cast(conv(substring(md5(s), 1, 8), 16, 10) as bigint)))")
-      .as("hs"))
+    val hs = sh.select(col("doc_id"),
+      array_distinct(transform(col("sh"), s => TextOps.hash32(s))).as("hs"))
     cands
       .join(hs.select(col("doc_id").as("doc1"), col("hs").as("hs1")), "doc1")
       .join(hs.select(col("doc_id").as("doc2"), col("hs").as("hs2")), "doc2")

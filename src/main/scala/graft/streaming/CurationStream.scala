@@ -146,8 +146,18 @@ final class CurationStream(spark: SparkSession,
     // fingerprints, the gate's only per-batch exchange); the per-doc
     // verdict frame comes back LAZY and rides the fused tagged-union
     // checkpoint below, so verdicts materialize inside the batch's
-    // existing job instead of their own
-    val nvRows = nv.map(_.ingestLazy(batch.select(col("doc_id"), col("text")), batchId))
+    // existing job instead of their own.
+    // OVERLAPPED with the band checkpoint below (guide §2.6): the two
+    // eager per-batch jobs are independent (different logs, both read
+    // only the persisted batch), so the driver submits them from a
+    // second thread instead of serializing two scheduler round-trips;
+    // values and the per-log replay/rollback contracts are untouched
+    // (each log's mutations stay confined to the thread that owns its
+    // ingestLazy call, and recovery already tolerates ANY partial-append
+    // interleaving — the per-log manifests remember their own batch).
+    val nvRowsF = nv.map(s => scala.concurrent.Future(
+      s.ingestLazy(batch.select(col("doc_id"), col("text")), batchId))(
+      scala.concurrent.ExecutionContext.global))
 
     // exact dedup: unseen fingerprint AND first (min doc_id) in batch.
     // One groupBy then one anti join — min-doc-per-fp of an unseen fp is
@@ -165,6 +175,10 @@ final class CurationStream(spark: SparkSession,
     // unmaterialized): the pairs materialize once, inside the fused
     // checkpoint below, instead of in their own per-batch job
     val pairs = nd.ingestLazy(batch.select(col("doc_id"), col("text")), batchId)
+    // join the overlapped novelty job (it ran while the bands
+    // checkpoint above was executing)
+    val nvRows = nvRowsF.map(f => scala.concurrent.Await.result(
+      f, scala.concurrent.duration.Duration.Inf))
 
     // stateless gates, the SAME code paths the batch operators verify —
     // one shared bigram explode for both, as in the batch build

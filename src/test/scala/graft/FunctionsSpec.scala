@@ -210,4 +210,33 @@ class FunctionsSpec extends AnyFunSuite {
       "SELECT word_shingles('a b c d', 3) AS s").collect()(0).getSeq[String](0)
     assert(viaSql == Seq("a b c", "b c d"))
   }
+
+  test("Md5PrefixLong ≡ conv(substring(md5(s),1,n),16,10) for n=8 and n=15") {
+    import graft.ext.TextOps
+    // randomized-but-deterministic inputs: unicode, empties, long strings,
+    // leading-zero digests eventually covered by volume
+    val rnd = new scala.util.Random(42)
+    val inputs = (0 until 500).map { i =>
+      val len = rnd.nextInt(40)
+      new String((0 until len).map(_ => (rnd.nextInt(1 << 14) + 1).toChar).toArray) + s"#$i"
+    } ++ Seq("", "a", " ", "κόσμε", "x" * 10000)
+    val df = inputs.toDF("s")
+    Seq(8, 15).foreach { n =>
+      val got = df.select(graft.functions.Md5PrefixLong(col("s"), n)).collect().map(_.getLong(0))
+      val want = df.select(conv(substring(md5(col("s")), 1, n), 16, 10).cast("long"))
+        .collect().map(_.getLong(0))
+      assert(got.sameElements(want), s"hexLen=$n diverged from the composed form")
+    }
+    // null in → null out, like the composed form
+    val nullRow = Seq(Option.empty[String]).toDF("s")
+      .select(graft.functions.Md5PrefixLong(col("s"), 8)).collect()(0)
+    assert(nullRow.isNullAt(0))
+    // the two public wrappers route through it
+    val viaOps = Seq("abc").toDF("s")
+      .select(TextOps.hash32(col("s")), TextOps.hash60(col("s"))).collect()(0)
+    val viaSql2 = Seq("abc").toDF("s")
+      .select(conv(substring(md5(col("s")), 1, 8), 16, 10).cast("long"),
+        conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long")).collect()(0)
+    assert(viaOps == viaSql2)
+  }
 }
