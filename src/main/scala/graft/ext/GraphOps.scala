@@ -114,6 +114,14 @@ object GraphOps {
       // is <= its node id), so the relabel IS the min and the
       // monotone-sum invariant below is preserved; the one-round-stale
       // lookup still composes to distance-doubling per round.
+      // (Round 19 tried applying the lookup TWICE per round to jump two
+      // pointer hops — label-identical on CurationSpec's property
+      // graphs, but per-round wall EXPLODED ~3x per round on the q82
+      // chain graph (1s -> 47s by round 5): the second self-join of the
+      // checkpointed labels forces a plan-clone + re-shuffle cascade
+      // that AQE re-plans from scratch each round. Reverted; round
+      // count is not the local bottleneck, and at scale the extra
+      // full-data join per round costs exactly what it saves.)
       val next = prop.join(
           labels.select(col("node").as("comp"), col("comp").as("comp2")), "comp")
         .select(col("node"), col("comp2").as("comp"))
