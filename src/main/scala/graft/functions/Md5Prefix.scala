@@ -41,11 +41,16 @@ case class Md5PrefixLong(child: Expression, hexLen: Int)
         s"Md5PrefixLong needs a string child, got ${child.dataType}")
 
   override def nullSafeEval(input: Any): Any =
-    Md5PrefixLong.eval(input.asInstanceOf[UTF8String], hexLen)
+    Md5PrefixLong.md5Prefix(input.asInstanceOf[UTF8String], hexLen)
 
+  // NOTE: the helper must NOT be named `eval` — the class inherits
+  // Expression.eval(InternalRow), which suppresses the Scala static
+  // forwarder for a companion method of the same name, and Janino then
+  // fails to resolve the call (the stage silently falls back to the
+  // interpreted path, defeating the whole point of the expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, s =>
-      s"${ev.value} = graft.functions.Md5PrefixLong.eval($s, $hexLen);")
+      s"${ev.value} = graft.functions.Md5PrefixLong.md5Prefix($s, $hexLen);")
 
   override protected def withNewChildInternal(newChild: Expression): Md5PrefixLong =
     copy(child = newChild)
@@ -62,7 +67,7 @@ object Md5PrefixLong {
   /** First `hexLen` nibbles of md5(s), most-significant first — the
     * exact value of `conv(substring(md5Hex, 1, hexLen), 16, 10)`.
     */
-  def eval(s: UTF8String, hexLen: Int): Long = {
+  def md5Prefix(s: UTF8String, hexLen: Int): Long = {
     val d = md5.get()
     d.reset()
     val digest = d.digest(s.getBytes)
